@@ -1,0 +1,249 @@
+"""Deterministic synthetic image+caption corpus and admin polygons.
+
+Shape per BASELINE.json input_hint:
+    images(image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+           caption:string, phash:int64)
+
+Every field of image ``i`` is a closed-form function of ``i`` (FIXTURES.md
+§1), so the DuckDB oracle can verify the *decoded* pipeline output
+analytically without ever seeing the bytes:
+
+    pixels[py, px] = px + (i % 97)                (uint8, max 159 — no wrap)
+    fmt            = qnt if i%16==0 else png if i%4==0 else raw
+    decoded mean   = (i%97) + 31.5   lossless   |  (i%97) + 31.0   qnt
+    decoded min    = (i%97)          lossless   |  c - c%2         qnt
+    decoded max    = (i%97) + 63     lossless   |  (c+63)-(c+63)%2 qnt
+    caption        = "tile {i} of synthetic corpus"   (byte-exact propagation)
+    phash          = (i * 2654435761) % 2147483647
+    footprint      = 0.25 deg tile on the ERA5-style global grid
+                     (reference src/config/era5_config.yml grid_resolution),
+                     filled in strided order so any prefix of ids spreads
+                     over the whole globe:
+                     lon0 = -180 + 0.25*((i*13) % 1440),
+                     lat_top = 90 - 0.25*((i*7) % 720)
+
+Admin polygons (FIXTURES.md §2): 28 disjoint integer-bound rectangles + 4
+rectangles stacked over one hot region (induces hot-cell skew for the
+salted-join path). Integer bounds guarantee no centroid-on-edge ties
+(centroids sit at x.125 offsets).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import codecs
+
+TILE_W = 64
+TILE_H = 64
+C_MOD = 97  # pixel offset modulus
+PHASH_A = 2654435761
+PHASH_P = 2147483647
+
+# ------------------------------------------------------------- numpy gen ---
+
+
+def pixels_for(i: int) -> np.ndarray:
+    """Ground-truth uint8 pixels of image i (pre-encoding)."""
+    px = np.arange(TILE_W, dtype=np.uint8)
+    row = px + np.uint8(i % C_MOD)
+    return np.tile(row, (TILE_H, 1))
+
+
+def fmt_for(i: int) -> str:
+    if i % 16 == 0:
+        return "qnt"
+    if i % 4 == 0:
+        return "png"
+    return "raw"
+
+
+def caption_for(i: int) -> str:
+    return f"tile {i} of synthetic corpus"
+
+
+def expected_decoded_mean(i: int) -> float:
+    c = i % C_MOD
+    return c + (31.0 if fmt_for(i) == "qnt" else 31.5)
+
+
+def footprint(i: int) -> tuple[float, float, float, float]:
+    """(min_lon, min_lat, max_lon, max_lat) of image i's 0.25 deg tile."""
+    lon0 = -180.0 + 0.25 * ((i * 13) % 1440)
+    lat_top = 90.0 - 0.25 * ((i * 7) % 720)
+    return lon0, lat_top - 0.25, lon0 + 0.25, lat_top
+
+
+# ------------------------------------------------------------- spark gen ---
+
+IMAGES_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, caption string, phash bigint"
+)
+
+
+def images_from_ids(ids: DataFrame, id_col: str = "i") -> DataFrame:
+    """Build the images table from a DataFrame of int64 ids.
+
+    Metadata columns are pure JVM expressions; only the byte payload is
+    produced in an Arrow-batched kernel (mapInPandas) — vectorized pixel
+    synthesis, per-row only for the entropy-coded png format.
+    """
+    meta = ids.select(
+        F.col(id_col).cast("long").alias("i"),
+        F.format_string("img%010d", F.col(id_col)).alias("image_id"),
+        F.lit(TILE_W).cast("int").alias("w"),
+        F.lit(TILE_H).cast("int").alias("h"),
+        F.when(F.col(id_col) % 16 == 0, "qnt")
+        .when(F.col(id_col) % 4 == 0, "png")
+        .otherwise("raw")
+        .alias("fmt"),
+        F.concat(F.lit("tile "), F.col(id_col).cast("string"), F.lit(" of synthetic corpus")).alias(
+            "caption"
+        ),
+        ((F.col(id_col) * F.lit(PHASH_A)) % F.lit(PHASH_P)).cast("long").alias("phash"),
+    )
+
+    out_schema = "i bigint, " + IMAGES_SCHEMA
+
+    def gen_bytes(batches):
+        px_base = np.arange(TILE_W, dtype=np.uint8)
+        for pdf in batches:
+            ii = pdf["i"].to_numpy()
+            offs = (ii % C_MOD).astype(np.uint8)
+            # (B, h, w) vectorized synthesis
+            rows = px_base[None, :] + offs[:, None]
+            blobs = []
+            for r, f in zip(rows, pdf["fmt"].to_numpy()):
+                tile = np.tile(r, (TILE_H, 1))
+                blobs.append(codecs.encode_tile(tile, f))
+            pdf = pdf.assign(bytes=pd.Series(blobs, index=pdf.index, dtype=object))
+            yield pdf[["i", "image_id", "bytes", "w", "h", "fmt", "caption", "phash"]]
+
+    return meta.mapInPandas(gen_bytes, schema=out_schema)
+
+
+def images_from_range(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+    ids = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
+    return images_from_ids(ids.withColumnRenamed("id", "i"))
+
+
+def images_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus keyed by o_orderkey — gives the DuckDB oracle the identical
+    deterministic id set without shipping bytes to SQL."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return images_from_ids(orders.select(F.col("o_orderkey").alias("i")))
+
+
+# ------------------------------------------------------- admin polygons ---
+
+
+def wkb_polygon_rect(min_lon: float, min_lat: float, max_lon: float, max_lat: float) -> bytes:
+    """Little-endian WKB POLYGON of an axis-aligned rectangle (CCW ring)."""
+    pts = [
+        (min_lon, min_lat),
+        (max_lon, min_lat),
+        (max_lon, max_lat),
+        (min_lon, max_lat),
+        (min_lon, min_lat),
+    ]
+    out = struct.pack("<BII", 1, 3, 1) + struct.pack("<I", len(pts))
+    for x, y in pts:
+        out += struct.pack("<dd", x, y)
+    return out
+
+
+def parse_wkb_polygon(data: bytes) -> np.ndarray:
+    """WKB POLYGON (single ring, little-endian) -> (n, 2) float64 ring."""
+    bo, typ, nrings = struct.unpack_from("<BII", data, 0)
+    if bo != 1 or typ != 3 or nrings < 1:
+        raise ValueError("unsupported WKB")
+    (npts,) = struct.unpack_from("<I", data, 9)
+    ring = np.frombuffer(data, dtype="<f8", count=npts * 2, offset=13)
+    return ring.reshape(npts, 2).copy()
+
+
+def admin_rects() -> list[dict]:
+    """The 32 deterministic admin rectangles (28 disjoint + 4 hot-stacked)."""
+    rects = []
+    for j in range(28):
+        col, row = j % 7, j // 7
+        min_lon = -170.0 + 48.0 * col
+        width = 10.0 + 3.0 * (j % 5)
+        min_lat = -60.0 + 32.0 * row
+        height = 8.0 + 2.0 * (j % 7)
+        rects.append((j, min_lon, min_lat, min_lon + width, min_lat + height))
+    for k in range(4):  # hot region: 4 overlapping rects over one area
+        j = 28 + k
+        rects.append((j, -60.0 - k, 0.0 - k, -10.0 + k, 30.0 + k))
+    out = []
+    for j, a, b, c, d in rects:
+        out.append(
+            {
+                "adm_id": f"ADM{j:03d}",
+                "adm_level": 1,
+                "min_lon": a,
+                "min_lat": b,
+                "max_lon": c,
+                "max_lat": d,
+                "geom_wkb": wkb_polygon_rect(a, b, c, d),
+                "area_deg2": (c - a) * (d - b),
+            }
+        )
+    return out
+
+
+def admin_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        pd.DataFrame(admin_rects()),
+        schema=(
+            "adm_id string, adm_level int, min_lon double, min_lat double,"
+            " max_lon double, max_lat double, geom_wkb binary, area_deg2 double"
+        ),
+    )
+
+
+def admin_sql_values(alias: str = "admin") -> str:
+    """Inline VALUES relation with identical constants, for the oracle."""
+    rows = ",\n    ".join(
+        f"('{r['adm_id']}', {r['min_lon']!r}, {r['min_lat']!r}, {r['max_lon']!r}, {r['max_lat']!r})"
+        for r in admin_rects()
+    )
+    return (
+        f"(VALUES\n    {rows}\n) AS {alias}(adm_id, min_lon, min_lat, max_lon, max_lat)"
+    )
+
+
+# -------------------------------------------------- SQL-side derivations ---
+# Oracle text fragments; must stay in sync with images_from_ids (tested).
+
+
+def images_meta_sql(i_expr: str = "o_orderkey") -> dict[str, str]:
+    i = f"({i_expr})"
+    return {
+        "i": i,
+        "fmt": f"(CASE WHEN {i} % 16 = 0 THEN 'qnt' WHEN {i} % 4 = 0 THEN 'png' ELSE 'raw' END)",
+        "caption": f"('tile ' || cast({i} as varchar) || ' of synthetic corpus')",
+        "phash": f"(({i} * {PHASH_A}) % {PHASH_P})",
+        "lon_c": f"(-180.0 + 0.25 * (({i} * 13) % 1440) + 0.125)",
+        "lat_c": f"(90.0 - 0.25 * (({i} * 7) % 720) - 0.125)",
+        "decoded_mean": (
+            f"(CASE WHEN {i} % 16 = 0 THEN ({i} % {C_MOD}) + 31.0"
+            f" ELSE ({i} % {C_MOD}) + 31.5 END)"
+        ),
+    }
+
+
+def centroid_cols_for_images(df: DataFrame, i_col: str = "i") -> DataFrame:
+    """Attach the tile-centroid lon/lat (JVM exprs, matches images_meta_sql)."""
+    i = F.col(i_col)
+    return df.withColumns(
+        {
+            "lon_c": F.lit(-180.0) + F.lit(0.25) * ((i * 13) % 1440) + F.lit(0.125),
+            "lat_c": F.lit(90.0) - F.lit(0.25) * ((i * 7) % 720) - F.lit(0.125),
+        }
+    )

@@ -1,0 +1,63 @@
+"""End-to-end flagship pipeline: decode → encode → PIP join → zonal agg."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ds_raster_pipelines_spark import corpus
+from ds_raster_pipelines_spark.plans.flagship import flagship, flagship_from_orders
+from ds_raster_pipelines_spark.sources.images import decode_stats, decode_verify
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    return corpus.images_from_range(spark, 2000, partitions=4)
+
+
+def test_decode_stats_matches_closed_form(spark, images):
+    pdf = decode_stats(images).toPandas()
+    assert len(pdf) == 2000
+    for _, row in pdf.sample(50, random_state=0).iterrows():
+        i = int(row["i"])
+        assert row["mean_value"] == corpus.expected_decoded_mean(i)
+        assert row["caption"] == corpus.caption_for(i)
+        assert row["fmt"] == corpus.fmt_for(i)
+
+
+def test_decode_verify_invariants(spark, images):
+    pdf = decode_verify(images).toPandas()
+    assert pdf["caption_ok"].all()
+    lossless = pdf[pdf["fmt"] != "qnt"]
+    assert lossless["lossless_exact"].all()
+    assert (lossless["psnr"] == math.inf).all()
+    lossy = pdf[pdf["fmt"] == "qnt"]
+    assert len(lossy) == 125  # i % 16 == 0 of 2000
+    assert (lossy["psnr"] >= 40.0).all()
+
+
+def test_flagship_wkb_equals_bbox_refine(spark, images):
+    adm = corpus.admin_df(spark)
+    a = flagship(images, adm, refine="wkb").toPandas()
+    b = flagship(images, adm, refine="bbox").toPandas()
+    assert a.equals(b)
+    assert len(a) > 0 and (a["n_tiles"] > 0).all()
+
+
+def test_flagship_deterministic_across_parallelism(spark):
+    """BASELINE.md gate: identical results regardless of partitioning."""
+    adm = corpus.admin_df(spark)
+    a = flagship(corpus.images_from_range(spark, 1500, partitions=1), adm).toPandas()
+    b = flagship(corpus.images_from_range(spark, 1500, partitions=13), adm).toPandas()
+    assert a.equals(b)
+
+
+def test_entry_contract(spark):
+    df = flagship_from_orders(spark, SF)
+    pdf = df.toPandas()
+    assert len(pdf) > 0
+    assert set(pdf.columns) == {"adm_id", "avg_value", "min_value", "max_value", "sum_value", "n_tiles"}
