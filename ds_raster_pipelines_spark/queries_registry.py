@@ -241,3 +241,397 @@ def cell_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("parent_id")
     )
+
+
+# =====================================================================
+# Batch 2: temporal / window / coverage / validation (SURVEY §2.4-2.8)
+# =====================================================================
+
+_ANTI_ORACLE = """
+WITH expected AS (
+  SELECT strftime(unnest(generate_series(date '1995-01-01', date '2001-08-01',
+                                         interval 1 month)), '%Y-%m') AS month_str
+),
+existing AS (
+  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS month_str
+  FROM orders WHERE o_totalprice > 480000
+)
+SELECT month_str FROM expected
+WHERE month_str NOT IN (SELECT month_str FROM existing)
+ORDER BY month_str
+"""
+
+
+@register("anti_join_coverage", _ANTI_ORACLE)
+def anti_join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/I2: expected-vs-existing date reconciliation anti-join
+    (reference pipeline.py:173-213)."""
+    from .functions.scalars import date_range_df
+    from .operators.coverage import missing_dates
+
+    expected = date_range_df(spark, "1995-01-01", "2001-08-01", "M").select(
+        F.date_format("date", "yyyy-MM").alias("month_str")
+    )
+    existing = (
+        _pq(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 480000)
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("month_str"))
+        .distinct()
+    )
+    return missing_dates(expected, existing, "month_str")
+
+
+_COV_ORACLE = """
+WITH expected AS (
+  SELECT strftime(unnest(generate_series(date '1995-01-01', date '2001-08-01',
+                                         interval 1 month)), '%Y-%m') AS month_str
+),
+existing AS (
+  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS month_str
+  FROM orders WHERE o_totalprice > 480000
+)
+SELECT count(*) AS n_expected,
+       sum(CASE WHEN e2.month_str IS NULL THEN 0 ELSE 1 END) AS n_present,
+       sum(CASE WHEN e2.month_str IS NULL THEN 0 ELSE 1 END) * 100.0 / count(*) AS coverage_pct
+FROM expected e LEFT JOIN existing e2 USING (month_str)
+"""
+
+
+@register("coverage_pct", _COV_ORACLE)
+def coverage_pct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: scalar coverage percentage (pipeline.py:211)."""
+    from .functions.scalars import date_range_df
+    from .operators.coverage import coverage_pct
+
+    expected = date_range_df(spark, "1995-01-01", "2001-08-01", "M").select(
+        F.date_format("date", "yyyy-MM").alias("month_str")
+    )
+    existing = (
+        _pq(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 480000)
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("month_str"))
+    )
+    return coverage_pct(expected, existing, "month_str")
+
+
+_ROLL_ORACLE = """
+SELECT event_id, user_id,
+       cast(sum(cast(round(value * 100) as bigint))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) as double)
+       / (100.0 * count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING))
+       AS rolling_mean
+FROM events
+ORDER BY event_id
+"""
+
+
+@register("window_rolling_centered", _ROLL_ORACLE)
+def window_rolling_centered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: 11-row centered rolling mean (floodscan_pipeline.py:406) —
+    exact integer-cents accumulation inside the frame."""
+    from pyspark.sql import Window
+
+    ev = _pq(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-5, 5)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.sum(cents).over(w).cast("double") / (100.0 * F.count(F.lit(1)).over(w))).alias(
+            "rolling_mean"
+        ),
+    ).orderBy("event_id")
+
+
+_DOY_ORACLE = """
+SELECT date_part('doy', ts) AS doy, event_type,
+       cast(sum(cast(round(value * 100) as bigint)) as double) / 100.0 AS sum_value,
+       count(*) AS n
+FROM events
+GROUP BY doy, event_type
+ORDER BY doy, event_type
+"""
+
+
+@register("doy_climatology", _DOY_ORACLE)
+def doy_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: day-of-year group aggregation (floodscan_pipeline.py:407)."""
+    ev = _pq(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.dayofyear("ts").alias("doy"), "event_type")
+        .agg(
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double") / 100.0).alias(
+                "sum_value"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("doy", "event_type")
+    )
+
+
+_ENS_ORACLE = """
+SELECT l_partkey AS key,
+       cast(sum(cast(l_quantity as bigint)) as double) / count(l_linenumber) AS ens_mean,
+       count(l_linenumber) AS n_members
+FROM lineitem
+GROUP BY l_partkey
+ORDER BY key
+"""
+
+
+@register("ensemble_mean", _ENS_ORACLE)
+def ensemble_mean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: ensemble-dimension collapse (seas5_pipeline.py:128): members =
+    line numbers, key = part."""
+    li = _pq(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_partkey").alias("key"))
+        .agg(
+            (F.sum(F.col("l_quantity").cast("long")).cast("double") / F.count("l_linenumber")).alias(
+                "ens_mean"
+            ),
+            F.count("l_linenumber").alias("n_members"),
+        )
+        .orderBy("key")
+    )
+
+
+_BAND_ORACLE = """
+WITH sfed AS (
+  SELECT user_id, sum(cast(round(value * 100) as bigint)) AS sfed_cents
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+),
+mfed AS (
+  SELECT user_id, sum(cast(round(value * 100) as bigint)) AS mfed_cents
+  FROM events WHERE event_type = 'error' GROUP BY user_id
+)
+SELECT user_id, sfed_cents, mfed_cents
+FROM sfed FULL OUTER JOIN mfed USING (user_id)
+ORDER BY user_id
+"""
+
+
+@register("band_merge_outer", _BAND_ORACLE)
+def band_merge_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: SFED/MFED-style multi-band outer coordinate merge
+    (floodscan_pipeline.py:369-378)."""
+    from .operators.climatology import band_merge
+
+    ev = _pq(spark, sf_dir, "events")
+    cents = F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+    sfed = ev.where(F.col("event_type") == "click").groupBy("user_id").agg(cents.alias("sfed_cents"))
+    mfed = ev.where(F.col("event_type") == "error").groupBy("user_id").agg(cents.alias("mfed_cents"))
+    return band_merge(sfed, mfed, ["user_id"], "outer").orderBy("user_id")
+
+
+_TOPK_ORACLE = """
+SELECT * FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+ORDER BY o_orderpriority, rk
+"""
+
+
+@register("topk_per_group", _TOPK_ORACLE)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 top-k per group via ranking window (deterministic tie-break)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        _pq(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 3)
+        .orderBy("o_orderpriority", "rk")
+    )
+
+
+_LATEST_ORACLE = """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events
+) WHERE rk = 1
+ORDER BY user_id
+"""
+
+
+@register("latest_wins_dedup", _LATEST_ORACLE)
+def latest_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 'latest file wins' dedup (floodscan_pipeline.py:292-301) as
+    row_number() = 1 per key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        _pq(spark, sf_dir, "events")
+        .select("user_id", "event_id", "event_type", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+        .orderBy("user_id")
+    )
+
+
+_FNAME_ORACLE = r"""
+WITH files AS (
+  SELECT 'precip_reanalysis_v' || strftime(o_orderdate, '%Y-%m-%d') || '.tif' AS filename
+  FROM orders
+)
+SELECT year(cast(regexp_extract(filename, '([iv_-])(\d{4}-\d{2}-\d{2})', 2) as date)) AS yr,
+       regexp_extract(filename, '([iv_-])(\d{4}-\d{2}-\d{2})', 1) AS prefix_flag,
+       count(*) AS n_files
+FROM files
+GROUP BY yr, prefix_flag
+ORDER BY yr
+"""
+
+
+@register("filename_date_extraction", _FNAME_ORACLE)
+def filename_date_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/F8: filename grammar generation + date-from-filename extraction
+    (date_utils.py:59-74, era5_pipeline.py:34-35)."""
+    from .functions.scalars import date_from_filename, filename_for
+
+    files = _pq(spark, sf_dir, "orders").select(
+        filename_for("precip_reanalysis_v", F.col("o_orderdate")).alias("filename")
+    )
+    date, prefix = date_from_filename(F.col("filename"))
+    return (
+        files.select(F.year(date).alias("yr"), prefix.alias("prefix_flag"))
+        .groupBy("yr", "prefix_flag")
+        .agg(F.count(F.lit(1)).alias("n_files"))
+        .orderBy("yr")
+    )
+
+
+_LEAD_ORACLE = """
+WITH t AS (
+  SELECT month(o_orderdate) AS m_issued,
+         year(o_orderdate) AS y_issued,
+         cast(o_orderkey % 7 as int) AS leadtime
+  FROM orders
+)
+SELECT leadtime,
+       ((m_issued + leadtime - 1) % 12) + 1 AS fc_month,
+       y_issued + ((m_issued + leadtime - 1) // 12) AS fc_year,
+       count(*) AS n
+FROM t
+GROUP BY leadtime, fc_month, fc_year
+ORDER BY leadtime, fc_month, fc_year
+"""
+
+
+@register("leadtime_arithmetic", _LEAD_ORACLE)
+def leadtime_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: to_fc_month / to_fc_year mod-12 arithmetic
+    (leadtime_utils.py:33-64)."""
+    from .functions.scalars import to_fc_month, to_fc_year
+
+    t = _pq(spark, sf_dir, "orders").select(
+        F.month("o_orderdate").alias("m_issued"),
+        F.year("o_orderdate").alias("y_issued"),
+        (F.col("o_orderkey") % 7).cast("int").alias("leadtime"),
+    )
+    return (
+        t.select(
+            "leadtime",
+            to_fc_month(F.col("m_issued"), F.col("leadtime")).alias("fc_month"),
+            to_fc_year(F.col("m_issued"), F.col("y_issued"), F.col("leadtime")).alias("fc_year"),
+        )
+        .groupBy("leadtime", "fc_month", "fc_year")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("leadtime", "fc_month", "fc_year")
+    )
+
+
+_VALID_ORACLE = """
+WITH t AS (
+  SELECT value - 200.0 AS lon_c, value / 10.0 - 40.0 AS lat_c FROM events
+)
+SELECT sum(CASE WHEN lon_c BETWEEN -180.0 AND 180.0 THEN 0 ELSE 1 END) AS v1_lon_oob,
+       sum(CASE WHEN lat_c BETWEEN -90.0 AND 90.0 THEN 0 ELSE 1 END) AS v1_lat_oob,
+       count(*) AS n_rows
+FROM t
+"""
+
+
+@register("validation_bounds", _VALID_ORACLE)
+def validation_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1: coordinate-range constraint counts (validation_utils.py:33-40)
+    via the validation_report operator."""
+    from .operators.validate import validation_report
+
+    t = _pq(spark, sf_dir, "events").select(
+        (F.col("value") - 200.0).alias("lon_c"),
+        (F.col("value") / 10.0 - 40.0).alias("lat_c"),
+    )
+    return validation_report(t, crs_col=None, date_col=None, filename_col=None)
+
+
+_V6_ORACLE = """
+WITH t AS (
+  SELECT year(o_orderdate) AS year_issued, month(o_orderdate) AS month_issued,
+         year(o_orderdate + interval 3 month) AS year_valid,
+         month(o_orderdate + interval 3 month) AS month_valid,
+         cast(CASE WHEN o_orderkey % 11 = 0 THEN 4 ELSE 3 END as int) AS leadtime
+  FROM orders
+)
+SELECT sum(CASE WHEN (year_valid - year_issued) * 12 + (month_valid - month_issued) = leadtime
+                THEN 0 ELSE 1 END) AS v6_leadtime_mismatch,
+       count(*) AS n_rows
+FROM t
+"""
+
+
+@register("validation_leadtime", _V6_ORACLE)
+def validation_leadtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V6: leadtime-consistency constraint (validation_utils.py:105-169);
+    ~1/11 rows deliberately violate."""
+    t = _pq(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("year_issued"),
+        F.month("o_orderdate").alias("month_issued"),
+        F.year(F.add_months("o_orderdate", 3)).alias("year_valid"),
+        F.month(F.add_months("o_orderdate", 3)).alias("month_valid"),
+        F.when(F.col("o_orderkey") % 11 == 0, 4).otherwise(3).cast("int").alias("leadtime"),
+    )
+    months_diff = (F.col("year_valid") - F.col("year_issued")) * 12 + (
+        F.col("month_valid") - F.col("month_issued")
+    )
+    return t.agg(
+        F.sum(F.when(months_diff == F.col("leadtime"), 0).otherwise(1)).alias(
+            "v6_leadtime_mismatch"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_SEMI_ORACLE = """
+SELECT n_name, count(*) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_quantity >= 49)
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@register("semi_join_suppliers", _SEMI_ORACLE)
+def semi_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: left-semi join (archive-names-to-wanted-dates analog,
+    floodscan_pipeline.py:109-145)."""
+    sup = _pq(spark, sf_dir, "supplier")
+    nat = _pq(spark, sf_dir, "nation")
+    li = _pq(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 49).select("l_suppkey")
+    return (
+        sup.join(li, sup.s_suppkey == li.l_suppkey, "left_semi")
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+        .orderBy("n_name")
+    )

@@ -1,0 +1,146 @@
+"""Golden tests for scalar functions and temporal operators — modeled on
+the reference's parametrized unit tests (tests/test_leadtime_utils.py,
+tests/test_date_utils.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ds_raster_pipelines_spark.functions import scalars as S
+
+
+@pytest.fixture(scope="module")
+def sdf(spark):
+    return spark.range(1)
+
+
+def _one(df, col):
+    return df.select(col.alias("v")).collect()[0]["v"]
+
+
+# --- F10 leadtime arithmetic: golden pairs mirror the reference's
+# tests/test_leadtime_utils.py:11-64 ---
+
+
+@pytest.mark.parametrize(
+    "issued,valid,lead",
+    [(1, 1, 0), (1, 4, 3), (11, 2, 3), (12, 1, 1), (6, 5, 11)],
+)
+def test_to_leadtime(sdf, issued, valid, lead):
+    assert _one(sdf, S.to_leadtime(F.lit(issued), F.lit(valid))) == lead
+
+
+@pytest.mark.parametrize(
+    "month,lead,fc",
+    [(1, 0, 1), (1, 3, 4), (11, 3, 2), (12, 1, 1), (6, 11, 5)],
+)
+def test_to_fc_month(sdf, month, lead, fc):
+    assert _one(sdf, S.to_fc_month(F.lit(month), F.lit(lead))) == fc
+
+
+@pytest.mark.parametrize(
+    "month,year,lead,fc_year",
+    [(1, 2020, 0, 2020), (11, 2020, 3, 2021), (12, 2020, 1, 2021), (6, 2020, 5, 2020)],
+)
+def test_to_fc_year(sdf, month, year, lead, fc_year):
+    assert _one(sdf, S.to_fc_year(F.lit(month), F.lit(year), F.lit(lead))) == fc_year
+
+
+@pytest.mark.parametrize(
+    "start,n,want",
+    [(1, 3, [1, 2, 3]), (11, 4, [11, 12, 1, 2]), (12, 1, [12])],
+)
+def test_leadtime_months(sdf, start, n, want):
+    assert _one(sdf, S.leadtime_months_col(F.lit(start), n)) == want
+
+
+# --- F1/F2 ---
+
+
+@pytest.mark.parametrize("lon,want", [(190.0, -170.0), (-190.0, 170.0), (0.0, 0.0), (359.75, -0.25)])
+def test_lon_normalize(sdf, lon, want):
+    assert _one(sdf, S.lon_normalize(F.lit(lon))) == want
+
+
+# --- F7: the reference's 6-filename extraction corpus
+# (tests/test_date_utils.py:73-97 + filename grammars) ---
+
+
+@pytest.mark.parametrize(
+    "fname,date,prefix",
+    [
+        ("precip_reanalysis_v2020-06-01.tif", "2020-06-01", "v"),
+        ("daily_precip_em_i1990-12-01_lt6.tif", "1990-12-01", "i"),
+        ("aer_mfed_area_300s_20231129_v05r01.tif", "2023-11-29", None),
+        ("imerg-v7-imerg-daily-late-2024-01-02.tif", "2024-01-02", "-"),
+        ("aer_floodscan_sfed_area_flooded_fraction_africa_90days_2024-02-26.zip", "2024-02-26", "_"),
+    ],
+)
+def test_date_from_filename(spark, fname, date, prefix):
+    df = spark.createDataFrame(pd.DataFrame({"f": [fname]}))
+    d, p = S.date_from_filename(F.col("f"))
+    row = df.select(d.alias("d"), p.alias("p")).collect()[0]
+    assert str(row["d"]) == date
+    assert row["p"] == prefix
+
+
+# --- F9 date ranges: exact counts mirror tests/test_date_utils.py:10-51 ---
+
+
+def test_date_range_counts(spark):
+    # golden lengths from the reference corpus (tests/test_date_utils.py:18,25)
+    assert S.date_range_df(spark, "1998-01-01", "2024-01-01", "D").count() == 9497
+    assert S.date_range_df(spark, "2004-01-01", "2024-01-01", "D").count() == 7306
+    assert S.date_range_df(spark, "2020-01-01", "2020-12-01", "M").count() == 12
+    assert S.date_range_df(spark, "1981-01-01", "2024-01-01", "Y").count() == 44
+
+
+# --- coverage operators ---
+
+
+def test_missing_dates_and_coverage(spark):
+    from ds_raster_pipelines_spark.operators.coverage import coverage_pct, missing_dates
+
+    expected = S.date_range_df(spark, "2020-01-01", "2020-06-01", "M")
+    existing = spark.createDataFrame(
+        pd.DataFrame({"date": pd.to_datetime(["2020-01-01", "2020-03-01", "2020-06-01"]).date})
+    )
+    missing = [str(r["date"]) for r in missing_dates(expected, existing).collect()]
+    assert missing == ["2020-02-01", "2020-04-01", "2020-05-01"]
+    cov = coverage_pct(expected, existing).collect()[0]
+    assert cov["n_expected"] == 6 and cov["n_present"] == 3 and cov["coverage_pct"] == 50.0
+
+
+def test_rolling_and_doy(spark):
+    from ds_raster_pipelines_spark.operators.climatology import day_of_year_mean, rolling_mean
+
+    pdf = pd.DataFrame(
+        {
+            "cell_id": [1] * 6,
+            "date": pd.to_datetime(["2020-01-01", "2020-01-02", "2020-01-03", "2021-01-01", "2021-01-02", "2021-01-03"]),
+            "v": [1.0, 2.0, 3.0, 5.0, 6.0, 7.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    rm = rolling_mean(df, "v", window=3).orderBy("date").toPandas()["rolling_mean"].tolist()
+    assert rm == [1.5, 2.0, 3.0 + 1 / 3, 14 / 3, 6.0, 6.5]  # centered, partial at edges
+    doy = day_of_year_mean(df, "v").orderBy("doy").toPandas()
+    assert doy["doy_mean"].tolist() == [3.0, 4.0, 5.0]
+
+
+def test_validation_report_and_gate(spark):
+    from ds_raster_pipelines_spark.operators.validate import (
+        assert_schema,
+        validated_write_gate,
+        validation_report,
+    )
+
+    good = spark.createDataFrame(pd.DataFrame({"lon_c": [0.0, 10.0], "lat_c": [0.0, -20.0]}))
+    bad = spark.createDataFrame(pd.DataFrame({"lon_c": [0.0, 200.0], "lat_c": [95.0, -20.0]}))
+    assert validated_write_gate(good, validation_report(good))
+    rep = validation_report(bad).collect()[0]
+    assert rep["v1_lon_oob"] == 1 and rep["v1_lat_oob"] == 1
+    assert not validated_write_gate(bad, validation_report(bad))
+    assert assert_schema(good, {"lon_c": "double", "missing": "int"}) == ["missing column missing"]
