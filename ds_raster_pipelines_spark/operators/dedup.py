@@ -1,0 +1,191 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, each a pure DataFrame composition (no Python UDFs):
+
+* exact          — hash-groupBy on content, keep min-id survivor.
+* word-set Jaccard — explode word sets, self-join on word, count shared.
+                   Exact near-dup; quadratic in per-word doc frequency, so
+                   ``max_df`` caps hot words (at 100 TB you ALWAYS cap —
+                   a stopword appearing in every doc would otherwise
+                   produce an n^2 shuffle on one key: the classic hot-key
+                   skew, same physics as hot H3 cells).
+* MinHash + LSH  — shingle→minhash→band→bucket-join. Two hash providers:
+                   ``vocab`` (dense-rank word ids — deterministic and
+                   SQL-replicable, used by the DuckDB oracle) and
+                   ``xxhash64`` (the scale path: no global vocab needed).
+* SimHash        — 64-bit sign-sum fingerprint via xxhash64 bit tricks,
+                   hamming-bucketed. (xxhash64 only — no SQL oracle.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# MinHash parameters — shared with the oracle SQL (keep in sync).
+# Multipliers are large (≈ p/3..p) so (a*wid + b) % p wraps even for small
+# word ids; small multipliers make the hash monotonic in wid (no wrap) and
+# the min degenerates to "smallest word id" — a real MinHash failure mode.
+MINHASH_P = 8191
+MINHASH_PARAMS = [
+    (2971, 7),
+    (3559, 11),
+    (4111, 17),
+    (4723, 23),
+    (5281, 29),
+    (5857, 31),
+    (6421, 37),
+    (7001, 41),
+]
+
+
+def tokenize(df: DataFrame, text_col: str = "text", out: str = "w") -> DataFrame:
+    """doc_id + exploded distinct words (the shingle set)."""
+    return (
+        df.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias(out))
+        .where(F.col(out) != "")
+        .distinct()
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one survivor (min id) per identical content; group size.
+    At scale, group on a content hash (xxhash64) instead of the raw text to
+    keep shuffle keys small — both produce identical groups."""
+    return (
+        df.groupBy(text_col)
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .drop(text_col)
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact word-set Jaccard near-dup pairs (doc_a < doc_b, jac >= t).
+
+    shared(a,b) via word-wise self-join (one shuffle on word), set sizes
+    via a per-doc aggregate, jaccard = shared / (|A|+|B|-shared) as exact
+    integer arithmetic until the final division.
+    """
+    words = tokenize(df, text_col)
+    if max_df is not None:
+        hot = words.groupBy("w").agg(F.count(F.lit(1)).alias("_df")).where(F.col("_df") > max_df)
+        words = words.join(hot.select("w"), "w", "left_anti")
+    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
+    a = words.select(F.col("doc_id").alias("doc_a"), "w")
+    b = words.select(F.col("doc_id").alias("doc_b"), "w")
+    shared = (
+        a.join(b, "w")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_words").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_words").alias("nb"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _word_ids(words: DataFrame, strategy: str) -> DataFrame:
+    if strategy == "vocab":
+        vocab = words.select("w").distinct().withColumn(
+            "wid", F.dense_rank().over(Window.orderBy("w"))
+        )
+        return words.join(vocab, "w").select("doc_id", "wid")
+    if strategy == "xxhash64":
+        return words.select("doc_id", F.pmod(F.xxhash64("w"), F.lit(MINHASH_P)).alias("wid"))
+    raise ValueError(strategy)
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", strategy: str = "vocab"
+) -> DataFrame:
+    """(doc_id, j, mh): k=8 minhash values, mh_j = min((a_j*wid+b_j) % p).
+
+    ``vocab`` ranks words by a global dense_rank (deterministic; the
+    oracle's twin). The single-partition window is the known cost — the
+    scale path is ``xxhash64`` (stateless, no vocab)."""
+    ids = _word_ids(tokenize(df, text_col), strategy)
+    params = F.array(
+        *[F.struct(F.lit(j).alias("j"), F.lit(a).alias("a"), F.lit(b).alias("b"))
+          for j, (a, b) in enumerate(MINHASH_PARAMS)]
+    )
+    exploded = ids.select("doc_id", "wid", F.explode(params).alias("p"))
+    return exploded.groupBy("doc_id", F.col("p.j").alias("j")).agg(
+        F.min((F.col("p.a") * F.col("wid") + F.col("p.b")) % MINHASH_P).alias("mh")
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, rows_per_band: int = 2) -> DataFrame:
+    """Band the signatures and bucket-join: docs sharing any full band are
+    candidates. Band signature packed as an integer (order-free sum of
+    mh * p^(j mod r)) so no ordered string-agg is needed."""
+    if rows_per_band not in (1, 2):
+        raise ValueError("packed band signature implemented for rows_per_band in {1, 2}")
+    banded = sigs.withColumn("band", F.floor(F.col("j") / rows_per_band)).withColumn(
+        "_term",
+        F.col("mh")
+        * F.when(F.col("j") % rows_per_band == 0, F.lit(MINHASH_P)).otherwise(F.lit(1)).cast("long"),
+    )
+    band_sig = banded.groupBy("doc_id", "band").agg(F.sum("_term").alias("sig"))
+    a = band_sig.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    b = band_sig.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    strategy: str = "vocab",
+    threshold: float = 0.5,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup: candidates from LSH, verified with exact
+    Jaccard (filter-refine — same shape as the PIP join). rows_per_band
+    trades candidate volume for recall (1 = high recall)."""
+    cand = lsh_candidate_pairs(minhash_signatures(df, text_col, strategy), rows_per_band)
+    exact = jaccard_pairs(df, threshold=0.0, text_col=text_col)
+    return (
+        cand.join(exact, ["doc_a", "doc_b"])
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """SimHash fingerprint: per-word xxhash64, sign-sum per bit plane.
+    Pure relational form: explode words × bit planes, sum(±1), pack.
+    (Scale note: bits×words rows are map-side only — the shuffle is the
+    final groupBy(doc_id), one row per doc per bit.)"""
+    words = tokenize(df, text_col)
+    h = F.xxhash64("w")
+    planes = F.sequence(F.lit(0), F.lit(bits - 1))
+    exploded = words.select("doc_id", h.alias("h"), F.explode(planes).alias("bit"))
+    votes = exploded.groupBy("doc_id", "bit").agg(
+        F.sum(
+            F.when(F.expr("shiftright(h, cast(bit as int)) & 1") == 1, 1).otherwise(-1)
+        ).alias("v")
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), cast(bit as int))"))
+            .otherwise(F.lit(0))
+        ).alias("simhash")
+    )

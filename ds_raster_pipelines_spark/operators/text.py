@@ -1,0 +1,96 @@
+"""Text-analysis operators for training-data pipelines — all pure Column
+expressions (JVM, codegen'd): language-ID, quality scoring, token counts,
+document fingerprinting. No Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker stopwords per language for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "de"],
+    "fr": ["le", "la", "et"],
+    "de": ["der", "die", "und"],
+}
+
+STOPWORDS = ["the", "and", "of", "to", "a", "in"]
+PUNCT_RX = r"[.,!?;:'\"()-]"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (the BPE-ish regex variant is tokens_bpe)."""
+    return F.size(F.split(text, " "))
+
+
+def tokens_bpe_ish(text: Column) -> Column:
+    """BPE-ish subword proxy: alnum runs + punctuation marks each count."""
+    return F.size(F.filter(F.split(text, r"(?<=\W)|(?=\W)"), lambda t: F.trim(t) != ""))
+
+
+def count_word(text: Column, word: str) -> Column:
+    """Occurrences of an exact word (whitespace-token match)."""
+    return F.size(F.filter(F.split(text, " "), lambda w: w == word))
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(text) - F.length(F.regexp_replace(text, PUNCT_RX, ""))
+
+
+def stopword_count(text: Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS)])
+    return F.size(F.filter(F.split(text, " "), lambda w: F.array_contains(sw, w)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features + a composite score. The score is a
+    per-row double expression (no cross-row accumulation), so it is
+    bit-identical across engines and parallelism."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(t),
+            "n_punct": punct_count(t),
+            "n_stop": stopword_count(t),
+            "n_chars_m": F.length(t),
+        }
+    ).withColumn(
+        "quality_score",
+        F.round(
+            F.least(F.col("n_tokens") / 64.0, F.lit(1.0)) * 0.4
+            + (F.col("n_stop").cast("double") / F.col("n_tokens")) * 0.4
+            + F.when(
+                F.col("n_punct").cast("double") / F.col("n_chars_m") < 0.1, 0.2
+            ).otherwise(0.0),
+            6,
+        ),
+    )
+
+
+def langid(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Stopword-marker language ID: count each language's marker words,
+    argmax with deterministic tie-break (marker order)."""
+    t = F.col(text_col)
+    scores = {
+        lang: sum((count_word(t, w) for w in words[1:]), count_word(t, words[0]))
+        for lang, words in LANG_MARKERS.items()
+    }
+    df = df.withColumns({f"_s_{lang}": c for lang, c in scores.items()})
+    best = F.greatest(*[F.col(f"_s_{lang}") for lang in LANG_MARKERS])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_MARKERS:  # first max wins — deterministic
+        pred = pred.when(F.col(f"_s_{lang}") == best, F.lit(lang))
+    return df.withColumn(out, pred).drop(*[f"_s_{lang}" for lang in LANG_MARKERS])
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp") -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash over
+    word xxhash64s with positional weights, mod a Mersenne prime. Pure
+    relational (posexplode + sum) — an order-insensitive-sum encoding of
+    an order-sensitive quantity (each position gets a distinct weight)."""
+    P = (1 << 31) - 1  # keep term products ≤ ~2^41: no int64 overflow
+    words = df.select("doc_id", F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"))
+    term = (F.pmod(F.xxhash64("w"), F.lit(P)) * ((F.col("pos") + 17) % 997 + 1)) % P
+    return words.groupBy("doc_id").agg(F.sum(term).alias(out))

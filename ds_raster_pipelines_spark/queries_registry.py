@@ -635,3 +635,331 @@ def semi_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_suppliers"))
         .orderBy("n_name")
     )
+
+
+# =====================================================================
+# Batch 3: training-data pipeline operators (dedup / text / ANN / kNN)
+# =====================================================================
+
+_DEDUP_EXACT_ORACLE = """
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY text ORDER BY keep_id
+"""
+
+
+@register("dedup_exact", _DEDUP_EXACT_ORACLE)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, min-id survivor."""
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(_pq(spark, sf_dir, "documents")).orderBy("keep_id")
+
+
+_JACCARD_ORACLE = """
+WITH words AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n_words FROM words GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+       round(cast(shared as double) / (sa.n_words + sb.n_words - shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE cast(shared as double) / (sa.n_words + sb.n_words - shared) >= 0.6
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("near_dup_jaccard", _JACCARD_ORACLE)
+def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard near-dup pairs (threshold 0.6)."""
+    from .operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_pq(spark, sf_dir, "documents"), threshold=0.6).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+_MINHASH_ORACLE = """
+WITH words AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+vocab AS (
+  SELECT w, dense_rank() OVER (ORDER BY w) AS wid FROM (SELECT DISTINCT w FROM words)
+),
+dw AS (SELECT doc_id, wid FROM words JOIN vocab USING (w)),
+params(j, a, b) AS (VALUES (0,2971,7),(1,3559,11),(2,4111,17),(3,4723,23),
+                           (4,5281,29),(5,5857,31),(6,6421,37),(7,7001,41)),
+sigs AS (
+  SELECT doc_id, j, min((a * wid + b) % 8191) AS mh
+  FROM dw CROSS JOIN params GROUP BY doc_id, j
+),
+band_sig AS (
+  SELECT doc_id, j // 2 AS band,
+         sum(mh * CASE WHEN j % 2 = 0 THEN 8191 ELSE 1 END) AS sig
+  FROM sigs GROUP BY doc_id, band
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM band_sig a JOIN band_sig b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("minhash_lsh_candidates", _MINHASH_ORACLE)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (k=8, vocab-rank hashing) + LSH banding (4 bands x 2 rows):
+    candidate near-dup pairs. The oracle replicates the full
+    shingle→minhash→band→bucket-join pipeline in SQL."""
+    from .operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    sigs = minhash_signatures(_pq(spark, sf_dir, "documents"), strategy="vocab")
+    return lsh_candidate_pairs(sigs).orderBy("doc_a", "doc_b")
+
+
+@register("simhash_fingerprints", None)  # xxhash64-based: no SQL twin (rows-only check)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 16-bit fingerprints (sign-sum of xxhash64 bit planes)."""
+    from .operators.dedup import simhash
+
+    return simhash(_pq(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register("doc_fingerprint", None)  # xxhash64-based: no SQL twin (rows-only check)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive positional rolling-hash fingerprint per doc."""
+    from .operators.text import fingerprint
+
+    return fingerprint(_pq(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_TOKEN_ORACLE = """
+SELECT lang,
+       sum(len(string_split(text, ' '))) AS total_tokens,
+       count(*) AS n_docs,
+       cast(sum(len(string_split(text, ' '))) as double) / count(*) AS avg_tokens,
+       sum(n_chars) AS total_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+@register("token_stats_per_lang", _TOKEN_ORACLE)
+def token_stats_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting aggregated per language."""
+    from .operators.text import token_count
+
+    d = _pq(spark, sf_dir, "documents")
+    return (
+        d.withColumn("n_tok", token_count(F.col("text")))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_tok").alias("total_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_QUALITY_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[.,!?;:''"()-]', '', 'g')) AS n_punct,
+         len(list_filter(string_split(text, ' '),
+             x -> list_contains(['the','and','of','to','a','in'], x))) AS n_stop,
+         length(text) AS n_chars_m
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_punct, n_stop,
+       round(least(n_tokens / 64.0, 1.0) * 0.4
+             + (cast(n_stop as double) / n_tokens) * 0.4
+             + CASE WHEN cast(n_punct as double) / n_chars_m < 0.1 THEN 0.2 ELSE 0.0 END,
+             6) AS quality_score
+FROM t ORDER BY doc_id
+"""
+
+
+@register("quality_scores", _QUALITY_ORACLE)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features (length/punct/stopword) + composite score."""
+    from .operators.text import quality_features
+
+    return (
+        quality_features(_pq(spark, sf_dir, "documents"))
+        .select("doc_id", "n_tokens", "n_punct", "n_stop", "quality_score")
+        .orderBy("doc_id")
+    )
+
+
+_LANGID_ORACLE = """
+WITH t AS (
+  SELECT lang,
+         len(list_filter(string_split(text,' '), x -> x='the'))
+           + len(list_filter(string_split(text,' '), x -> x='and'))
+           + len(list_filter(string_split(text,' '), x -> x='of')) AS s_en,
+         len(list_filter(string_split(text,' '), x -> x='el'))
+           + len(list_filter(string_split(text,' '), x -> x='la'))
+           + len(list_filter(string_split(text,' '), x -> x='de')) AS s_es,
+         len(list_filter(string_split(text,' '), x -> x='le'))
+           + len(list_filter(string_split(text,' '), x -> x='la'))
+           + len(list_filter(string_split(text,' '), x -> x='et')) AS s_fr,
+         len(list_filter(string_split(text,' '), x -> x='der'))
+           + len(list_filter(string_split(text,' '), x -> x='die'))
+           + len(list_filter(string_split(text,' '), x -> x='und')) AS s_de
+  FROM documents
+),
+p AS (
+  SELECT lang,
+         CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+              WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+              WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+              WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+              ELSE 'de' END AS lang_pred
+  FROM t
+)
+SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY lang, lang_pred
+ORDER BY lang, lang_pred
+"""
+
+
+@register("langid_confusion", _LANGID_ORACLE)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID vs the labeled lang column."""
+    from .operators.text import langid
+
+    d = langid(_pq(spark, sf_dir, "documents"))
+    return d.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n")).orderBy(
+        "lang", "lang_pred"
+    )
+
+
+_ANN_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS qid,
+         list_transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint)) AS qe
+  FROM embeddings WHERE vec_id < 50
+),
+c AS (
+  SELECT vec_id AS nid,
+         list_transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint)) AS ce
+  FROM embeddings
+),
+dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+qd AS (SELECT qid, i, qe[i] AS qv FROM q, dims),
+cd AS (SELECT nid, i, ce[i] AS cv FROM c, dims),
+dots AS (
+  SELECT qid, nid, sum(qv * cv) AS dot
+  FROM qd JOIN cd USING (i) WHERE qid <> nid GROUP BY qid, nid
+),
+nq AS (SELECT qid, sum(qv * qv) AS n2 FROM qd GROUP BY qid),
+nc AS (SELECT nid, sum(cv * cv) AS n2 FROM cd GROUP BY nid),
+sims AS (
+  SELECT qid, nid,
+         cast(dot as double) / sqrt(cast(nq.n2 as double) * cast(nc.n2 as double)) AS sim
+  FROM dots JOIN nq USING (qid) JOIN nc USING (nid)
+),
+ranked AS (
+  SELECT qid, nid, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+  FROM sims
+)
+SELECT qid, nid, rank, round(sim, 6) AS sim FROM ranked WHERE rank <= 5
+ORDER BY qid, rank
+"""
+
+
+@register("ann_cosine_topk", _ANN_ORACLE)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-5 cosine neighbours (integer-quantized dot
+    products → bit-identical across engines)."""
+    from .operators.similarity import cosine_topk
+
+    emb = _pq(spark, sf_dir, "embeddings")
+    return cosine_topk(emb.where(F.col("vec_id") < 50), emb, k=5).orderBy("qid", "rank")
+
+
+_ANN_LSH_ORACLE = """
+WITH b AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint)) AS e,
+         (CASE WHEN embedding[1]  >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[14] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[27] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[40] >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, e AS qe, bucket FROM b WHERE vec_id < 50),
+c AS (SELECT vec_id AS nid, e AS ce, bucket FROM b),
+dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+qd AS (SELECT qid, bucket, i, qe[i] AS qv FROM q, dims),
+cd AS (SELECT nid, bucket, i, ce[i] AS cv FROM c, dims),
+dots AS (
+  SELECT qd.qid, cd.nid, sum(qv * cv) AS dot
+  FROM qd JOIN cd ON qd.i = cd.i AND qd.bucket = cd.bucket
+  WHERE qid <> nid GROUP BY qid, nid
+),
+nq AS (SELECT qid, sum(qv * qv) AS n2 FROM qd GROUP BY qid),
+nc AS (SELECT nid, sum(cv * cv) AS n2 FROM cd GROUP BY nid),
+sims AS (
+  SELECT qid, nid,
+         cast(dot as double) / sqrt(cast(nq.n2 as double) * cast(nc.n2 as double)) AS sim
+  FROM dots JOIN nq USING (qid) JOIN nc USING (nid)
+),
+ranked AS (
+  SELECT qid, nid, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+  FROM sims
+)
+SELECT qid, nid, rank, round(sim, 6) AS sim FROM ranked WHERE rank <= 5
+ORDER BY qid, rank
+"""
+
+
+@register("ann_lsh_bucketed", _ANN_LSH_ORACLE)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed approximate top-5: candidates restricted to the
+    query's bucket — the scale path (equi-join instead of cross join)."""
+    from .operators.similarity import lsh_topk
+
+    emb = _pq(spark, sf_dir, "embeddings")
+    return lsh_topk(emb.where(F.col("vec_id") < 50), emb, k=5).orderBy("qid", "rank")
+
+
+_RES_K = 6
+_CELL6_SQL = grid.encode_sql(_META["lon_c"], _META["lat_c"], _RES_K)
+_KNN_ORACLE = f"""
+WITH cells AS (SELECT DISTINCT {_CELL6_SQL} AS cell_id FROM orders),
+parts AS (
+  SELECT cell_id, {grid.ix_sql('cell_id')} AS ix, {grid.iy_sql('cell_id')} AS iy FROM cells
+),
+nb AS (
+  SELECT p.cell_id,
+         (cast({_RES_K << grid.RES_SHIFT} as bigint)
+          | ((iy + dy) << {grid.IY_SHIFT})
+          | ((ix + dx + {1 << (_RES_K + 1)}) % {1 << (_RES_K + 1)})) AS ncell
+  FROM parts p, (VALUES (-1),(0),(1)) dxs(dx), (VALUES (-1),(0),(1)) dys(dy)
+  WHERE iy + dy >= 0 AND iy + dy < {1 << _RES_K}
+)
+SELECT nb.cell_id, count(*) AS n_neighbors
+FROM nb JOIN cells c ON nb.ncell = c.cell_id
+GROUP BY nb.cell_id ORDER BY nb.cell_id
+"""
+
+
+@register("knn_ring_halo", _KNN_ORACLE)
+def knn_ring_halo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: k-ring neighbour self-join (resampling-halo census) at res 6."""
+    from .operators.knn import halo_counts
+
+    pts = corpus.centroid_cols_for_images(
+        _pq(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("i"))
+    )
+    tiles = pts.select(grid.encode_col(F.col("lon_c"), F.col("lat_c"), _RES_K).alias("cell_id"))
+    return halo_counts(tiles, k=1, res=_RES_K).orderBy("cell_id")

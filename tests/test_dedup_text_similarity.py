@@ -1,0 +1,124 @@
+"""Dedup / text / similarity / kNN operator semantics on tiny goldens."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3, 4],
+                "text": [
+                    "the cat sat on the mat",
+                    "the cat sat on the mat",  # exact dup of 0
+                    "the cat sat on a mat",  # near dup
+                    "der hund und die katze",
+                    "completely different words entirely here now",
+                ],
+            }
+        )
+    )
+
+
+def test_exact_dedup(spark, docs):
+    from ds_raster_pipelines_spark.operators.dedup import exact_dedup
+
+    out = exact_dedup(docs).orderBy("keep_id").toPandas()
+    assert out["keep_id"].tolist() == [0, 2, 3, 4]
+    assert out["n_copies"].tolist() == [2, 1, 1, 1]
+
+
+def test_jaccard_pairs_golden(spark, docs):
+    from ds_raster_pipelines_spark.operators.dedup import jaccard_pairs
+
+    out = jaccard_pairs(docs, threshold=0.5).toPandas()
+    pairs = {(a, b): j for a, b, j in out.itertuples(index=False)}
+    assert pairs[(0, 1)] == 1.0  # identical word sets
+    # {the,cat,sat,on,mat} vs {the,cat,sat,on,a,mat}: 5 shared / 6 union
+    assert abs(pairs[(0, 2)] - 5 / 6) < 1e-6
+    assert (3, 4) not in pairs and (0, 3) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    from ds_raster_pipelines_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(docs, strategy="vocab").toPandas()
+    assert len(sigs) == 5 * 8  # k=8 per doc
+    out = minhash_dedup_pairs(docs, strategy="vocab", threshold=0.5, rows_per_band=1).toPandas()
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+    assert all(a < b for a, b in got)
+    # xxhash64 strategy: same exact-dup guarantees (identical sets collide)
+    out2 = minhash_dedup_pairs(docs, strategy="xxhash64", threshold=0.99, rows_per_band=1).toPandas()
+    assert (0, 1) in set(zip(out2["doc_a"], out2["doc_b"]))
+
+
+def test_simhash_identical_docs_equal(spark, docs):
+    from ds_raster_pipelines_spark.operators.dedup import simhash
+
+    out = simhash(docs).toPandas().set_index("doc_id")["simhash"]
+    assert out[0] == out[1]  # identical content → identical fingerprint
+    assert 0 <= out[0] < (1 << 16)
+    # near-dup has small hamming distance; unrelated doc differs
+    ham = lambda a, b: bin(int(a) ^ int(b)).count("1")
+    assert ham(out[0], out[2]) <= ham(out[0], out[4]) + 2
+
+
+def test_langid_and_quality(spark, docs):
+    from ds_raster_pipelines_spark.operators.text import langid, quality_features
+
+    out = langid(docs).toPandas().set_index("doc_id")["lang_pred"]
+    assert out[0] == "en" and out[3] == "de" and out[4] == "und"
+    q = quality_features(docs).toPandas().set_index("doc_id")
+    assert q.loc[0, "n_tokens"] == 6 and q.loc[0, "n_stop"] == 2  # the, the
+    assert 0.0 <= q["quality_score"].min() and q["quality_score"].max() <= 1.0
+
+
+def test_cosine_topk_and_lsh(spark):
+    from ds_raster_pipelines_spark.operators.similarity import cosine_topk, lsh_topk
+
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [0, 1, 2, 3],
+                "embedding": [
+                    [1.0] + [0.0] * 63,
+                    [0.9] + [0.1] * 63,
+                    [-1.0] + [0.0] * 63,
+                    [1.0] + [0.001] * 63,
+                ],
+            }
+        ),
+        schema="vec_id long, embedding array<float>",
+    )
+    out = cosine_topk(emb.where(F.col("vec_id") == 0), emb, k=3).toPandas()
+    assert out["nid"].tolist()[0] == 3  # closest to e1
+    assert out["nid"].tolist()[-1] == 2  # anti-parallel is last
+    assert out["rank"].tolist() == [1, 2, 3]
+    lsh = lsh_topk(emb.where(F.col("vec_id") == 0), emb, k=3).toPandas()
+    assert 2 not in lsh["nid"].tolist()  # opposite sign bucket pruned
+
+
+def test_knn_ring_join_golden(spark):
+    import numpy as np
+
+    from ds_raster_pipelines_spark import grid
+    from ds_raster_pipelines_spark.operators.knn import halo_counts
+
+    # 3 adjacent cells + 1 isolated cell at res 5
+    lons = np.array([0.1, 5.8, 11.4, 90.0])
+    lats = np.array([0.1, 0.1, 0.1, 45.0])
+    cells = grid.encode_np(lons, lats, 5)
+    assert len(set(cells)) == 4
+    df = spark.createDataFrame(pd.DataFrame({"cell_id": cells}))
+    out = halo_counts(df, k=1, res=5).toPandas().set_index("cell_id")["n_neighbors"]
+    assert out[cells[0]] == 2 and out[cells[1]] == 3 and out[cells[2]] == 2
+    assert out[cells[3]] == 1
