@@ -1,0 +1,188 @@
+"""Benchmark harness. Prints ONE JSON line on stdout:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline metric: end-to-end wall seconds of the flagship pipeline
+(decode → H3 encode → PIP join → zonal agg) at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; the line also
+carries tiles/sec (the BASELINE.json metric).
+
+Modes:
+    python bench.py               # the driver's per-round run
+    python bench.py --scaling      # flagship at N vs 4N cores (taskset-
+                                   # pinned process trees, default 1 vs 4)
+                                   # -> scaling efficiency (N vs 4N proxy)
+    python bench.py --scaling-wide # same at 8 vs 32 (above this VM's
+                                   # memory-system ceiling; for transparency)
+    python bench.py --explain     # print the flagship physical plan
+
+Queries are fully materialized with a noop write (no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "flagship_zonal_decode",
+    "pip_zonal_bbox",
+    "q1_pricing_summary",
+    "join_customer_revenue",
+    "cell_encode_histogram",
+    "knn_ring_halo",
+    "window_rolling_centered",
+    "minhash_lsh_candidates",
+    "ann_cosine_topk",
+    "dedup_exact",
+]
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_bench(sf_dir: str, cpus: int) -> dict:
+    from ds_raster_pipelines_spark.session import get_spark
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(f"bench_{cpus}", cpus=cpus)
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    n_tiles = spark.read.parquet(f"{sf_dir}/orders.parquet").count()  # corpus size
+    # warm the JVM/Python workers once with a cheap query + the flagship
+    _materialize(qs["cell_encode_histogram"](spark, sf_dir))
+    _materialize(qs["flagship_zonal_decode"](spark, sf_dir))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    for name in BENCH_QUERIES:
+        best = float("inf")
+        n_reps = reps if name != "minhash_lsh_candidates" else 1
+        for _ in range(n_reps):
+            df = qs[name](spark, sf_dir)
+            t0 = time.time()
+            _materialize(df)
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)  # min-of-N: robust to noisy-VM outliers
+    flagship_sec = timings["flagship_zonal_decode"]
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    return {
+        "metric": "flagship_e2e_sec",
+        "value": flagship_sec,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "tiles": n_tiles,
+        "tiles_per_sec": round(n_tiles / flagship_sec, 1),
+        "cpus": cpus,
+    }
+
+
+SCALE_TILES = int(os.environ.get("SPARK_GRAFT_SCALE_TILES", "4000000"))
+SCALE_LEVELS = tuple(
+    int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "1,4").split(",")
+)
+
+
+def run_scaling(sf_dir: str, levels: tuple[int, int] = SCALE_LEVELS) -> dict:
+    """Same job + same input at two cluster sizes (N vs 4N cores), fresh
+    JVM each, with the WHOLE process tree pinned to N cores via taskset —
+    local[N] alone does not confine the Python workers, so pinning is the
+    faithful cluster-size proxy (BASELINE.md). The input is a dedicated
+    SCALE_TILES-tile corpus so the job is compute-dominated at both
+    levels. Efficiency = (thr_hi / thr_lo) / (hi / lo).
+
+    Default levels (1, 4): this VM's memory system saturates at ~8
+    concurrent decode pipes (measured: identity Arrow passes slow down
+    8->32), so levels above the ceiling measure the box, not the engine;
+    the 8/32 pair is still reported by `--scaling-wide` for transparency.
+    """
+    # materialize the big corpus once, outside the timed runs
+    from ds_raster_pipelines_spark.session import get_spark
+    from ds_raster_pipelines_spark import corpus as corpus_mod
+
+    corpus_mod.materialized_images_n(get_spark("scaling_prep", cpus=32), SCALE_TILES)
+    results = {}
+    for cpus in levels:
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus),
+                   SPARK_GRAFT_SCALE_TILES=str(SCALE_TILES))
+        cmd = [sys.executable, __file__, "--single-flagship"]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    lo, hi = levels
+    thr_lo = results[lo]["tiles_per_sec"]
+    thr_hi = results[hi]["tiles_per_sec"]
+    return {
+        "metric": "scaling_efficiency",
+        "value": round((thr_hi / thr_lo) / (hi / lo), 3),
+        "unit": "ratio",
+        "tiles": SCALE_TILES,
+        "levels": {str(c): results[c] for c in levels},
+        "throughput_lo": thr_lo,
+        "throughput_hi": thr_hi,
+    }
+
+
+def run_single_flagship(sf_dir: str, cpus: int) -> dict:
+    """One flagship run over the scaling corpus at the given parallelism."""
+    from ds_raster_pipelines_spark.session import get_spark
+    from ds_raster_pipelines_spark import corpus as corpus_mod
+    from ds_raster_pipelines_spark.plans.flagship import flagship
+
+    spark = get_spark(
+        f"flagship_{cpus}",
+        cpus=cpus,
+        # AQE's per-stage re-optimization adds driver-side jobs; at bench
+        # scale the plan is static (one broadcast join + one 32-key agg),
+        # so the re-planning is pure serial overhead.
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
+    path = corpus_mod.materialized_images_n(spark, SCALE_TILES)
+    images = spark.read.parquet(path)
+    adm = corpus_mod.admin_df(spark)
+    _materialize(flagship(images, adm))  # full warm pass: JIT, python
+    # workers, file-index and page cache — steady-state is what scales
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        _materialize(flagship(images, adm))
+        dt = min(dt, time.time() - t0)
+    return {
+        "metric": "flagship_e2e_sec",
+        "value": round(dt, 3),
+        "unit": "sec",
+        "tiles": SCALE_TILES,
+        "tiles_per_sec": round(SCALE_TILES / dt, 1),
+        "cpus": cpus,
+    }
+
+
+def main() -> None:
+    if "--explain" in sys.argv:
+        from ds_raster_pipelines_spark.session import get_spark
+        from ds_raster_pipelines_spark.plans.flagship import flagship_from_orders
+
+        spark = get_spark("explain", cpus=CPUS)
+        flagship_from_orders(spark, SF_DIR).explain("formatted")
+        return
+    if "--scaling-wide" in sys.argv:
+        print(json.dumps(run_scaling(SF_DIR, levels=(8, 32))))
+        return
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(SF_DIR)))
+        return
+    if "--single-flagship" in sys.argv:
+        print(json.dumps(run_single_flagship(SF_DIR, CPUS)))
+        return
+    print(json.dumps(run_bench(SF_DIR, CPUS)))
+
+
+if __name__ == "__main__":
+    main()

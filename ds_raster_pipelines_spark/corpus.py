@@ -86,14 +86,29 @@ IMAGES_SCHEMA = (
 )
 
 
-def images_from_ids(ids: DataFrame, id_col: str = "i") -> DataFrame:
+def images_from_ids(
+    ids: DataFrame,
+    id_col: str = "i",
+    partitions: int | None = None,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
     """Build the images table from a DataFrame of int64 ids.
 
     Metadata columns are pure JVM expressions; only the byte payload is
     produced in an Arrow-batched kernel (mapInPandas) — vectorized pixel
     synthesis, per-row only for the entropy-coded png format.
+
+    The id stream is repartitioned before the kernel: the testdata tables
+    are single parquet files (1 scan partition), which would serialize the
+    whole decode on one core. On a real Iceberg corpus the scan already
+    has file-level parallelism; pass ``partitions=0`` to skip the shuffle.
     """
+    if partitions != 0:
+        n_parts = partitions or ids.sparkSession.sparkContext.defaultParallelism
+        ids = ids.repartition(n_parts, id_col)
+    extra_cols = extra_cols or []
     meta = ids.select(
+        *[F.col(c) for c in extra_cols],
         F.col(id_col).cast("long").alias("i"),
         F.format_string("img%010d", F.col(id_col)).alias("image_id"),
         F.lit(TILE_W).cast("int").alias("w"),
@@ -108,7 +123,13 @@ def images_from_ids(ids: DataFrame, id_col: str = "i") -> DataFrame:
         ((F.col(id_col) * F.lit(PHASH_A)) % F.lit(PHASH_P)).cast("long").alias("phash"),
     )
 
-    out_schema = "i bigint, " + IMAGES_SCHEMA
+    extra_schema = "".join(
+        f"{f.name} {f.dataType.simpleString()}, "
+        for f in ids.schema.fields
+        if f.name in extra_cols
+    )
+    out_schema = extra_schema + "i bigint, " + IMAGES_SCHEMA
+    out_cols = extra_cols + ["i", "image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
 
     def gen_bytes(batches):
         px_base = np.arange(TILE_W, dtype=np.uint8)
@@ -122,14 +143,14 @@ def images_from_ids(ids: DataFrame, id_col: str = "i") -> DataFrame:
                 tile = np.tile(r, (TILE_H, 1))
                 blobs.append(codecs.encode_tile(tile, f))
             pdf = pdf.assign(bytes=pd.Series(blobs, index=pdf.index, dtype=object))
-            yield pdf[["i", "image_id", "bytes", "w", "h", "fmt", "caption", "phash"]]
+            yield pdf[out_cols]
 
     return meta.mapInPandas(gen_bytes, schema=out_schema)
 
 
 def images_from_range(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
     ids = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
-    return images_from_ids(ids.withColumnRenamed("id", "i"))
+    return images_from_ids(ids.withColumnRenamed("id", "i"), partitions=0)
 
 
 def images_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,6 +158,93 @@ def images_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic id set without shipping bytes to SQL."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     return images_from_ids(orders.select(F.col("o_orderkey").alias("i")))
+
+
+# Generator version — bump when the corpus definition changes so stale
+# materializations are regenerated.
+CORPUS_VERSION = "v3-pcell"
+
+# Iceberg-style layout: the corpus is partitioned by the parent cell of the
+# tile centroid at this resolution, so spatial prunes become PARTITION
+# pruning — pruned tiles' bytes are never read, not merely filtered.
+# res 5 → ≤2048 directories; repartition("pcell") gives one file per dir.
+PCELL_RES = 5
+
+
+def _with_pcell(df: DataFrame, id_col: str = "i") -> DataFrame:
+    from . import grid
+
+    pts = centroid_cols_for_images(df, id_col)
+    return pts.withColumn(
+        "pcell", grid.encode_col(F.col("lon_c"), F.col("lat_c"), PCELL_RES)
+    ).drop("lon_c", "lat_c")
+
+
+def _write_corpus(ids: DataFrame, path: str, id_col: str = "i", n_rows: int | None = None) -> None:
+    """Generate + write the corpus partitioned by pcell.
+
+    Order matters at scale: the pcell shuffle happens on the ID STREAM
+    (longs), BEFORE byte generation — shuffling generated bytes would move
+    the whole corpus (16 GB at 4M tiles) through the exchange. After the
+    cheap shuffle each task holds few pcells, so partitionBy produces few,
+    large files.
+
+    Directory partitioning only pays when partitions are well-filled; for
+    small corpora (< ~500 rows/pcell) pcell stays a plain column and the
+    spatial prune becomes a pushed parquet filter instead of partition
+    pruning — same semantics, no small-files explosion."""
+    ids_p = _with_pcell(ids.select(F.col(id_col).cast("long").alias("i")))
+    if n_rows is None:
+        n_rows = ids_p.count()
+    if n_rows >= 500 * (1 << (2 * PCELL_RES + 1)):
+        n_parts = max(ids.sparkSession.sparkContext.defaultParallelism * 2, 64)
+        ids_p = ids_p.repartitionByRange(n_parts, "pcell", "i")
+        images = images_from_ids(ids_p, partitions=0, extra_cols=["pcell"])
+        images.write.mode("overwrite").partitionBy("pcell").parquet(path)
+    else:
+        images = images_from_ids(ids_p, extra_cols=["pcell"])
+        images.write.mode("overwrite").parquet(path)
+
+
+def read_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Corpus scan; `pcell` is the partition column (filter it for pruning)."""
+    return spark.read.parquet(path)
+
+
+def materialized_images(spark: SparkSession, sf_dir: str, cache_root: str = "/tmp/spark_graft_corpus") -> str:
+    """Materialize the synthetic corpus for ``sf_dir`` as a cell-partitioned
+    parquet table (once), and return its path.
+
+    This mirrors production: the image corpus is a stored Iceberg-layout
+    table (partitioned by coarse cell), not something generated inline — so
+    the flagship query has exactly ONE Python stage (the decode kernel).
+    Chaining Arrow kernels (generate → decode) ships the binary column
+    across two JVM↔Python boundaries, which measures at >10x the kernel
+    cost; never do that.
+    """
+    import os
+
+    key = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    path = f"{cache_root}/{CORPUS_VERSION}/{key}"
+    marker = f"{path}/_SUCCESS"
+    if not os.path.exists(marker):
+        _write_corpus(images_from_orders(spark, sf_dir), path)
+    return path
+
+
+def materialized_images_n(
+    spark: SparkSession, n: int, cache_root: str = "/tmp/spark_graft_corpus"
+) -> str:
+    """Materialize an n-tile corpus (ids 0..n-1) — used by the scaling
+    benchmark, where the workload must be compute-dominated at both
+    parallelism levels (sf0.1's 150k tiles finish in seconds and measure
+    scheduler overhead, not scaling)."""
+    import os
+
+    path = f"{cache_root}/{CORPUS_VERSION}/range_{n}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        _write_corpus(images_from_range(spark, n), path)
+    return path
 
 
 # ------------------------------------------------------- admin polygons ---

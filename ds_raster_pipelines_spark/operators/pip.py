@@ -33,8 +33,41 @@ from ..corpus import parse_wkb_polygon
 # ----------------------------------------------------------- cover stage ---
 
 
+def _is_axis_rect(ring: np.ndarray) -> bool:
+    """True if the ring is an axis-aligned rectangle (exact refine is then
+    a pure-JVM between-predicate — no Python stage needed)."""
+    if len(ring) != 5:
+        return False
+    xs, ys = set(ring[:, 0].tolist()), set(ring[:, 1].tolist())
+    return len(xs) == 2 and len(ys) == 2
+
+
+def _cover_one(ring: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray]:
+    """Covering cells of one polygon ring + per-cell 'full' flag.
+
+    full=True ⇒ the closed cell is entirely inside the polygon (all 4
+    corners inside and no polygon edge's bbox overlaps the cell — the
+    bbox test is conservative: it may flag interior cells near an edge
+    as boundary, never the reverse). Full cells skip the exact refine —
+    Raptor-style interior shortcut (at scale interior cells dominate)."""
+    a0, b0 = float(ring[:, 0].min()), float(ring[:, 1].min())
+    c0, d0 = float(ring[:, 0].max()), float(ring[:, 1].max())
+    cells = grid.cover_rect_np(a0, b0, c0, d0, res)
+    a, b, c, d = grid.cell_bounds_np(cells)
+    inside = np.ones(len(cells), dtype=bool)
+    for cx, cy in ((a, b), (a, d), (c, b), (c, d)):
+        inside &= _points_in_ring(cx, cy, ring)
+    near_edge = np.zeros(len(cells), dtype=bool)
+    x, y = ring[:, 0], ring[:, 1]
+    for e in range(len(ring) - 1):
+        ex0, ex1 = min(x[e], x[e + 1]), max(x[e], x[e + 1])
+        ey0, ey1 = min(y[e], y[e + 1]), max(y[e], y[e + 1])
+        near_edge |= (a <= ex1) & (c >= ex0) & (b <= ey1) & (d >= ey0)
+    return cells, inside & ~near_edge
+
+
 def polygon_cover_cells(admin: DataFrame, res: int) -> DataFrame:
-    """(adm_id, cell_id) covering pairs at ``res``.
+    """(adm_id, cell_id, full) covering triples at ``res``.
 
     Runs distributed (mapInPandas over the polygon table) so it scales to
     large polygon sets; the bbox of each WKB ring bounds the cover. For a
@@ -48,25 +81,32 @@ def polygon_cover_cells(admin: DataFrame, res: int) -> DataFrame:
         for pdf in batches:
             adm_ids: list[str] = []
             cells: list[np.ndarray] = []
+            fulls: list[np.ndarray] = []
             for _, row in pdf.iterrows():
                 if "geom_wkb" in cols and row.get("geom_wkb") is not None:
                     ring = parse_wkb_polygon(row["geom_wkb"])
-                    a, b = float(ring[:, 0].min()), float(ring[:, 1].min())
-                    c, d = float(ring[:, 0].max()), float(ring[:, 1].max())
                 else:
-                    a, b, c, d = row["min_lon"], row["min_lat"], row["max_lon"], row["max_lat"]
-                cc = grid.cover_rect_np(a, b, c, d, res)
+                    ring = parse_wkb_polygon(
+                        __import__(
+                            "ds_raster_pipelines_spark.corpus", fromlist=["wkb_polygon_rect"]
+                        ).wkb_polygon_rect(
+                            row["min_lon"], row["min_lat"], row["max_lon"], row["max_lat"]
+                        )
+                    )
+                cc, full = _cover_one(ring, res)
                 adm_ids.append(row["adm_id"])
                 cells.append(cc)
+                fulls.append(full)
             counts = [len(c) for c in cells]
             yield pd.DataFrame(
                 {
                     "adm_id": np.repeat(np.array(adm_ids, dtype=object), counts),
                     "cell_id": np.concatenate(cells) if cells else np.array([], np.int64),
+                    "full": np.concatenate(fulls) if fulls else np.array([], bool),
                 }
             )
 
-    return admin.mapInPandas(kernel, schema="adm_id string, cell_id bigint")
+    return admin.mapInPandas(kernel, schema="adm_id string, cell_id bigint, full boolean")
 
 
 # ---------------------------------------------------------- refine stage ---
@@ -89,8 +129,11 @@ def _points_in_ring(lon: np.ndarray, lat: np.ndarray, ring: np.ndarray) -> np.nd
 
 @F.pandas_udf(T.BooleanType())
 def contains_udf(lon: pd.Series, lat: pd.Series, wkb: pd.Series) -> pd.Series:
-    """Exact PIP refine. Groups the batch by polygon so the ray cast runs
-    vectorized once per distinct geometry per batch."""
+    """Exact PIP refine against a per-row WKB column. Groups the batch by
+    polygon so the ray cast runs vectorized once per distinct geometry per
+    batch. NOTE: prefer contains_indexed_udf — shipping WKB per candidate
+    row pays the binary→pandas conversion on every row; the indexed form
+    ships geometries once."""
     lon_v = lon.to_numpy(np.float64)
     lat_v = lat.to_numpy(np.float64)
     out = np.zeros(len(lon_v), dtype=bool)
@@ -102,7 +145,73 @@ def contains_udf(lon: pd.Series, lat: pd.Series, wkb: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def contains_indexed_udf(rings: list[np.ndarray]):
+    """Exact PIP refine against a small geometry dictionary: candidates
+    carry only an int geometry index; the parsed rings ship to executors
+    once (closure/broadcast), not per row. Right-sized for admin-boundary
+    workloads (1e2-1e5 polygons); for 1e7+ polygons switch to the
+    per-row-WKB form with dictionary-encoded geometry batches."""
+
+    @F.pandas_udf(T.BooleanType())
+    def _contains(lon: pd.Series, lat: pd.Series, gi: pd.Series) -> pd.Series:
+        lon_v = lon.to_numpy(np.float64)
+        lat_v = lat.to_numpy(np.float64)
+        gi_v = gi.to_numpy(np.int64)
+        out = np.zeros(len(lon_v), dtype=bool)
+        for g in np.unique(gi_v):
+            mask = gi_v == g
+            if g < 0:  # interior-cell shortcut: inside by construction
+                out[mask] = True
+            else:
+                out[mask] = _points_in_ring(lon_v[mask], lat_v[mask], rings[g])
+        return pd.Series(out)
+
+    return _contains
+
+
 # ------------------------------------------------------------- full join ---
+
+
+def cover_cells_driver(rings: list[np.ndarray], res: int) -> list[int]:
+    """Distinct covering cell ids at ``res`` for a list of rings, computed
+    driver-side (no Spark job) — used for partition-pruning isin lists."""
+    out: set[int] = set()
+    for ring in rings:
+        cells, _ = _cover_one(ring, res)
+        out.update(cells.tolist())
+    return sorted(out)
+
+
+COVER_SCHEMA = (
+    "adm_id string, cell_id bigint, full boolean, _gi int,"
+    " _mnx double, _mny double, _mxx double, _mxy double"
+)
+
+
+def cover_local(spark, admin: DataFrame, res: int):
+    """Driver-side cover build for broadcast-small polygon tables: one
+    collect, zero extra Spark jobs (the distributed polygon_cover_cells
+    costs a python stage + broadcast per query — measurable serial time
+    when the parallel part is seconds).
+
+    Returns (adm_rows, rings, cover_df). The cover carries everything a
+    downstream refine needs (geometry index + bbox bounds), so ONE
+    broadcast serves the whole PIP join — every extra tiny broadcast is a
+    full defaultParallelism-task job (~0.3 s on this box).
+    The cover DataFrame is single-slice (tiny local relation)."""
+    rows = admin.select("adm_id", "geom_wkb").collect()
+    rings = [parse_wkb_polygon(r["geom_wkb"]) for r in rows]
+    recs = []
+    for gi, (r, ring) in enumerate(zip(rows, rings)):
+        cells, full = _cover_one(ring, res)
+        mnx, mny = float(ring[:, 0].min()), float(ring[:, 1].min())
+        mxx, mxy = float(ring[:, 0].max()), float(ring[:, 1].max())
+        recs.extend(
+            (r["adm_id"], int(c), bool(f), gi, mnx, mny, mxx, mxy)
+            for c, f in zip(cells.tolist(), full.tolist())
+        )
+    cover = spark.createDataFrame(recs, schema=COVER_SCHEMA).coalesce(1)
+    return rows, rings, cover
 
 
 def pip_join(
@@ -113,32 +222,43 @@ def pip_join(
     lat_col: str = "lat_c",
     refine: str = "wkb",
     broadcast_cover: bool = True,
+    cover: DataFrame | None = None,
+    rings: list[np.ndarray] | None = None,
+    adm_rows: list | None = None,
 ) -> DataFrame:
     """points (with lon/lat) ⨝ admin polygons. Returns points + adm_id.
 
-    ``refine='wkb'``  : generic exact ray-cast kernel (Arrow-batched).
-    ``refine='bbox'`` : JVM-only between-predicate (axis-aligned rects) —
-                        whole-stage-codegen fast path, used as the oracle
-                        twin of the wkb path in tests.
+    ``refine='auto'`` : geometry specialization — if every ring is an
+                        axis-aligned rectangle the exact refine lowers to a
+                        pure-JVM between-predicate (zero extra Python
+                        stages in the task pipeline); otherwise the generic
+                        ray-cast UDF runs. Same results either way.
+    ``refine='wkb'``  : force the generic exact ray-cast kernel.
+    ``refine='bbox'`` : force the JVM between-predicate (rects only).
     """
+    helper_cols = ["full", "_gi", "_mnx", "_mny", "_mxx", "_mxy"]
     pts = points.withColumn("cell_id", grid.encode_col(F.col(lon_col), F.col(lat_col), res))
-    cover = polygon_cover_cells(admin, res)
-    if broadcast_cover:
-        cover = F.broadcast(cover)
-    cand = pts.join(cover, "cell_id")
+    if cover is None or rings is None or adm_rows is None:
+        adm_rows, rings, cover = cover_local(points.sparkSession, admin, res)
+    if refine == "auto":
+        refine = "bbox" if all(_is_axis_rect(r) for r in rings) else "wkb"
+    cand = pts.join(F.broadcast(cover) if broadcast_cover else cover, "cell_id")
     if refine == "bbox":
-        adm = F.broadcast(admin.select("adm_id", "min_lon", "min_lat", "max_lon", "max_lat"))
-        return (
-            cand.join(adm, "adm_id")
-            .where(
-                F.col(lon_col).between(F.col("min_lon"), F.col("max_lon"))
-                & F.col(lat_col).between(F.col("min_lat"), F.col("max_lat"))
+        # exact refine for axis-rect geometries as codegen'd predicates
+        # (the bounds travel inside the single cover broadcast) — zero
+        # extra Python stages in the task pipeline.
+        return cand.where(
+            F.col("full")
+            | (
+                F.col(lon_col).between(F.col("_mnx"), F.col("_mxx"))
+                & F.col(lat_col).between(F.col("_mny"), F.col("_mxy"))
             )
-            .drop("min_lon", "min_lat", "max_lon", "max_lat")
-        )
-    adm = F.broadcast(admin.select("adm_id", "geom_wkb"))
-    return (
-        cand.join(adm, "adm_id")
-        .where(contains_udf(F.col(lon_col), F.col(lat_col), F.col("geom_wkb")))
-        .drop("geom_wkb")
-    )
+        ).drop(*helper_cols)
+    # interior shortcut: candidates in 'full' cells are inside by
+    # construction (the UDF gets -1 and short-circuits them vectorized).
+    # Kept as ONE plan branch: splitting full/edge into a union would
+    # re-execute everything upstream of the candidates — including the
+    # decode kernel — twice.
+    refine_udf = contains_indexed_udf(rings)
+    gi = F.when(F.col("full"), F.lit(-1)).otherwise(F.col("_gi"))
+    return cand.where(refine_udf(F.col(lon_col), F.col(lat_col), gi)).drop(*helper_cols)

@@ -24,21 +24,60 @@ from ..operators.pip import pip_join
 from ..operators.zonal import zonal_stats
 from ..sources.images import decode_stats
 
-FLAGSHIP_RES = 4  # cell ~5.6 deg: 32 polygons cover ~40-400 cells each
+FLAGSHIP_RES = 6  # cell ~2.8 deg: finer cover = tighter prune + more
+                  # interior-'full' cells (refine UDF sees fewer rows)
 
 
 def flagship(
     images: DataFrame,
     admin: DataFrame,
     res: int = FLAGSHIP_RES,
-    refine: str = "wkb",
+    refine: str = "auto",
 ) -> DataFrame:
-    tiles = decode_stats(images)
-    tiles = corpus.centroid_cols_for_images(tiles, "i")
-    joined = pip_join(tiles, admin, res=res, refine=refine)
-    return zonal_stats(joined, "mean_value").orderBy("adm_id")
+    """PRUNE → DECODE → JOIN → AGG.
+
+    The spatial prune (broadcast left-semi on covering cells) runs BEFORE
+    the decode kernel, on JVM-computed centroids: tiles outside every
+    polygon never cross the JVM→Python boundary. This is the distributed
+    form of the reference's 'do the clipping when initially reading'
+    (examples/era5_cogs.md:174-176) — at 1e12 images the byte shipment is
+    the dominant cost, and the prune cuts it to the covered fraction.
+    """
+    from .. import grid
+    from ..operators.pip import cover_local
+    from pyspark.sql import functions as F
+
+    from ..operators.pip import cover_cells_driver
+
+    adm_rows, rings, cover_full = cover_local(images.sparkSession, admin, res)
+    cover_b = F.broadcast(cover_full)  # ONE broadcast, reused by both joins
+    # Iceberg-layout partition pruning: restrict the scan to the corpus
+    # partitions (parent cells) that intersect any polygon — pruned
+    # partitions' bytes are never read. The isin list is computed
+    # driver-side (no Spark job).
+    if "pcell" in images.columns:
+        parents = cover_cells_driver(rings, corpus.PCELL_RES)
+        images = images.where(F.col("pcell").isin(parents)).drop("pcell")
+    # fine prune (still before decode): semi-join on exact covering cells
+    pts = corpus.centroid_cols_for_images(images, "i").withColumn(
+        "cell_id", grid.encode_col(F.col("lon_c"), F.col("lat_c"), res)
+    )
+    pruned = pts.join(cover_b, "cell_id", "left_semi").drop(
+        "cell_id", "lon_c", "lat_c"
+    )
+    tiles = corpus.centroid_cols_for_images(decode_stats(pruned), "i")
+    joined = pip_join(
+        tiles, admin, res=res, refine=refine, cover=cover_full, rings=rings, adm_rows=adm_rows
+    )
+    # no global orderBy: sorting the 32-row zonal output costs a range-
+    # sampling job per run; the driver compare is order-insensitive and
+    # consumers sort client-side.
+    return zonal_stats(joined, "mean_value")
 
 
-def flagship_from_orders(spark: SparkSession, sf_dir: str, refine: str = "wkb") -> DataFrame:
-    images = corpus.images_from_orders(spark, sf_dir)
+def flagship_from_orders(spark: SparkSession, sf_dir: str, refine: str = "auto") -> DataFrame:
+    """Flagship over the materialized corpus table (one-time synth write,
+    then a pure scan → single decode kernel → join → agg: the
+    BASELINE.json metric path)."""
+    images = spark.read.parquet(corpus.materialized_images(spark, sf_dir))
     return flagship(images, corpus.admin_df(spark), refine=refine)

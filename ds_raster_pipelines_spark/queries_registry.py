@@ -81,7 +81,7 @@ def flagship_zonal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle verifies the decoded per-tile means analytically."""
     from .plans.flagship import flagship_from_orders
 
-    return flagship_from_orders(spark, sf_dir, refine="wkb")
+    return flagship_from_orders(spark, sf_dir, refine="auto")
 
 
 @register("pip_zonal_bbox", _FLAGSHIP_ORACLE)
@@ -103,6 +103,29 @@ def pip_zonal_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     joined = pip_join(pts, corpus.admin_df(spark), res=FLAGSHIP_RES, refine="bbox")
+    return zonal_stats(joined, "mean_value").orderBy("adm_id")
+
+
+@register("pip_zonal_raycast", _FLAGSHIP_ORACLE)
+def pip_zonal_raycast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same zonal result via the generic ray-cast refine UDF (forces the
+    arbitrary-polygon path; keeps it oracle-checked even though the bench
+    flagship lowers rectangles to the JVM refine)."""
+    from .operators.pip import pip_join
+    from .operators.zonal import zonal_stats
+    from .plans.flagship import FLAGSHIP_RES
+
+    i = F.col("i")
+    c = i % corpus.C_MOD
+    pts = corpus.centroid_cols_for_images(
+        _pq(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("i"))
+        .withColumn(
+            "mean_value",
+            F.when(i % 16 == 0, c + F.lit(31.0)).otherwise(c + F.lit(31.5)),
+        )
+    )
+    joined = pip_join(pts, corpus.admin_df(spark), res=FLAGSHIP_RES, refine="wkb")
     return zonal_stats(joined, "mean_value").orderBy("adm_id")
 
 
@@ -963,3 +986,57 @@ def knn_ring_halo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tiles = pts.select(grid.encode_col(F.col("lon_c"), F.col("lat_c"), _RES_K).alias("cell_id"))
     return halo_counts(tiles, k=1, res=_RES_K).orderBy("cell_id")
+
+
+# =====================================================================
+# Batch 4: pixel-level zonal stats (rasterize kernel) — the reference's
+# rio.clip semantics at pixel granularity, with a closed-form oracle.
+# =====================================================================
+
+_ZPS_ORACLE = f"""
+WITH img AS (
+  SELECT o_orderkey AS i,
+         (o_orderkey % {corpus.C_MOD}) AS c,
+         {_META['fmt']} AS fmt,
+         (-180.0 + 0.25 * ((o_orderkey * 13) % 1440)) AS lon0,
+         (90.0 - 0.25 * ((o_orderkey * 7) % 720)) AS lat_top
+  FROM orders
+),
+win AS (
+  SELECT adm_id, c, fmt,
+         greatest(0,  cast(ceil((min_lon - lon0) * 256 - 0.5) as bigint)) AS x_lo,
+         least(63,    cast(floor((max_lon - lon0) * 256 - 0.5) as bigint)) AS x_hi,
+         greatest(0,  cast(ceil((lat_top - max_lat) * 256 - 0.5) as bigint)) AS y_lo,
+         least(63,    cast(floor((lat_top - min_lat) * 256 - 0.5) as bigint)) AS y_hi
+  FROM img JOIN {corpus.admin_sql_values()}
+    ON lon0 <= max_lon AND lon0 + 0.25 >= min_lon
+   AND lat_top - 0.25 <= max_lat AND lat_top >= min_lat
+),
+contrib AS (
+  SELECT adm_id,
+         (y_hi - y_lo + 1) * (x_hi - x_lo + 1) AS cnt,
+         (y_hi - y_lo + 1)
+           * ((x_hi - x_lo + 1) * c + (x_hi * (x_hi + 1) - (x_lo - 1) * x_lo) // 2)
+         - CASE WHEN fmt = 'qnt'
+                THEN (y_hi - y_lo + 1) * (((x_hi + c + 1) // 2) - ((x_lo + c) // 2))
+                ELSE 0 END AS s
+  FROM win WHERE x_lo <= x_hi AND y_lo <= y_hi
+)
+SELECT adm_id,
+       sum(cnt) AS px_count,
+       sum(s) AS px_sum,
+       cast(sum(s) as double) / sum(cnt) AS px_mean
+FROM contrib GROUP BY adm_id ORDER BY adm_id
+"""
+
+
+@register("zonal_pixel_stats", _ZPS_ORACLE)
+def zonal_pixel_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-granularity zonal statistics: decode → rasterize mask →
+    masked integer sums → per-admin exact aggregate. The oracle computes
+    the same pixel windows in closed form (incl. the lossy-qnt LSB
+    correction) — every decoded pixel is accounted for analytically."""
+    from .operators.raster import zonal_pixel_stats
+
+    images = spark.read.parquet(corpus.materialized_images(spark, sf_dir))
+    return zonal_pixel_stats(images, corpus.admin_df(spark), res=6)

@@ -24,42 +24,90 @@ DECODE_STATS_SCHEMA = (
 )
 
 
+def _binary_offsets_data(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (offsets, data) views of an Arrow binary array — avoids
+    materializing per-row Python bytes objects (the dominant cost of the
+    pandas path: converting a big binary column to pandas is slower than
+    the decode math itself)."""
+    import pyarrow as pa
+
+    otype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    off = np.frombuffer(arr.buffers()[1], otype)[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    return off.astype(np.int64, copy=False), data
+
+
 def decode_stats(images: DataFrame) -> DataFrame:
     """images -> per-tile decoded stats. Columns preserved: i, image_id,
-    caption (byte-exact propagation — input_hint invariant), fmt, phash."""
+    caption (byte-exact propagation — input_hint invariant), fmt, phash.
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            n = len(pdf)
+    mapInArrow kernel: string/int columns pass through as Arrow arrays
+    (zero conversion); the binary column is sliced from the Arrow buffers
+    directly. Fixed-size formats (raw/qnt) decode as ONE vectorized gather
+    + row-wise reductions per batch; entropy-coded formats (png) fall back
+    to per-blob decode. Pixels never leave the kernel — only stats do, so
+    nothing pixel-sized ever crosses a shuffle.
+    """
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            names = b.schema.names
+            col = {name: b.column(i) for i, name in enumerate(names)}
+            fmts = np.asarray(col["fmt"].to_pylist(), dtype=object)
+            ws = col["w"].to_numpy(zero_copy_only=False)
+            hs = col["h"].to_numpy(zero_copy_only=False)
+            arr = col["bytes"]
+            if arr.null_count:
+                raise ValueError("null bytes in images table")
+            off, data = _binary_offsets_data(arr)
             mean = np.empty(n)
             mn = np.empty(n)
             mx = np.empty(n)
-            npx = np.empty(n, dtype=np.int64)
-            blobs = pdf["bytes"].to_numpy()
-            fmts = pdf["fmt"].to_numpy()
-            ws = pdf["w"].to_numpy()
-            hs = pdf["h"].to_numpy()
-            for k in range(n):
-                px = codecs.decode_tile(blobs[k], fmts[k], int(ws[k]), int(hs[k]))
+            npx = (ws.astype(np.int64)) * hs.astype(np.int64)
+            # vectorized fast path: fixed-size uncompressed payloads via
+            # segment reduceat — ONE pass over the data buffer. (A fancy-
+            # index gather here builds an int64 index matrix 8x the payload
+            # size per batch; under 32-way worker concurrency the page
+            # faults + bandwidth made the kernel ~40x slower — measured.)
+            fixed = (fmts == "raw") | (fmts == "qnt")
+            if fixed.any():
+                idx = np.nonzero(fixed)[0]
+                bounds = np.empty(2 * len(idx), dtype=np.int64)
+                bounds[0::2] = off[idx]
+                bounds[1::2] = off[idx + 1]
+                trailing = bounds[-1] == len(data)
+                b = bounds[:-1] if trailing else bounds
+                # accumulate in int64 via the ufunc dtype — no widened copy
+                sums = np.add.reduceat(data, b, dtype=np.int64)[0::2]
+                mean[idx] = sums / npx[idx]
+                mn[idx] = np.minimum.reduceat(data, b)[0::2]
+                mx[idx] = np.maximum.reduceat(data, b)[0::2]
+            for k in np.nonzero(~fixed)[0]:
+                px = codecs.decode_tile(
+                    data[off[k] : off[k + 1]].tobytes(), fmts[k], int(ws[k]), int(hs[k])
+                )
                 mean[k] = px.mean(dtype=np.float64)
                 mn[k] = float(px.min())
                 mx[k] = float(px.max())
-                npx[k] = px.size
-            yield pd.DataFrame(
-                {
-                    "i": pdf["i"].to_numpy(),
-                    "image_id": pdf["image_id"].to_numpy(),
-                    "caption": pdf["caption"].to_numpy(),
-                    "fmt": fmts,
-                    "phash": pdf["phash"].to_numpy(),
-                    "mean_value": mean,
-                    "min_value": mn,
-                    "max_value": mx,
-                    "n_px": npx,
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    col["i"],
+                    col["image_id"],
+                    col["caption"],
+                    col["fmt"],
+                    col["phash"],
+                    pa.array(mean),
+                    pa.array(mn),
+                    pa.array(mx),
+                    pa.array(npx),
+                ],
+                names=["i", "image_id", "caption", "fmt", "phash", "mean_value", "min_value", "max_value", "n_px"],
             )
 
-    return images.mapInPandas(kernel, schema=DECODE_STATS_SCHEMA)
+    return images.mapInArrow(kernel, schema=DECODE_STATS_SCHEMA)
 
 
 VERIFY_SCHEMA = "i bigint, fmt string, psnr double, caption_ok boolean, lossless_exact boolean"

@@ -1,0 +1,71 @@
+"""Structured Streaming over the events table (SURVEY §2.9).
+
+The reference is batch with incremental run modes; true streams map to
+Structured Streaming. Here: a watermarked tumbling-window aggregation
+driven to completion from parquet (the harness's smoke pattern), plus the
+equivalent batch form — the two produce identical finals, which is the
+test's assertion (streaming/batch consistency).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_agg_batch(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window event aggregate (batch form; exact cents)."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sum_cents"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_cents",
+        )
+    )
+
+
+def windowed_agg_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+    query_name: str = "events_windowed",
+) -> DataFrame:
+    """Run the same aggregation as a stream (file source → memory sink,
+    processAllAvailable) and return the final result table."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        # the file source needs a directory; glob-filter to the events file
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        # parquet stores TIMESTAMP_NTZ; watermarks need TIMESTAMP (UTC session)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+    )
+    agg = (
+        stream.groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sum_cents"),
+        )
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "sum_cents")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -40,10 +40,14 @@ def test_decode_verify_invariants(spark, images):
     assert (lossy["psnr"] >= 40.0).all()
 
 
+def _sorted(pdf):
+    return pdf.sort_values("adm_id").reset_index(drop=True)
+
+
 def test_flagship_wkb_equals_bbox_refine(spark, images):
     adm = corpus.admin_df(spark)
-    a = flagship(images, adm, refine="wkb").toPandas()
-    b = flagship(images, adm, refine="bbox").toPandas()
+    a = _sorted(flagship(images, adm, refine="wkb").toPandas())
+    b = _sorted(flagship(images, adm, refine="bbox").toPandas())
     assert a.equals(b)
     assert len(a) > 0 and (a["n_tiles"] > 0).all()
 
@@ -51,8 +55,8 @@ def test_flagship_wkb_equals_bbox_refine(spark, images):
 def test_flagship_deterministic_across_parallelism(spark):
     """BASELINE.md gate: identical results regardless of partitioning."""
     adm = corpus.admin_df(spark)
-    a = flagship(corpus.images_from_range(spark, 1500, partitions=1), adm).toPandas()
-    b = flagship(corpus.images_from_range(spark, 1500, partitions=13), adm).toPandas()
+    a = _sorted(flagship(corpus.images_from_range(spark, 1500, partitions=1), adm).toPandas())
+    b = _sorted(flagship(corpus.images_from_range(spark, 1500, partitions=13), adm).toPandas())
     assert a.equals(b)
 
 
