@@ -1040,3 +1040,316 @@ def zonal_pixel_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     images = spark.read.parquet(corpus.materialized_images(spark, sf_dir))
     return zonal_pixel_stats(images, corpus.admin_df(spark), res=6)
+
+
+# =====================================================================
+# Batch 5: set ops / pivot / rollup / windows / pruning / salting
+# =====================================================================
+
+_SETOPS_ORACLE = """
+WITH cn AS (SELECT DISTINCT c_nationkey AS k FROM customer WHERE c_acctbal > 3000),
+     sn AS (SELECT DISTINCT s_nationkey AS k FROM supplier WHERE s_acctbal > 3000)
+SELECT (SELECT count(*) FROM (SELECT k FROM cn UNION SELECT k FROM sn)) AS n_union,
+       (SELECT count(*) FROM (SELECT k FROM cn INTERSECT SELECT k FROM sn)) AS n_intersect,
+       (SELECT count(*) FROM (SELECT k FROM cn EXCEPT SELECT k FROM sn)) AS n_except
+"""
+
+
+@register("set_ops_nations", _SETOPS_ORACLE)
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over nation keys."""
+    cn = (
+        _pq(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 3000)
+        .select(F.col("c_nationkey").alias("k"))
+        .distinct()
+    )
+    sn = (
+        _pq(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 3000)
+        .select(F.col("s_nationkey").alias("k"))
+        .distinct()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                cn.union(sn).distinct().count(),
+                cn.intersect(sn).count(),
+                cn.exceptAll(sn).distinct().count(),
+            )
+        ],
+        schema="n_union bigint, n_intersect bigint, n_except bigint",
+    ).coalesce(1)
+
+
+_PIVOT_ORACLE = """
+SELECT year(o_orderdate) AS yr,
+       sum(CASE WHEN o_orderpriority = '1-URGENT'
+           THEN cast(round(o_totalprice * 100) as bigint) ELSE 0 END) AS urgent_cents,
+       sum(CASE WHEN o_orderpriority = '2-HIGH'
+           THEN cast(round(o_totalprice * 100) as bigint) ELSE 0 END) AS high_cents,
+       sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+           THEN cast(round(o_totalprice * 100) as bigint) ELSE 0 END) AS medium_cents
+FROM orders GROUP BY yr ORDER BY yr
+"""
+
+
+@register("pivot_priority_revenue", _PIVOT_ORACLE)
+def pivot_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (priority → columns) of exact-cents revenue per year."""
+    o = _pq(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    p = (
+        o.select(F.year("o_orderdate").alias("yr"), F.col("o_orderpriority").alias("pri"), cents.alias("c"))
+        .groupBy("yr")
+        .pivot("pri", ["1-URGENT", "2-HIGH", "3-MEDIUM"])
+        .sum("c")
+    )
+    return p.select(
+        "yr",
+        F.coalesce(F.col("`1-URGENT`"), F.lit(0)).alias("urgent_cents"),
+        F.coalesce(F.col("`2-HIGH`"), F.lit(0)).alias("high_cents"),
+        F.coalesce(F.col("`3-MEDIUM`"), F.lit(0)).alias("medium_cents"),
+    ).orderBy("yr")
+
+
+_ROLLUP_QL_ORACLE = """
+SELECT coalesce(l_returnflag, 'ALL') AS rf,
+       coalesce(l_linestatus, 'ALL') AS ls,
+       grouping(l_returnflag) + 2 * grouping(l_linestatus) AS gid,
+       sum(cast(l_quantity as bigint)) AS sum_qty,
+       count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, rf, ls
+"""
+
+
+@register("rollup_pricing", _ROLLUP_QL_ORACLE)
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping ids (multi-resolution aggregate — SURVEY §2.4
+    note: free in Spark, used for hypertable-style rollups)."""
+    li = _pq(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag") + 2 * F.grouping("l_linestatus")).alias("gid"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "gid",
+            "sum_qty",
+            "n",
+        )
+        .orderBy("gid", "rf", "ls")
+    )
+
+
+_TUMBLE_ORACLE = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start, event_type,
+       count(*) AS n,
+       sum(cast(round(value * 100) as bigint)) AS sum_cents
+FROM events GROUP BY win_start, event_type
+ORDER BY win_start, event_type
+"""
+
+
+@register("tumbling_window_events", _TUMBLE_ORACLE)
+def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I4: tumbling 1h windows (streaming-equivalent batch form; the
+    structured-streaming twin is asserted equal in tests)."""
+    from .streaming.events import windowed_agg_batch
+
+    return windowed_agg_batch(_pq(spark, sf_dir, "events")).orderBy("win_start", "event_type")
+
+
+_BBOX_ORACLE = f"""
+WITH pts AS (
+  SELECT {_META['lon_c']} AS lon_c, {_META['lat_c']} AS lat_c FROM orders
+)
+SELECT count(*) AS n_in_bbox,
+       sum(CASE WHEN lon_c BETWEEN 60 AND 75 AND lat_c BETWEEN 29 AND 38
+           THEN 1 ELSE 0 END) AS n_exact
+FROM pts
+WHERE lon_c BETWEEN 60 AND 75 AND lat_c BETWEEN 29 AND 38
+"""
+
+
+@register("bbox_prune_count", _BBOX_ORACLE)
+def bbox_prune_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: the SEAS5 dev bbox [60,29,75,38] as a cell-range prefilter +
+    exact predicate (seas5_pipeline.py:32)."""
+    from .operators.pip import cover_cells_driver
+    from .corpus import wkb_polygon_rect, parse_wkb_polygon
+
+    res = 6
+    ring = parse_wkb_polygon(wkb_polygon_rect(60.0, 29.0, 75.0, 38.0))
+    cells = cover_cells_driver([ring], res)
+    pts = corpus.centroid_cols_for_images(
+        _pq(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("i"))
+    ).withColumn("cell_id", grid.encode_col(F.col("lon_c"), F.col("lat_c"), res))
+    exact = F.col("lon_c").between(60.0, 75.0) & F.col("lat_c").between(29.0, 38.0)
+    return (
+        pts.where(F.col("cell_id").isin([int(c) for c in cells]))  # coarse prune
+        .where(exact)
+        .agg(
+            F.count(F.lit(1)).alias("n_in_bbox"),
+            F.sum(F.when(exact, 1).otherwise(0)).alias("n_exact"),
+        )
+    )
+
+
+_GRACE_ORACLE = """
+WITH expected AS (
+  SELECT strftime(unnest(generate_series(date '2000-01-01', date '2000-12-01',
+                                         interval 1 month)), '%Y-%m') AS month_str
+)
+SELECT month_str FROM expected
+WHERE month_str < (SELECT min(month_str) FROM
+                   (SELECT month_str FROM expected ORDER BY month_str DESC LIMIT 2))
+ORDER BY month_str
+"""
+
+
+@register("grace_trim_expected", _GRACE_ORACLE)
+def grace_trim_expected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5/I3: drop the trailing 2 grace periods from the expected series
+    (reference pipeline.py:207 `[:-2]`)."""
+    from .functions.scalars import date_range_df
+    from .operators.coverage import grace_trim
+
+    expected = date_range_df(spark, "2000-01-01", "2000-12-01", "M").select(
+        F.date_format("date", "yyyy-MM").alias("month_str")
+    )
+    return grace_trim(expected, "month_str", periods=2).orderBy("month_str")
+
+
+_EPOCH_ORACLE = """
+SELECT epoch_tag, count(*) AS n,
+       sum(cast(round(o_totalprice * 100) as bigint)) AS cents
+FROM (
+  SELECT CASE WHEN year(o_orderdate) >= 1998 THEN 'post98' ELSE 'pre98' END AS epoch_tag,
+         o_totalprice
+  FROM orders
+) GROUP BY epoch_tag ORDER BY epoch_tag
+"""
+
+
+@register("epoch_branch_union", _EPOCH_ORACLE)
+def epoch_branch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: year-epoch branch (seas5_pipeline.py:44 `year >= 2024` source
+    switch) as a union of two differently-tagged scans."""
+    o = _pq(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    pre = o.where(F.year("o_orderdate") < 1998).select(F.lit("pre98").alias("epoch_tag"), cents.alias("c"))
+    post = o.where(F.year("o_orderdate") >= 1998).select(F.lit("post98").alias("epoch_tag"), cents.alias("c"))
+    return (
+        pre.unionByName(post)
+        .groupBy("epoch_tag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("cents"))
+        .orderBy("epoch_tag")
+    )
+
+
+@register("salted_join_revenue", _JOIN_REV_ORACLE)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule skew path: the customer-revenue join routed through the
+    explicit salted-repartition join — results identical to the plain
+    join (same oracle as join_customer_revenue)."""
+    from .operators.skew import salted_join
+
+    orders = _pq(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "k")
+    cust = _pq(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    joined = salted_join(
+        orders, cust, "k", n_salt=8, salt_expr=F.xxhash64("o_orderkey"), threshold=50
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            (F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).cast("double") / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_ALLTOUCH_ORACLE = f"""
+WITH img AS (
+  SELECT (-180.0 + 0.25 * ((o_orderkey * 13) % 1440)) AS lon0,
+         (90.0 - 0.25 * ((o_orderkey * 7) % 720)) AS lat_top
+  FROM orders
+)
+SELECT adm_id, count(*) AS n_tiles
+FROM img JOIN {corpus.admin_sql_values()}
+  ON lon0 <= max_lon AND lon0 + 0.25 >= min_lon
+ AND lat_top - 0.25 <= max_lat AND lat_top >= min_lat
+GROUP BY adm_id ORDER BY adm_id
+"""
+
+
+@register("pip_all_touched", _ALLTOUCH_ORACLE)
+def pip_all_touched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 all_touched=True semantics (era5_cogs.md:209-210): a tile
+    belongs to every polygon its FOOTPRINT intersects (vs centroid-in).
+    Ring-expanded cover candidates + JVM overlap predicate."""
+    from .operators.pip import cover_local
+
+    res = 6
+    adm = corpus.admin_df(spark)
+    _, _, cover = cover_local(spark, adm, res)
+    expanded = cover.select(
+        "adm_id", "_mnx", "_mny", "_mxx", "_mxy",
+        F.explode(grid.grid_disk_col(F.col("cell_id"), 1, res)).alias("cell_id"),
+    ).dropDuplicates(["adm_id", "cell_id"])
+    pts = corpus.centroid_cols_for_images(
+        _pq(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("i"))
+    ).withColumns(
+        {
+            "lon0": F.col("lon_c") - 0.125,
+            "lat_top": F.col("lat_c") + 0.125,
+            "cell_id": grid.encode_col(F.col("lon_c"), F.col("lat_c"), res),
+        }
+    )
+    overlap = (
+        (F.col("lon0") <= F.col("_mxx"))
+        & (F.col("lon0") + 0.25 >= F.col("_mnx"))
+        & (F.col("lat_top") - 0.25 <= F.col("_mxy"))
+        & (F.col("lat_top") >= F.col("_mny"))
+    )
+    return (
+        pts.join(F.broadcast(expanded), "cell_id")
+        .where(overlap)
+        .groupBy("adm_id")
+        .agg(F.count(F.lit(1)).alias("n_tiles"))
+        .orderBy("adm_id")
+    )
+
+
+_LONNORM_ORACLE = """
+WITH t AS (
+  SELECT ((((value * 2 - 300) % 360) + 360) % 360) - 180.0 AS lon FROM events
+)
+SELECT cast(floor((lon + 180.0) / 30.0) as int) AS band, count(*) AS n
+FROM t GROUP BY band ORDER BY band
+"""
+
+
+@register("lon_normalize_bands", _LONNORM_ORACLE)
+def lon_normalize_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: longitude wrap-normalization ((lon+180)%360)-180 with pmod
+    semantics (raster_utils.py:14-32), banded histogram."""
+    from .functions.scalars import lon_normalize
+
+    t = _pq(spark, sf_dir, "events").select(
+        lon_normalize(F.col("value") * 2 - 120).alias("lon")
+    )
+    return (
+        t.select(F.floor((F.col("lon") + 180.0) / 30.0).cast("int").alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("band")
+    )

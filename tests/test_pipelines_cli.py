@@ -1,0 +1,82 @@
+"""Run-mode plan tests — the Spark analog of the reference's mocked
+orchestration tests (tests/test_era5_pipeline.py:44-66: which units of
+work does a mode schedule), plus the dispatcher smoke."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+
+def test_ingest_modes_and_resume(spark, tmp_path):
+    from ds_raster_pipelines_spark.plans.pipelines import IngestPipeline
+
+    start, end = dt.date(2020, 1, 1), dt.date(2020, 1, 4)
+    pipe = IngestPipeline(spark, str(tmp_path / "out"), start, end, tiles_per_day=200)
+
+    # plan-level behavior per mode (the reference's call-count assertions)
+    assert pipe.plan("full") == pipe.expected_dates()
+    assert pipe.plan("update") == [end]
+    assert pipe.plan("backfill") == pipe.expected_dates()  # nothing committed yet
+
+    # partial run (simulated kill after 2 dates)
+    for d in pipe.expected_dates()[:2]:
+        pipe.process_date(d)
+    assert pipe.plan("backfill") == pipe.expected_dates()[2:]
+
+    # resume completes only the gap
+    metrics = pipe.run_pipeline("backfill")
+    assert metrics["processed_dates"] == [d.isoformat() for d in pipe.expected_dates()[2:]]
+    assert metrics["partitions"] == 4 and metrics["rows_total"] == 800
+    assert pipe.plan("backfill") == []
+
+    # lineage intact; per-partition metrics balanced
+    assert pipe.run.verify(cell_col="cell_id").count() == 0
+    assert metrics["skew_ratio"] == 1.0
+
+    # update mode re-plans just the newest date
+    assert pipe.plan("update") == [end]
+
+
+def test_validation_gate_blocks_bad_write(spark, tmp_path):
+    from ds_raster_pipelines_spark.plans.pipelines import IngestPipeline
+    from pyspark.sql import functions as F
+
+    pipe = IngestPipeline(spark, str(tmp_path / "o2"), dt.date(2020, 1, 1), dt.date(2020, 1, 1))
+    good = pipe.build_date(dt.date(2020, 1, 1))
+    # corrupt the CRS → gate must refuse
+    bad_pipe = IngestPipeline(spark, str(tmp_path / "o3"), dt.date(2020, 1, 1), dt.date(2020, 1, 1))
+    bad_pipe.build_date = lambda d: good.withColumn("crs", F.lit("EPSG:3857"))
+    with pytest.raises(ValueError, match="validation gate failed"):
+        bad_pipe.process_date(dt.date(2020, 1, 1))
+
+
+def test_cli_dispatcher(tmp_path):
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [
+            sys.executable,
+            "run_pipeline.py",
+            "ingest",
+            "--out",
+            str(tmp_path / "cli_out"),
+            "--start",
+            "2020-01-01",
+            "--end",
+            "2020-01-02",
+            "--cpus",
+            "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    import json
+
+    metrics = json.loads(out.stdout.strip().splitlines()[-1])
+    assert metrics["partitions"] == 2 and metrics["rows_total"] == 1000
