@@ -1353,3 +1353,197 @@ def lon_normalize_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("band")
     )
+
+
+# =====================================================================
+# Batch 6: remaining inventory — JSON fallback projection (P2), snap
+# join (J6), archive explode (S11), trivial aggs (A8-A10), V5, I1.
+# =====================================================================
+
+_JSONP_ORACLE = """
+SELECT event_type,
+       sum(cast(coalesce(json_extract_string(props, '$.k'), '0') as bigint)) AS k_sum,
+       sum(CASE WHEN json_extract_string(props, '$.missing') IS NULL THEN 1 ELSE 0 END) AS n_fallback
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("json_fallback_projection", _JSONP_ORACLE)
+def json_fallback_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: variable projection with fallback (imerg_pipeline.py:80-83
+    precipitationCal-else-precipitation) over a JSON props column."""
+    ev = _pq(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(F.coalesce(k, F.lit("0")).cast("long")).alias("k_sum"),
+            F.sum(
+                F.when(F.get_json_object("props", "$.missing").isNull(), 1).otherwise(0)
+            ).alias("n_fallback"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SNAP_ORACLE = """
+WITH a AS (SELECT round(value, 4) AS key, event_id FROM events),
+     b AS (SELECT round(value + 0.000049, 4) AS key, event_id FROM events)
+SELECT count(*) AS n_aligned
+FROM a JOIN b ON a.key = b.key AND a.event_id = b.event_id
+"""
+
+
+@register("grid_snap_join", _SNAP_ORACLE)
+def grid_snap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/F2: grid-alignment join — float drift defeated by snapping to 4
+    decimals before an exact equi-join (raster_utils.py:35-39; the
+    reference's reproject_match workaround)."""
+    from .functions.scalars import snap_coord
+
+    ev = _pq(spark, sf_dir, "events")
+    a = ev.select(snap_coord(F.col("value")).alias("key"), "event_id")
+    b = ev.select(snap_coord(F.col("value") + 0.000049).alias("key"), "event_id")
+    return a.join(b, ["key", "event_id"]).agg(F.count(F.lit(1)).alias("n_aligned"))
+
+
+_ARCHIVE_ORACLE = """
+WITH months AS (
+  SELECT DISTINCT date_trunc('month', o_orderdate) AS m FROM orders
+),
+members AS (
+  SELECT strftime(m, '%Y-%m') AS archive,
+         cast(unnest(generate_series(m, m + interval 1 month - interval 1 day,
+                                     interval 1 day)) as date) AS member_date
+  FROM months
+),
+wanted AS (
+  SELECT DISTINCT cast(o_orderdate as date) AS member_date
+  FROM orders WHERE o_totalprice > 450000
+)
+SELECT archive, count(*) AS n_wanted
+FROM members JOIN wanted USING (member_date)
+GROUP BY archive ORDER BY archive
+"""
+
+
+@register("archive_member_explode", _ARCHIVE_ORACLE)
+def archive_member_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/J8: 90-days-zip style archives — explode each monthly archive's
+    member-date manifest, semi-match against wanted dates
+    (floodscan_pipeline.py:62-80,109-145)."""
+    o = _pq(spark, sf_dir, "orders")
+    months = o.select(F.date_trunc("month", "o_orderdate").alias("m")).distinct()
+    members = months.select(
+        F.date_format("m", "yyyy-MM").alias("archive"),
+        F.explode(
+            F.expr("sequence(to_date(m), add_months(to_date(m), 1) - 1, interval 1 day)")
+        ).alias("member_date"),
+    )
+    wanted = (
+        o.where(F.col("o_totalprice") > 450000)
+        .select(F.to_date("o_orderdate").alias("member_date"))
+        .distinct()
+    )
+    return (
+        members.join(wanted, "member_date")
+        .groupBy("archive")
+        .agg(F.count(F.lit(1)).alias("n_wanted"))
+        .orderBy("archive")
+    )
+
+
+_TRIV_ORACLE = """
+WITH files AS (
+  SELECT 'precip_reanalysis_v' || strftime(o_orderdate, '%Y-%m-%d') || '.tif' AS filename,
+         cast(o_orderdate as date) AS d, o_totalprice
+  FROM orders
+)
+SELECT max(filename) AS max_filename,
+       bool_or(o_totalprice > 480000) AS any_big,
+       min(d) AS min_date, max(d) AS max_date,
+       count(DISTINCT d) AS n_dates
+FROM files
+"""
+
+
+@register("trivial_aggs", _TRIV_ORACLE)
+def trivial_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/A9/A10: max-over-filenames (latest archive), any/non-empty gate,
+    min/max date bounds (floodscan_pipeline.py:65,469,485)."""
+    from .functions.scalars import filename_for
+
+    o = _pq(spark, sf_dir, "orders")
+    f = o.select(
+        filename_for("precip_reanalysis_v", F.col("o_orderdate")).alias("filename"),
+        F.to_date("o_orderdate").alias("d"),
+        "o_totalprice",
+    )
+    return f.agg(
+        F.max("filename").alias("max_filename"),
+        F.bool_or(F.col("o_totalprice") > 480000).alias("any_big"),
+        F.min("d").alias("min_date"),
+        F.max("d").alias("max_date"),
+        F.countDistinct("d").alias("n_dates"),
+    )
+
+
+_V5_ORACLE = r"""
+WITH files AS (
+  SELECT 'em_v' || strftime(CASE WHEN o_orderkey % 13 = 0
+                                 THEN o_orderdate + interval 1 day
+                                 ELSE o_orderdate END, '%Y-%m-%d') || '.tif' AS filename,
+         cast(o_orderdate as date) AS date_valid
+  FROM orders
+)
+SELECT sum(CASE WHEN cast(regexp_extract(filename, '([iv_-])(\d{4}-\d{2}-\d{2})', 2) as date)
+                  = date_valid THEN 0 ELSE 1 END) AS v5_mismatch,
+       count(*) AS n_rows
+FROM files
+"""
+
+
+@register("validation_filename_date", _V5_ORACLE)
+def validation_filename_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V5: filename↔metadata date consistency (validation_utils.py:87-97);
+    1/13 of filenames deliberately corrupted."""
+    from .functions.scalars import date_from_filename, filename_for
+
+    o = _pq(spark, sf_dir, "orders")
+    fdate = F.when(
+        F.col("o_orderkey") % 13 == 0, F.date_add(F.to_date("o_orderdate"), 1)
+    ).otherwise(F.to_date("o_orderdate"))
+    files = o.select(
+        filename_for("em_v", fdate).alias("filename"),
+        F.to_date("o_orderdate").alias("date_valid"),
+    )
+    extracted, _ = date_from_filename(F.col("filename"))
+    return files.agg(
+        F.sum(F.when(extracted == F.col("date_valid"), 0).otherwise(1)).alias("v5_mismatch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_TICK_ORACLE = """
+WITH latest AS (SELECT max(date_trunc('month', o_orderdate)) AS m FROM orders)
+SELECT strftime(m, '%Y-%m') AS latest_month,
+       (SELECT count(*) FROM orders, latest
+        WHERE date_trunc('month', o_orderdate) = latest.m) AS n_in_latest
+FROM latest
+"""
+
+
+@register("update_latest_tick", _TICK_ORACLE)
+def update_latest_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1: update mode processes only the latest period — select max month
+    then count its unit of work (era5_pipeline.py:110-115)."""
+    o = _pq(spark, sf_dir, "orders")
+    latest = o.agg(F.max(F.date_trunc("month", "o_orderdate")).alias("m"))
+    return (
+        o.join(
+            F.broadcast(latest),
+            F.date_trunc("month", F.col("o_orderdate")) == F.col("m"),
+        )
+        .groupBy(F.date_format("m", "yyyy-MM").alias("latest_month"))
+        .agg(F.count(F.lit(1)).alias("n_in_latest"))
+    )
