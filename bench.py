@@ -71,7 +71,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         timings[name] = round(best, 3)  # min-of-N: robust to noisy-VM outliers
     flagship_sec = timings["flagship_zonal_decode"]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    return {
+    out = {
         "metric": "flagship_e2e_sec",
         "value": flagship_sec,
         "unit": "sec",
@@ -81,6 +81,27 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "tiles_per_sec": round(n_tiles / flagship_sec, 1),
         "cpus": cpus,
     }
+    # big-corpus flagship (the scale-representative number: at sf0.1 the
+    # 150k-tile job is fixed-overhead-bound) — only if already materialized
+    from ds_raster_pipelines_spark import corpus as corpus_mod
+    from ds_raster_pipelines_spark.plans.flagship import flagship
+
+    big = f"/tmp/spark_graft_corpus/{corpus_mod.CORPUS_VERSION}/range_{SCALE_TILES}"
+    if os.path.exists(f"{big}/_SUCCESS"):
+        images = spark.read.parquet(big)
+        adm = corpus_mod.admin_df(spark)
+        _materialize(flagship(images, adm))
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _materialize(flagship(images, adm))
+            best = min(best, time.time() - t0)
+        out["big_corpus"] = {
+            "tiles": SCALE_TILES,
+            "sec": round(best, 3),
+            "tiles_per_sec": round(SCALE_TILES / best, 1),
+        }
+    return out
 
 
 SCALE_TILES = int(os.environ.get("SPARK_GRAFT_SCALE_TILES", "4000000"))

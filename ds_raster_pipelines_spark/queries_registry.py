@@ -1547,3 +1547,52 @@ def update_latest_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("m", "yyyy-MM").alias("latest_month"))
         .agg(F.count(F.lit(1)).alias("n_in_latest"))
     )
+
+
+_EMB_DUP_ORACLE = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint)) AS q
+  FROM embeddings
+),
+dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+ed AS (SELECT vec_id, i, q[i] AS v FROM e, dims),
+norms AS (SELECT vec_id, sum(v * v) AS n2 FROM ed GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot
+  FROM ed a JOIN ed b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY id_a, id_b
+),
+sims AS (
+  SELECT id_a, id_b,
+         cast(dot as double) / sqrt(cast(na.n2 as double) * cast(nb.n2 as double)) AS sim
+  FROM dots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
+)
+SELECT id_a, id_b, round(sim, 6) AS sim FROM sims WHERE sim >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+@register("embedding_near_dup", _EMB_DUP_ORACLE)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim >= 0.4) — the
+    embedding-space member of the dedup family; integer-quantized dot
+    products keep it bit-exact across engines."""
+    from .operators.similarity import dot_int, norm2_int, quantize
+
+    e = _pq(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize(F.col("embedding")).alias("q")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("q").alias("qa"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("q").alias("qb"))
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "sim",
+            dot_int(F.col("qa"), F.col("qb")).cast("double")
+            / F.sqrt(norm2_int(F.col("qa")).cast("double") * norm2_int(F.col("qb")).cast("double")),
+        )
+        .where(F.col("sim") >= 0.4)
+    )
+    return pairs.select("id_a", "id_b", F.round("sim", 6).alias("sim")).orderBy("id_a", "id_b")

@@ -122,18 +122,31 @@ def decode_verify(images: DataFrame) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"i": [], "fmt": [], "psnr": [], "caption_ok": [], "lossless_exact": []}
-            for _, row in pdf.iterrows():
-                i = int(row["i"])
+            n = len(pdf)
+            ii = pdf["i"].to_numpy()
+            fmts = pdf["fmt"].to_numpy()
+            blobs = pdf["bytes"].to_numpy()
+            ws = pdf["w"].to_numpy()
+            hs = pdf["h"].to_numpy()
+            caps = pdf["caption"].to_numpy()
+            psnr_v = np.empty(n)
+            cap_ok = np.empty(n, dtype=bool)
+            exact = np.empty(n, dtype=object)
+            for k in range(n):
+                i = int(ii[k])
                 truth = corpus.pixels_for(i)
-                px = codecs.decode_tile(row["bytes"], row["fmt"], int(row["w"]), int(row["h"]))
-                out["i"].append(i)
-                out["fmt"].append(row["fmt"])
-                out["psnr"].append(codecs.psnr(truth, px))
-                out["caption_ok"].append(row["caption"] == corpus.caption_for(i))
-                out["lossless_exact"].append(
-                    bool(np.array_equal(truth, px)) if row["fmt"] in codecs.LOSSLESS_FMTS else None
-                )
-            yield pd.DataFrame(out)
+                px = codecs.decode_tile(blobs[k], fmts[k], int(ws[k]), int(hs[k]))
+                psnr_v[k] = codecs.psnr(truth, px)
+                cap_ok[k] = caps[k] == corpus.caption_for(i)
+                exact[k] = bool(np.array_equal(truth, px)) if fmts[k] in codecs.LOSSLESS_FMTS else None
+            yield pd.DataFrame(
+                {
+                    "i": ii,
+                    "fmt": fmts,
+                    "psnr": psnr_v,
+                    "caption_ok": cap_ok,
+                    "lossless_exact": exact,
+                }
+            )
 
     return images.mapInPandas(kernel, schema=VERIFY_SCHEMA)
