@@ -128,10 +128,18 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, rows_per_band: int = 2) -> DataFrame:
+def lsh_candidate_pairs(
+    sigs: DataFrame, rows_per_band: int = 2, max_bucket: int | None = None
+) -> DataFrame:
     """Band the signatures and bucket-join: docs sharing any full band are
     candidates. Band signature packed as an integer (order-free sum of
-    mh * p^(j mod r)) so no ordered string-agg is needed."""
+    mh * p^(j mod r)) so no ordered string-agg is needed.
+
+    ``max_bucket`` drops band buckets with more members — the hot-bucket
+    control every production LSH dedup needs: a bucket of k docs emits
+    k^2/2 pairs, so one giant near-dup cluster (or a degenerate band)
+    turns the join quadratic. Such clusters are cheaper to collapse via
+    exact dedup / union-find on a sample than via all-pairs."""
     if rows_per_band not in (1, 2):
         raise ValueError("packed band signature implemented for rows_per_band in {1, 2}")
     banded = sigs.withColumn("band", F.floor(F.col("j") / rows_per_band)).withColumn(
@@ -140,6 +148,14 @@ def lsh_candidate_pairs(sigs: DataFrame, rows_per_band: int = 2) -> DataFrame:
         * F.when(F.col("j") % rows_per_band == 0, F.lit(MINHASH_P)).otherwise(F.lit(1)).cast("long"),
     )
     band_sig = banded.groupBy("doc_id", "band").agg(F.sum("_term").alias("sig"))
+    if max_bucket is not None:
+        hot = (
+            band_sig.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket)
+            .select("band", "sig")
+        )
+        band_sig = band_sig.join(F.broadcast(hot), ["band", "sig"], "left_anti")
     a = band_sig.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     b = band_sig.select(F.col("doc_id").alias("doc_b"), "band", "sig")
     return (

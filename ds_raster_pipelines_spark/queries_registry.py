@@ -722,10 +722,16 @@ sigs AS (
   SELECT doc_id, j, min((a * wid + b) % 8191) AS mh
   FROM dw CROSS JOIN params GROUP BY doc_id, j
 ),
-band_sig AS (
+band_sig0 AS (
   SELECT doc_id, j // 2 AS band,
          sum(mh * CASE WHEN j % 2 = 0 THEN 8191 ELSE 1 END) AS sig
   FROM sigs GROUP BY doc_id, band
+),
+hot AS (
+  SELECT band, sig FROM band_sig0 GROUP BY band, sig HAVING count(*) > 50
+),
+band_sig AS (
+  SELECT * FROM band_sig0 WHERE (band, sig) NOT IN (SELECT (band, sig) FROM hot)
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM band_sig a JOIN band_sig b
@@ -736,13 +742,14 @@ ORDER BY doc_a, doc_b
 
 @register("minhash_lsh_candidates", _MINHASH_ORACLE)
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (k=8, vocab-rank hashing) + LSH banding (4 bands x 2 rows):
-    candidate near-dup pairs. The oracle replicates the full
-    shingle→minhash→band→bucket-join pipeline in SQL."""
+    """MinHash (k=8, vocab-rank hashing) + LSH banding (4 bands x 2 rows)
+    with hot-bucket cap (>50 members dropped — the production guard
+    against quadratic buckets): candidate near-dup pairs. The oracle
+    replicates shingle→minhash→band→cap→bucket-join fully in SQL."""
     from .operators.dedup import lsh_candidate_pairs, minhash_signatures
 
     sigs = minhash_signatures(_pq(spark, sf_dir, "documents"), strategy="vocab")
-    return lsh_candidate_pairs(sigs).orderBy("doc_a", "doc_b")
+    return lsh_candidate_pairs(sigs, max_bucket=50).orderBy("doc_a", "doc_b")
 
 
 @register("simhash_fingerprints", None)  # xxhash64-based: no SQL twin (rows-only check)
