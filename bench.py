@@ -171,7 +171,7 @@ def run_single_flagship(sf_dir: str, cpus: int) -> dict:
     _materialize(flagship(images, adm))  # full warm pass: JIT, python
     # workers, file-index and page cache — steady-state is what scales
     dt = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         _materialize(flagship(images, adm))
         dt = min(dt, time.time() - t0)
