@@ -135,7 +135,7 @@ def pip_zonal_raycast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       sum(cast(l_quantity as bigint))                              AS sum_qty,
+       cast(sum(cast(l_quantity as bigint)) as bigint)              AS sum_qty,
        cast(sum(cast(round(l_extendedprice * 100) as bigint)) as double) / 100.0  AS sum_base_price,
        cast(sum(cast(round(l_extendedprice * 100) as bigint)
             * (100 - cast(round(l_discount * 100) as bigint))) as double) / 10000.0 AS sum_disc_price,
@@ -314,8 +314,8 @@ existing AS (
   FROM orders WHERE o_totalprice > 480000
 )
 SELECT count(*) AS n_expected,
-       sum(CASE WHEN e2.month_str IS NULL THEN 0 ELSE 1 END) AS n_present,
-       sum(CASE WHEN e2.month_str IS NULL THEN 0 ELSE 1 END) * 100.0 / count(*) AS coverage_pct
+       cast(sum(CASE WHEN e2.month_str IS NULL THEN 0 ELSE 1 END) as bigint) AS n_present,
+       cast(sum(CASE WHEN e2.month_str IS NULL THEN 0 ELSE 1 END) * 100.0 / count(*) as double) AS coverage_pct
 FROM expected e LEFT JOIN existing e2 USING (month_str)
 """
 
@@ -423,11 +423,11 @@ def ensemble_mean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BAND_ORACLE = """
 WITH sfed AS (
-  SELECT user_id, sum(cast(round(value * 100) as bigint)) AS sfed_cents
+  SELECT user_id, cast(sum(cast(round(value * 100) as bigint)) as bigint) AS sfed_cents
   FROM events WHERE event_type = 'click' GROUP BY user_id
 ),
 mfed AS (
-  SELECT user_id, sum(cast(round(value * 100) as bigint)) AS mfed_cents
+  SELECT user_id, cast(sum(cast(round(value * 100) as bigint)) as bigint) AS mfed_cents
   FROM events WHERE event_type = 'error' GROUP BY user_id
 )
 SELECT user_id, sfed_cents, mfed_cents
@@ -578,8 +578,8 @@ _VALID_ORACLE = """
 WITH t AS (
   SELECT value - 200.0 AS lon_c, value / 10.0 - 40.0 AS lat_c FROM events
 )
-SELECT sum(CASE WHEN lon_c BETWEEN -180.0 AND 180.0 THEN 0 ELSE 1 END) AS v1_lon_oob,
-       sum(CASE WHEN lat_c BETWEEN -90.0 AND 90.0 THEN 0 ELSE 1 END) AS v1_lat_oob,
+SELECT cast(sum(CASE WHEN lon_c BETWEEN -180.0 AND 180.0 THEN 0 ELSE 1 END) as bigint) AS v1_lon_oob,
+       cast(sum(CASE WHEN lat_c BETWEEN -90.0 AND 90.0 THEN 0 ELSE 1 END) as bigint) AS v1_lat_oob,
        count(*) AS n_rows
 FROM t
 """
@@ -606,8 +606,8 @@ WITH t AS (
          cast(CASE WHEN o_orderkey % 11 = 0 THEN 4 ELSE 3 END as int) AS leadtime
   FROM orders
 )
-SELECT sum(CASE WHEN (year_valid - year_issued) * 12 + (month_valid - month_issued) = leadtime
-                THEN 0 ELSE 1 END) AS v6_leadtime_mismatch,
+SELECT cast(sum(CASE WHEN (year_valid - year_issued) * 12 + (month_valid - month_issued) = leadtime
+                THEN 0 ELSE 1 END) as bigint) AS v6_leadtime_mismatch,
        count(*) AS n_rows
 FROM t
 """
@@ -770,10 +770,10 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKEN_ORACLE = """
 SELECT lang,
-       sum(len(string_split(text, ' '))) AS total_tokens,
+       cast(sum(len(string_split(text, ' '))) as bigint) AS total_tokens,
        count(*) AS n_docs,
        cast(sum(len(string_split(text, ' '))) as double) / count(*) AS avg_tokens,
-       sum(n_chars) AS total_chars
+       cast(sum(n_chars) as bigint) AS total_chars
 FROM documents GROUP BY lang ORDER BY lang
 """
 
@@ -1030,8 +1030,8 @@ contrib AS (
   FROM win WHERE x_lo <= x_hi AND y_lo <= y_hi
 )
 SELECT adm_id,
-       sum(cnt) AS px_count,
-       sum(s) AS px_sum,
+       cast(sum(cnt) as bigint) AS px_count,
+       cast(sum(s) as bigint) AS px_sum,
        cast(sum(s) as double) / sum(cnt) AS px_mean
 FROM contrib GROUP BY adm_id ORDER BY adm_id
 """
@@ -1091,12 +1091,12 @@ def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PIVOT_ORACLE = """
 SELECT year(o_orderdate) AS yr,
-       sum(CASE WHEN o_orderpriority = '1-URGENT'
-           THEN cast(round(o_totalprice * 100) as bigint) ELSE 0 END) AS urgent_cents,
-       sum(CASE WHEN o_orderpriority = '2-HIGH'
-           THEN cast(round(o_totalprice * 100) as bigint) ELSE 0 END) AS high_cents,
-       sum(CASE WHEN o_orderpriority = '3-MEDIUM'
-           THEN cast(round(o_totalprice * 100) as bigint) ELSE 0 END) AS medium_cents
+       cast(sum(CASE WHEN o_orderpriority = '1-URGENT'
+           THEN cast(round(o_totalprice * 100) as bigint) ELSE 0 END) as bigint) AS urgent_cents,
+       cast(sum(CASE WHEN o_orderpriority = '2-HIGH'
+           THEN cast(round(o_totalprice * 100) as bigint) ELSE 0 END) as bigint) AS high_cents,
+       cast(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+           THEN cast(round(o_totalprice * 100) as bigint) ELSE 0 END) as bigint) AS medium_cents
 FROM orders GROUP BY yr ORDER BY yr
 """
 
@@ -1124,7 +1124,7 @@ _ROLLUP_QL_ORACLE = """
 SELECT coalesce(l_returnflag, 'ALL') AS rf,
        coalesce(l_linestatus, 'ALL') AS ls,
        grouping(l_returnflag) + 2 * grouping(l_linestatus) AS gid,
-       sum(cast(l_quantity as bigint)) AS sum_qty,
+       cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_qty,
        count(*) AS n
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY gid, rf, ls
@@ -1157,7 +1157,7 @@ def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TUMBLE_ORACLE = """
 SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start, event_type,
        count(*) AS n,
-       sum(cast(round(value * 100) as bigint)) AS sum_cents
+       cast(sum(cast(round(value * 100) as bigint)) as bigint) AS sum_cents
 FROM events GROUP BY win_start, event_type
 ORDER BY win_start, event_type
 """
@@ -1177,8 +1177,8 @@ WITH pts AS (
   SELECT {_META['lon_c']} AS lon_c, {_META['lat_c']} AS lat_c FROM orders
 )
 SELECT count(*) AS n_in_bbox,
-       sum(CASE WHEN lon_c BETWEEN 60 AND 75 AND lat_c BETWEEN 29 AND 38
-           THEN 1 ELSE 0 END) AS n_exact
+       cast(sum(CASE WHEN lon_c BETWEEN 60 AND 75 AND lat_c BETWEEN 29 AND 38
+           THEN 1 ELSE 0 END) as bigint) AS n_exact
 FROM pts
 WHERE lon_c BETWEEN 60 AND 75 AND lat_c BETWEEN 29 AND 38
 """
@@ -1235,7 +1235,7 @@ def grace_trim_expected(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EPOCH_ORACLE = """
 SELECT epoch_tag, count(*) AS n,
-       sum(cast(round(o_totalprice * 100) as bigint)) AS cents
+       cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint) AS cents
 FROM (
   SELECT CASE WHEN year(o_orderdate) >= 1998 THEN 'post98' ELSE 'pre98' END AS epoch_tag,
          o_totalprice
@@ -1369,8 +1369,8 @@ def lon_normalize_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JSONP_ORACLE = """
 SELECT event_type,
-       sum(cast(coalesce(json_extract_string(props, '$.k'), '0') as bigint)) AS k_sum,
-       sum(CASE WHEN json_extract_string(props, '$.missing') IS NULL THEN 1 ELSE 0 END) AS n_fallback
+       cast(sum(cast(coalesce(json_extract_string(props, '$.k'), '0') as bigint)) as bigint) AS k_sum,
+       cast(sum(CASE WHEN json_extract_string(props, '$.missing') IS NULL THEN 1 ELSE 0 END) as bigint) AS n_fallback
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -1503,8 +1503,8 @@ WITH files AS (
          cast(o_orderdate as date) AS date_valid
   FROM orders
 )
-SELECT sum(CASE WHEN cast(regexp_extract(filename, '([iv_-])(\d{4}-\d{2}-\d{2})', 2) as date)
-                  = date_valid THEN 0 ELSE 1 END) AS v5_mismatch,
+SELECT cast(sum(CASE WHEN cast(regexp_extract(filename, '([iv_-])(\d{4}-\d{2}-\d{2})', 2) as date)
+                  = date_valid THEN 0 ELSE 1 END) as bigint) AS v5_mismatch,
        count(*) AS n_rows
 FROM files
 """

@@ -45,6 +45,24 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _dtype_class(dt) -> str:
+    """Coarse dtype class for driver-hash prediction: the driver's value
+    hash is rendering-sensitive (int 123 vs float 123.0 vs Decimal('123')
+    hash differently), so any cross-class mismatch between the Spark and
+    DuckDB pandas frames is a failure even when values compare equal.
+    Round-1 lesson (ADVICE.md): DuckDB types uncast SUM(BIGINT) as HUGEINT,
+    which lands in pandas as float64/object while Spark gives int64."""
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "datetime"
+    return "object"
+
+
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     errs = []
     if sorted(sdf.columns) != sorted(odf.columns):
@@ -52,6 +70,29 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
         return errs
     if len(sdf) != len(odf):
         errs.append(f"row count differs: spark={len(sdf)} oracle={len(odf)}")
+        return errs
+    import datetime
+
+    for c in sorted(sdf.columns):
+        sc, oc = _dtype_class(sdf[c].dtype), _dtype_class(odf[c].dtype)
+        # Spark DATE lands in pandas as object(datetime.date) while DuckDB
+        # gives datetime64 — the driver's hash treats these as equal
+        # (trivial_aggs passed r01 with exactly this pairing), so allow it.
+        if {sc, oc} == {"object", "datetime"}:
+            objcol = sdf[c] if sc == "object" else odf[c]
+            if len(objcol) and isinstance(objcol.iloc[0], (datetime.date, datetime.datetime)):
+                continue
+        if sc != oc:
+            errs.append(
+                f"col {c}: dtype class mismatch spark={sdf[c].dtype}({sc}) "
+                f"oracle={odf[c].dtype}({oc}) — driver hash would differ"
+            )
+        elif sc == "object" and len(odf):
+            st = type(sdf[c].iloc[0]).__name__ if len(sdf) else "?"
+            ot = type(odf[c].iloc[0]).__name__
+            if st != ot and {st, ot} != {"str", "str"}:
+                errs.append(f"col {c}: object payload types differ spark={st} oracle={ot}")
+    if errs:
         return errs
     s, o = normalize(sdf), normalize(odf)
     for c in s.columns:
