@@ -9,12 +9,13 @@ Four tiers, each a pure DataFrame composition (no Python UDFs):
                    a stopword appearing in every doc would otherwise
                    produce an n^2 shuffle on one key: the classic hot-key
                    skew, same physics as hot H3 cells).
-* MinHash + LSH  — shingle→minhash→band→bucket-join. Two hash providers:
-                   ``vocab`` (dense-rank word ids — deterministic and
-                   SQL-replicable, used by the DuckDB oracle) and
-                   ``xxhash64`` (the scale path: no global vocab needed).
-* SimHash        — 64-bit sign-sum fingerprint via xxhash64 bit tricks,
-                   hamming-bucketed. (xxhash64 only — no SQL oracle.)
+* MinHash + LSH  — shingle→minhash→band→bucket-join. Word-id providers:
+                   ``md5`` (default: stateless map-side hash, oracle-
+                   replicable — the scale path), ``xxhash64`` (stateless,
+                   cheapest; no oracle), ``vocab`` (dense-rank word ids —
+                   single-partition vocab build; legacy oracle twin only).
+* SimHash        — sign-sum fingerprint over per-word hash bit planes
+                   (``md5`` oracle-replicable default, or ``xxhash64``).
 """
 
 from __future__ import annotations
@@ -106,18 +107,32 @@ def _word_ids(words: DataFrame, strategy: str) -> DataFrame:
         return words.join(vocab, "w").select("doc_id", "wid")
     if strategy == "xxhash64":
         return words.select("doc_id", F.pmod(F.xxhash64("w"), F.lit(MINHASH_P)).alias("wid"))
+    if strategy == "md5":
+        from ..functions.hashing import md5_int
+
+        return words.select("doc_id", md5_int(F.col("w")).alias("wid"))
     raise ValueError(strategy)
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", strategy: str = "vocab"
+    df: DataFrame, text_col: str = "text", strategy: str = "md5"
 ) -> DataFrame:
     """(doc_id, j, mh): k=8 minhash values, mh_j = min((a_j*wid+b_j) % p).
 
-    ``vocab`` ranks words by a global dense_rank (deterministic; the
-    oracle's twin). The single-partition window is the known cost — the
-    scale path is ``xxhash64`` (stateless, no vocab)."""
-    ids = _word_ids(tokenize(df, text_col), strategy)
+    Word-id providers:
+    * ``md5``     — DEFAULT and the scale path: stateless map-side hash
+                    (28-bit md5 prefix), no vocab, AND bit-replicable by
+                    the DuckDB oracle (functions/hashing.py).
+    * ``xxhash64``— stateless scale path, cheapest per byte; no oracle.
+    * ``vocab``   — global dense_rank word ids. Deterministic and human-
+                    readable, but builds the vocabulary through a single-
+                    partition window: keep for small corpora / the legacy
+                    oracle twin only, never for the 100 TB path."""
+    return _signatures_from_words(tokenize(df, text_col), strategy)
+
+
+def _signatures_from_words(words: DataFrame, strategy: str) -> DataFrame:
+    ids = _word_ids(words, strategy)
     params = F.array(
         *[F.struct(F.lit(j).alias("j"), F.lit(a).alias("a"), F.lit(b).alias("b"))
           for j, (a, b) in enumerate(MINHASH_PARAMS)]
@@ -169,29 +184,68 @@ def lsh_candidate_pairs(
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",
-    strategy: str = "vocab",
+    strategy: str = "md5",
     threshold: float = 0.5,
     rows_per_band: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup: candidates from LSH, verified with exact
     Jaccard (filter-refine — same shape as the PIP join). rows_per_band
-    trades candidate volume for recall (1 = high recall)."""
-    cand = lsh_candidate_pairs(minhash_signatures(df, text_col, strategy), rows_per_band)
-    exact = jaccard_pairs(df, threshold=0.0, text_col=text_col)
+    trades candidate volume for recall (1 = high recall).
+
+    The verify stage is CANDIDATE-SCOPED: candidate pairs are joined back
+    to the two word sets and jaccard is computed per candidate only. (The
+    round-1 version intersected candidates with an all-pairs jaccard —
+    recreating the quadratic join LSH exists to avoid.)"""
+    words = tokenize(df, text_col)
+    cand = lsh_candidate_pairs(
+        _signatures_from_words(words, strategy), rows_per_band, max_bucket
+    )
+    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
+    wa = words.select(F.col("doc_id").alias("doc_a"), "w")
+    wb = words.select(F.col("doc_id").alias("doc_b"), "w")
+    shared = (
+        cand.join(wa, "doc_a")
+        .join(wb, ["doc_b", "w"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_words").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_words").alias("nb"))
     return (
-        cand.join(exact, ["doc_a", "doc_b"])
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared")),
+        )
         .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
-    """SimHash fingerprint: per-word xxhash64, sign-sum per bit plane.
+def simhash(
+    df: DataFrame, text_col: str = "text", bits: int = 16, hash: str = "md5"
+) -> DataFrame:
+    """SimHash fingerprint: per-word hash, sign-sum per bit plane.
     Pure relational form: explode words × bit planes, sum(±1), pack.
     (Scale note: bits×words rows are map-side only — the shuffle is the
-    final groupBy(doc_id), one row per doc per bit.)"""
+    final groupBy(doc_id), one row per doc per bit.)
+
+    ``hash="md5"`` (default) draws the bit planes from a 4-hex-char md5
+    prefix — oracle-replicable (functions/hashing.py); ``xxhash64`` is the
+    cheapest-per-byte variant (no oracle). Both are stateless map-side."""
+    if bits > 16 and hash == "md5":
+        raise ValueError("md5 plane source is 16 bits wide")
     words = tokenize(df, text_col)
-    h = F.xxhash64("w")
+    if hash == "md5":
+        from ..functions.hashing import md5_int
+
+        h = md5_int(F.col("w"), hex_chars=4)
+    elif hash == "xxhash64":
+        h = F.xxhash64("w")
+    else:
+        raise ValueError(hash)
     planes = F.sequence(F.lit(0), F.lit(bits - 1))
     exploded = words.select("doc_id", h.alias("h"), F.explode(planes).alias("bit"))
     votes = exploded.groupBy("doc_id", "bit").agg(

@@ -679,9 +679,11 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _JACCARD_ORACLE = """
-WITH words AS (
+WITH words0 AS (
   SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
 ),
+hot AS (SELECT w FROM words0 GROUP BY w HAVING count(*) > 100),
+words AS (SELECT * FROM words0 WHERE w NOT IN (SELECT w FROM hot)),
 sizes AS (SELECT doc_id, count(*) AS n_words FROM words GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
@@ -700,10 +702,13 @@ ORDER BY doc_a, doc_b
 
 @register("near_dup_jaccard", _JACCARD_ORACLE)
 def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-set Jaccard near-dup pairs (threshold 0.6)."""
+    """Exact word-set Jaccard near-dup pairs (threshold 0.6) with the
+    hot-word cap (max_df=100, mirrored in the oracle HAVING): without it
+    one stopword appearing in every doc makes the word self-join O(df^2)
+    on a single key — the cap is mandatory at scale (dedup.py:8-11)."""
     from .operators.dedup import jaccard_pairs
 
-    return jaccard_pairs(_pq(spark, sf_dir, "documents"), threshold=0.6).orderBy(
+    return jaccard_pairs(_pq(spark, sf_dir, "documents"), threshold=0.6, max_df=100).orderBy(
         "doc_a", "doc_b"
     )
 
@@ -752,20 +757,141 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs, max_bucket=50).orderBy("doc_a", "doc_b")
 
 
-@register("simhash_fingerprints", None)  # xxhash64-based: no SQL twin (rows-only check)
+from .functions.hashing import md5_int_sql  # noqa: E402  (oracle twins below)
+
+
+def _minhash_md5_cte(wid_expr: str) -> str:
+    """Shared shingle→minhash→band→cap→candidate CTE chain (md5 word ids);
+    mirrors minhash_signatures(strategy='md5') + lsh_candidate_pairs."""
+    return f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+dw AS (SELECT doc_id, {wid_expr} AS wid FROM words),
+params(j, a, b) AS (VALUES (0,2971,7),(1,3559,11),(2,4111,17),(3,4723,23),
+                           (4,5281,29),(5,5857,31),(6,6421,37),(7,7001,41)),
+sigs AS (
+  SELECT doc_id, j, min((a * wid + b) % 8191) AS mh
+  FROM dw CROSS JOIN params GROUP BY doc_id, j
+),
+band_sig0 AS (
+  SELECT doc_id, j // 2 AS band,
+         sum(mh * CASE WHEN j % 2 = 0 THEN 8191 ELSE 1 END) AS sig
+  FROM sigs GROUP BY doc_id, band
+),
+hot AS (
+  SELECT band, sig FROM band_sig0 GROUP BY band, sig HAVING count(*) > 50
+),
+band_sig AS (
+  SELECT * FROM band_sig0 WHERE (band, sig) NOT IN (SELECT (band, sig) FROM hot)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band_sig a JOIN band_sig b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)"""
+
+
+_MINHASH_MD5_ORACLE = (
+    _minhash_md5_cte(md5_int_sql("w"))
+    + """
+SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b
+"""
+)
+
+
+@register("minhash_lsh_md5", _MINHASH_MD5_ORACLE)
+def minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path MinHash+LSH candidates: stateless md5 word ids — no
+    global vocab window anywhere in the plan (the round-1 vocab variant
+    funnels the vocabulary through one partition). Hot-bucket cap (>50)
+    mirrored in the oracle HAVING. This is the variant bench.py measures."""
+    from .operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    sigs = minhash_signatures(_pq(spark, sf_dir, "documents"), strategy="md5")
+    return lsh_candidate_pairs(sigs, max_bucket=50).orderBy("doc_a", "doc_b")
+
+
+_MINHASH_VERIFIED_ORACLE = (
+    _minhash_md5_cte(md5_int_sql("w"))
+    + """,
+sizes AS (SELECT doc_id, count(*) AS n_words FROM words GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS shared
+  FROM cand c JOIN words wa ON wa.doc_id = c.doc_a
+              JOIN words wb ON wb.doc_id = c.doc_b AND wb.w = wa.w
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       round(cast(shared as double) / (sa.n_words + sb.n_words - shared), 6) AS jaccard
+FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE cast(shared as double) / (sa.n_words + sb.n_words - shared) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+)
+
+
+@register("minhash_dedup_verified", _MINHASH_VERIFIED_ORACLE)
+def minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full filter-refine MinHash dedup with CANDIDATE-SCOPED verification:
+    LSH candidates joined back to the two word sets, jaccard computed per
+    candidate only — never all-pairs (the quadratic join LSH exists to
+    avoid). Oracle replicates candidates AND the scoped verify in SQL."""
+    from .operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(
+        _pq(spark, sf_dir, "documents"), strategy="md5", threshold=0.5, max_bucket=50
+    ).orderBy("doc_a", "doc_b")
+
+
+_SIMHASH_ORACLE = f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+hw AS (SELECT doc_id, {md5_int_sql('w', 4)} AS h FROM words),
+votes AS (
+  SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hw CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bit) bits
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       cast(sum(CASE WHEN v > 0 THEN (cast(1 as bigint) << bit) ELSE 0 END) as bigint) AS simhash
+FROM votes GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("simhash_fingerprints", _SIMHASH_ORACLE)
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 16-bit fingerprints (sign-sum of xxhash64 bit planes)."""
+    """SimHash 16-bit fingerprints: sign-sum of md5-prefix bit planes —
+    stateless map-side hash, one shuffle, full DuckDB oracle."""
     from .operators.dedup import simhash
 
-    return simhash(_pq(spark, sf_dir, "documents")).orderBy("doc_id")
+    return simhash(_pq(spark, sf_dir, "documents"), hash="md5").orderBy("doc_id")
 
 
-@register("doc_fingerprint", None)  # xxhash64-based: no SQL twin (rows-only check)
+_FP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(generate_series(1, len(string_split(text, ' ')))) - 1 AS pos
+  FROM documents
+),
+terms AS (
+  SELECT doc_id,
+         ({md5_int_sql('w')} * ((pos + 17) % 997 + 1)) % 2147483647 AS term
+  FROM toks
+)
+SELECT doc_id, cast(sum(term) as bigint) AS fp FROM terms GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("doc_fingerprint", _FP_ORACLE)
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive positional rolling-hash fingerprint per doc."""
+    """Order-sensitive positional rolling-hash fingerprint per doc (md5
+    word hashes — full DuckDB oracle; zipped-unnest gives positions)."""
     from .operators.text import fingerprint
 
-    return fingerprint(_pq(spark, sf_dir, "documents")).orderBy("doc_id")
+    return fingerprint(_pq(spark, sf_dir, "documents"), hash="md5").orderBy("doc_id")
 
 
 _TOKEN_ORACLE = """

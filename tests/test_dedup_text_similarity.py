@@ -61,6 +61,48 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     assert (0, 1) in set(zip(out2["doc_a"], out2["doc_b"]))
 
 
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_md5_strategy_semantics(spark, docs):
+    from ds_raster_pipelines_spark.operators.dedup import minhash_dedup_pairs, simhash
+    from ds_raster_pipelines_spark.operators.text import fingerprint
+
+    out = minhash_dedup_pairs(docs, strategy="md5", threshold=0.5, rows_per_band=1).toPandas()
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 1) in got and (0, 2) in got  # exact + near dup found
+    jac = out.set_index(["doc_a", "doc_b"])["jaccard"]
+    assert jac[(0, 1)] == 1.0
+    assert abs(jac[(0, 2)] - 5 / 6) < 1e-6  # candidate-scoped verify is exact
+    sh = simhash(docs, hash="md5").toPandas().set_index("doc_id")["simhash"]
+    assert sh[0] == sh[1] and 0 <= sh[0] < (1 << 16)
+    fp = fingerprint(docs, hash="md5").toPandas().set_index("doc_id")["fp"]
+    assert fp[0] == fp[1] and fp[0] != fp[2]  # order/content sensitive
+
+
+def test_dedup_plans_scale_shape(spark, docs):
+    """The scale-path dedup plans must contain no cartesian/nested-loop
+    join (verify is candidate-scoped) and no un-partitioned Window
+    (md5 word ids need no global vocab)."""
+    from ds_raster_pipelines_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_dedup_pairs,
+        minhash_signatures,
+    )
+
+    plans = {
+        "verified": _plan(minhash_dedup_pairs(docs, strategy="md5", threshold=0.5)),
+        "candidates": _plan(lsh_candidate_pairs(minhash_signatures(docs), max_bucket=50)),
+        "jaccard_capped": _plan(jaccard_pairs(docs, threshold=0.5, max_df=10)),
+    }
+    for name, p in plans.items():
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoop" not in p, name
+        assert "Window" not in p, name  # no global-vocab dense_rank
+
+
 def test_simhash_identical_docs_equal(spark, docs):
     from ds_raster_pipelines_spark.operators.dedup import simhash
 
