@@ -24,6 +24,11 @@ from pyspark.sql import Window
 
 QUANT = 1000
 LSH_DIMS = [1, 14, 27, 40]  # 1-based component indices for sign-LSH
+# Independent second hash table for multi-table LSH: a true near-dup pair
+# split by one table's hyperplanes is usually united by the other —
+# recall 1-(1-p)^T for T tables at the cost of T equi-joins (still no
+# cross join anywhere).
+LSH_TABLES = [LSH_DIMS, [7, 20, 33, 46]]
 
 
 def quantize(emb: Column) -> Column:
@@ -41,11 +46,14 @@ def norm2_int(a: Column) -> Column:
     return F.aggregate(F.transform(a, lambda x: x * x), F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
-def lsh_bucket(emb: Column) -> Column:
-    """Sign bits of fixed components, packed to an int bucket id."""
+def lsh_bucket(emb: Column, dims: list[int] | None = None) -> Column:
+    """Sign bits of the ``dims`` components (1-based), packed to an int
+    bucket id — 2^len(dims) buckets. More bits = smaller buckets (lower
+    candidate fan-out) but lower per-table recall; tune bits per corpus
+    density and stack tables (LSH_TABLES) to buy recall back."""
     bits = [
         F.when(F.element_at(emb, d) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i, d in enumerate(LSH_DIMS)
+        for i, d in enumerate(dims or LSH_DIMS)
     ]
     out = bits[0]
     for b in bits[1:]:
@@ -92,8 +100,56 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
     return _ranked(_sim_pairs(queries, corpus, None), k)
 
 
-def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
+def lsh_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5, dims: list[int] | None = None
+) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket."""
-    q = queries.withColumn("bucket", lsh_bucket(F.col("embedding")))
-    c = corpus.withColumn("bucket", lsh_bucket(F.col("embedding")))
+    q = queries.withColumn("bucket", lsh_bucket(F.col("embedding"), dims))
+    c = corpus.withColumn("bucket", lsh_bucket(F.col("embedding"), dims))
     return _ranked(_sim_pairs(q, c, ["bucket"]), k).drop("bucket")
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    tables: list[list[int]] | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via multi-table sign-LSH.
+
+    The scale path for all-pairs near-dup: each table contributes the
+    pairs that collide in its bucket (equi-join on bucket id — never a
+    cross join), tables are unioned and deduped, and the exact integer-
+    quantized cosine is computed per CANDIDATE only. Recall per true pair
+    is 1-(1-p)^T where p = (1 - theta/pi)^bits.
+
+    Output: (id_a, id_b, sim) with id_a < id_b and sim >= threshold.
+    """
+    tables = tables or LSH_TABLES
+    e = df.select(
+        "vec_id",
+        quantize(F.col("embedding")).alias("q"),
+        *[lsh_bucket(F.col("embedding"), t).alias(f"_b{k}") for k, t in enumerate(tables)],
+    )
+    cand = None
+    for k in range(len(tables)):
+        a = e.select(
+            F.col("vec_id").alias("id_a"), F.col("q").alias("qa"), F.col(f"_b{k}").alias("_bk")
+        )
+        b = e.select(
+            F.col("vec_id").alias("id_b"), F.col("q").alias("qb"), F.col(f"_b{k}").alias("_bk")
+        )
+        p = (
+            a.join(b, "_bk")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "qa", "qb")
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    pairs = cand.dropDuplicates(["id_a", "id_b"])
+    sim = dot_int(F.col("qa"), F.col("qb")).cast("double") / F.sqrt(
+        norm2_int(F.col("qa")).cast("double") * norm2_int(F.col("qb")).cast("double")
+    )
+    return (
+        pairs.withColumn("sim", sim)
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )

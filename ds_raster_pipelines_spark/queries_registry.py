@@ -1682,19 +1682,42 @@ def update_latest_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EMB_DUP_ORACLE = """
+def _bucket_sql(dims: list[int]) -> str:
+    """DuckDB twin of similarity.lsh_bucket for one hash table."""
+    return " + ".join(
+        f"(CASE WHEN embedding[{d}] >= 0 THEN {1 << i} ELSE 0 END)" for i, d in enumerate(dims)
+    )
+
+
+def _emb_dup_oracle() -> str:
+    from .operators.similarity import LSH_TABLES
+
+    bucket_cols = ",\n         ".join(
+        f"{_bucket_sql(t)} AS b{k}" for k, t in enumerate(LSH_TABLES)
+    )
+    cand_union = "\n  UNION\n".join(
+        f"""  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.b{k} = b.b{k} AND a.vec_id < b.vec_id"""
+        for k in range(len(LSH_TABLES))
+    )
+    return f"""
 WITH e AS (
   SELECT vec_id,
-         list_transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint)) AS q
+         list_transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint)) AS q,
+         {bucket_cols}
   FROM embeddings
+),
+cand AS (
+{cand_union}
 ),
 dims AS (SELECT unnest(generate_series(1, 64)) AS i),
 ed AS (SELECT vec_id, i, q[i] AS v FROM e, dims),
 norms AS (SELECT vec_id, sum(v * v) AS n2 FROM ed GROUP BY vec_id),
 dots AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot
-  FROM ed a JOIN ed b ON a.i = b.i AND a.vec_id < b.vec_id
-  GROUP BY id_a, id_b
+  SELECT c.id_a, c.id_b, sum(a.v * b.v) AS dot
+  FROM cand c JOIN ed a ON a.vec_id = c.id_a
+              JOIN ed b ON b.vec_id = c.id_b AND b.i = a.i
+  GROUP BY c.id_a, c.id_b
 ),
 sims AS (
   SELECT id_a, id_b,
@@ -1706,26 +1729,15 @@ ORDER BY id_a, id_b
 """
 
 
-@register("embedding_near_dup", _EMB_DUP_ORACLE)
+@register("embedding_near_dup", _emb_dup_oracle())
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (sim >= 0.4) — the
-    embedding-space member of the dedup family; integer-quantized dot
-    products keep it bit-exact across engines."""
-    from .operators.similarity import dot_int, norm2_int, quantize
+    """Embedding-cosine near-duplicate pairs (sim >= 0.4) via multi-table
+    sign-LSH: per-table bucket equi-joins (never a cross join), unioned
+    candidates, exact integer-quantized cosine per candidate only. The
+    oracle replicates the bucket prefilter, so the approximate result is
+    still bit-exact between engines."""
+    from .operators.similarity import lsh_near_dup_pairs
 
-    e = _pq(spark, sf_dir, "embeddings").select(
-        "vec_id", quantize(F.col("embedding")).alias("q")
+    return lsh_near_dup_pairs(_pq(spark, sf_dir, "embeddings"), threshold=0.4).orderBy(
+        "id_a", "id_b"
     )
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("q").alias("qa"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("q").alias("qb"))
-    pairs = (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "sim",
-            dot_int(F.col("qa"), F.col("qb")).cast("double")
-            / F.sqrt(norm2_int(F.col("qa")).cast("double") * norm2_int(F.col("qb")).cast("double")),
-        )
-        .where(F.col("sim") >= 0.4)
-    )
-    return pairs.select("id_a", "id_b", F.round("sim", 6).alias("sim")).orderBy("id_a", "id_b")
