@@ -91,6 +91,7 @@ def images_from_ids(
     id_col: str = "i",
     partitions: int | None = None,
     extra_cols: list[str] | None = None,
+    orientation: str = "canonical",
 ) -> DataFrame:
     """Build the images table from a DataFrame of int64 ids.
 
@@ -102,11 +103,26 @@ def images_from_ids(
     are single parquet files (1 scan partition), which would serialize the
     whole decode on one core. On a real Iceberg corpus the scan already
     has file-level parallelism; pass ``partitions=0`` to skip the shuffle.
+
+    ``orientation`` models the reference's south-up / lon-descending
+    sources (raster_utils.py check-and-flip, F3): ``flip_lon`` stores each
+    tile mirrored along x with ``lon_ascending=false``; ``flip_lat``
+    stores it mirrored along y with ``lat_descending=false``. Footprints
+    are unchanged — only the pixel storage order differs; decode kernels
+    normalize back using the flag columns.
     """
+    if orientation not in ("canonical", "flip_lon", "flip_lat"):
+        raise ValueError(orientation)
     if partitions != 0:
         n_parts = partitions or ids.sparkSession.sparkContext.defaultParallelism
         ids = ids.repartition(n_parts, id_col)
     extra_cols = extra_cols or []
+    orient_meta = []
+    if orientation != "canonical":
+        orient_meta = [
+            F.lit(orientation != "flip_lon").alias("lon_ascending"),
+            F.lit(orientation != "flip_lat").alias("lat_descending"),
+        ]
     meta = ids.select(
         *[F.col(c) for c in extra_cols],
         F.col(id_col).cast("long").alias("i"),
@@ -121,6 +137,7 @@ def images_from_ids(
             "caption"
         ),
         ((F.col(id_col) * F.lit(PHASH_A)) % F.lit(PHASH_P)).cast("long").alias("phash"),
+        *orient_meta,
     )
 
     extra_schema = "".join(
@@ -130,6 +147,9 @@ def images_from_ids(
     )
     out_schema = extra_schema + "i bigint, " + IMAGES_SCHEMA
     out_cols = extra_cols + ["i", "image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    if orientation != "canonical":
+        out_schema += ", lon_ascending boolean, lat_descending boolean"
+        out_cols += ["lon_ascending", "lat_descending"]
 
     def gen_bytes(batches):
         px_base = np.arange(TILE_W, dtype=np.uint8)
@@ -141,7 +161,11 @@ def images_from_ids(
             blobs = []
             for r, f in zip(rows, pdf["fmt"].to_numpy()):
                 tile = np.tile(r, (TILE_H, 1))
-                blobs.append(codecs.encode_tile(tile, f))
+                if orientation == "flip_lon":
+                    tile = tile[:, ::-1]
+                elif orientation == "flip_lat":
+                    tile = tile[::-1, :]
+                blobs.append(codecs.encode_tile(np.ascontiguousarray(tile), f))
             pdf = pdf.assign(bytes=pd.Series(blobs, index=pdf.index, dtype=object))
             yield pdf[out_cols]
 
@@ -180,7 +204,13 @@ def _with_pcell(df: DataFrame, id_col: str = "i") -> DataFrame:
     ).drop("lon_c", "lat_c")
 
 
-def _write_corpus(ids: DataFrame, path: str, id_col: str = "i", n_rows: int | None = None) -> None:
+def _write_corpus(
+    ids: DataFrame,
+    path: str,
+    id_col: str = "i",
+    n_rows: int | None = None,
+    orientation: str = "canonical",
+) -> None:
     """Generate + write the corpus partitioned by pcell.
 
     Order matters at scale: the pcell shuffle happens on the ID STREAM
@@ -199,10 +229,10 @@ def _write_corpus(ids: DataFrame, path: str, id_col: str = "i", n_rows: int | No
     if n_rows >= 500 * (1 << (2 * PCELL_RES + 1)):
         n_parts = max(ids.sparkSession.sparkContext.defaultParallelism * 2, 64)
         ids_p = ids_p.repartitionByRange(n_parts, "pcell", "i")
-        images = images_from_ids(ids_p, partitions=0, extra_cols=["pcell"])
+        images = images_from_ids(ids_p, partitions=0, extra_cols=["pcell"], orientation=orientation)
         images.write.mode("overwrite").partitionBy("pcell").parquet(path)
     else:
-        images = images_from_ids(ids_p, extra_cols=["pcell"])
+        images = images_from_ids(ids_p, extra_cols=["pcell"], orientation=orientation)
         images.write.mode("overwrite").parquet(path)
 
 
@@ -229,6 +259,27 @@ def materialized_images(spark: SparkSession, sf_dir: str, cache_root: str = "/tm
     marker = f"{path}/_SUCCESS"
     if not os.path.exists(marker):
         _write_corpus(images_from_orders(spark, sf_dir), path)
+    return path
+
+
+def materialized_images_flipped(
+    spark: SparkSession,
+    sf_dir: str,
+    orientation: str = "flip_lon",
+    cache_root: str = "/tmp/spark_graft_corpus",
+) -> str:
+    """Same corpus stored in a flipped pixel orientation (F3 ingest case:
+    south-up / lon-descending sources). Footprints identical; the decode
+    kernels must normalize via the lon_ascending/lat_descending columns
+    for downstream stats to match the canonical corpus."""
+    import os
+
+    key = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    path = f"{cache_root}/{CORPUS_VERSION}/{key}_{orientation}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        ids = orders.select(F.col("o_orderkey").alias("i"))
+        _write_corpus(ids, path, orientation=orientation)
     return path
 
 
@@ -275,8 +326,14 @@ def parse_wkb_polygon(data: bytes) -> np.ndarray:
     return ring.reshape(npts, 2).copy()
 
 
-def admin_rects() -> list[dict]:
-    """The 32 deterministic admin rectangles (28 disjoint + 4 hot-stacked)."""
+def admin_rects(offset: float = 0.0) -> list[dict]:
+    """The 32 deterministic admin rectangles (28 disjoint + 4 hot-stacked).
+
+    ``offset`` shifts every bound by a constant (disjointness preserved).
+    A fractional offset makes the rect edges cut through tile interiors,
+    so pixel-window queries become position-sensitive — integer bounds
+    align with the 0.25-deg grid and every window is a (mirror-invariant)
+    full tile, which would make orientation bugs invisible."""
     rects = []
     for j in range(28):
         col, row = j % 7, j // 7
@@ -288,6 +345,8 @@ def admin_rects() -> list[dict]:
     for k in range(4):  # hot region: 4 overlapping rects over one area
         j = 28 + k
         rects.append((j, -60.0 - k, 0.0 - k, -10.0 + k, 30.0 + k))
+    if offset:
+        rects = [(j, a + offset, b + offset, c + offset, d + offset) for j, a, b, c, d in rects]
     out = []
     for j, a, b, c, d in rects:
         out.append(
@@ -305,9 +364,9 @@ def admin_rects() -> list[dict]:
     return out
 
 
-def admin_df(spark: SparkSession) -> DataFrame:
+def admin_df(spark: SparkSession, offset: float = 0.0) -> DataFrame:
     return spark.createDataFrame(
-        pd.DataFrame(admin_rects()),
+        pd.DataFrame(admin_rects(offset)),
         schema=(
             "adm_id string, adm_level int, min_lon double, min_lat double,"
             " max_lon double, max_lat double, geom_wkb binary, area_deg2 double"
@@ -315,11 +374,11 @@ def admin_df(spark: SparkSession) -> DataFrame:
     )
 
 
-def admin_sql_values(alias: str = "admin") -> str:
+def admin_sql_values(alias: str = "admin", offset: float = 0.0) -> str:
     """Inline VALUES relation with identical constants, for the oracle."""
     rows = ",\n    ".join(
         f"('{r['adm_id']}', {r['min_lon']!r}, {r['min_lat']!r}, {r['max_lon']!r}, {r['max_lat']!r})"
-        for r in admin_rects()
+        for r in admin_rects(offset)
     )
     return (
         f"(VALUES\n    {rows}\n) AS {alias}(adm_id, min_lon, min_lat, max_lon, max_lat)"
@@ -353,5 +412,19 @@ def centroid_cols_for_images(df: DataFrame, i_col: str = "i") -> DataFrame:
         {
             "lon_c": F.lit(-180.0) + F.lit(0.25) * ((i * 13) % 1440) + F.lit(0.125),
             "lat_c": F.lit(90.0) - F.lit(0.25) * ((i * 7) % 720) - F.lit(0.125),
+        }
+    )
+
+
+def footprint_cols_for_images(df: DataFrame, i_col: str = "i") -> DataFrame:
+    """Attach the tile footprint anchor (lon0 = west edge, lat_top = north
+    edge) as columns. The raster kernels (operators/raster.py) consume
+    ONLY these columns — the corpus-specific strided-fill formula lives
+    here, not in the operators."""
+    i = F.col(i_col)
+    return df.withColumns(
+        {
+            "lon0": F.lit(-180.0) + F.lit(0.25) * ((i * 13) % 1440),
+            "lat_top": F.lit(90.0) - F.lit(0.25) * ((i * 7) % 720),
         }
     )

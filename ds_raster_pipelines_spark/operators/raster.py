@@ -39,25 +39,42 @@ def _is_axis_rect(ring: np.ndarray) -> bool:
     return len(xs) == 2 and len(ys) == 2
 
 
-def zonal_pixel_stats(images: DataFrame, admin: DataFrame, res: int) -> DataFrame:
+def zonal_pixel_stats(
+    images: DataFrame, admin: DataFrame, res: int, span_deg: float = 0.25
+) -> DataFrame:
     """Per-admin pixel mean/count over decoded tiles.
+
+    ``images`` must carry the footprint anchor columns ``lon0`` (west
+    edge) and ``lat_top`` (north edge); each tile spans ``span_deg``
+    degrees. The kernel is corpus-agnostic — it reads the geo-transform
+    from columns, never from an id formula (attach them with e.g.
+    corpus.footprint_cols_for_images). Tiles stored in flipped pixel
+    order are normalized via optional ``lon_ascending`` /
+    ``lat_descending`` boolean columns (F3 check-and-flip,
+    reference raster_utils.py:42-73).
 
     Output: (adm_id, px_count, px_sum, px_mean) — integer-exact sums, so
     bit-identical across engines and parallelism levels.
     """
+    missing = {"lon0", "lat_top"} - set(images.columns)
+    if missing:
+        raise ValueError(f"images needs footprint columns {sorted(missing)}")
     spark = images.sparkSession
     rows = admin.select("adm_id", "geom_wkb").collect()
     rings = [parse_wkb_polygon(r["geom_wkb"]) for r in rows]
     adm_ids = [r["adm_id"] for r in rows]
+    half = span_deg / 2.0
 
     # 1. prune tiles before decode (broadcast semi-join on covering cells)
-    from ..corpus import centroid_cols_for_images
+    def with_cell(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "cell_id",
+            grid.encode_col(F.col("lon0") + half, F.col("lat_top") - half, res),
+        )
 
-    pts = centroid_cols_for_images(images, "i").withColumn(
-        "cell_id", grid.encode_col(F.col("lon_c"), F.col("lat_c"), res)
-    )
-    # cover expanded by one ring: a 0.25-deg tile can straddle a cell edge,
-    # putting pixels in a covered cell while its centroid cell is outside.
+    pts = with_cell(images)
+    # cover expanded by one ring: a tile can straddle a cell edge, putting
+    # pixels in a covered cell while its centroid cell is outside.
     # All driver-side (admin is broadcast-small): zero planning-time jobs.
     from .pip import cover_cells_driver
 
@@ -71,13 +88,8 @@ def zonal_pixel_stats(images: DataFrame, admin: DataFrame, res: int) -> DataFram
         from ..corpus import PCELL_RES
 
         parents = sorted({int(grid.parent_np(np.asarray([c]), PCELL_RES)[0]) for c in expanded})
-        images = images.where(F.col("pcell").isin(parents)).drop("pcell")
-        pts = centroid_cols_for_images(images, "i").withColumn(
-            "cell_id", grid.encode_col(F.col("lon_c"), F.col("lat_c"), res)
-        )
-    pruned = pts.join(F.broadcast(cover), "cell_id", "left_semi").drop(
-        "cell_id", "lon_c", "lat_c"
-    )
+        pts = with_cell(images.where(F.col("pcell").isin(parents)).drop("pcell"))
+    pruned = pts.join(F.broadcast(cover), "cell_id", "left_semi").drop("cell_id")
 
     # 2. decode + per-polygon masked reduction in one Arrow kernel
     rect_info = []
@@ -97,13 +109,22 @@ def zonal_pixel_stats(images: DataFrame, admin: DataFrame, res: int) -> DataFram
         for b in batches:
             names = b.schema.names
             col = {name: b.column(k) for k, name in enumerate(names)}
-            ii = col["i"].to_numpy(zero_copy_only=False).astype(np.int64)
             fmts = np.asarray(col["fmt"].to_pylist(), dtype=object)
             ws = col["w"].to_numpy(zero_copy_only=False).astype(np.int64)
             hs = col["h"].to_numpy(zero_copy_only=False).astype(np.int64)
             off, data = _binary_offsets_data(col["bytes"])
-            lon0 = -180.0 + 0.25 * ((ii * 13) % 1440)
-            lat_top = 90.0 - 0.25 * ((ii * 7) % 720)
+            lon0 = col["lon0"].to_numpy(zero_copy_only=False).astype(np.float64)
+            lat_top = col["lat_top"].to_numpy(zero_copy_only=False).astype(np.float64)
+            n = b.num_rows
+            # F3 orientation normalization flags (default: canonical)
+            if "lon_ascending" in names:
+                flip_x = ~col["lon_ascending"].to_numpy(zero_copy_only=False).astype(bool)
+            else:
+                flip_x = np.zeros(n, dtype=bool)
+            if "lat_descending" in names:
+                flip_y = ~col["lat_descending"].to_numpy(zero_copy_only=False).astype(bool)
+            else:
+                flip_y = np.zeros(n, dtype=bool)
             out_gi: list[int] = []
             out_cnt: list[int] = []
             out_sum: list[int] = []
@@ -115,6 +136,10 @@ def zonal_pixel_stats(images: DataFrame, admin: DataFrame, res: int) -> DataFram
                     px = decode_tile(
                         data[off[k] : off[k + 1]].tobytes(), fmts[k], int(ws[k]), int(hs[k])
                     )
+                    if flip_x[k]:
+                        px = px[:, ::-1]
+                    if flip_y[k]:
+                        px = px[::-1, :]
                     px_cache[k] = px
                 return px
 
@@ -122,10 +147,10 @@ def zonal_pixel_stats(images: DataFrame, admin: DataFrame, res: int) -> DataFram
             # (numpy broadcast per rect); Python touches only overlapping
             # (tile, rect) pairs.
             for g, A, B, C, D in rect_info:
-                x_lo = np.maximum(0, np.ceil((A - lon0) * 4 * ws - 0.5)).astype(np.int64)
-                x_hi = np.minimum(ws - 1, np.floor((C - lon0) * 4 * ws - 0.5)).astype(np.int64)
-                y_lo = np.maximum(0, np.ceil((lat_top - D) * 4 * hs - 0.5)).astype(np.int64)
-                y_hi = np.minimum(hs - 1, np.floor((lat_top - B) * 4 * hs - 0.5)).astype(np.int64)
+                x_lo = np.maximum(0, np.ceil((A - lon0) * ws / span_deg - 0.5)).astype(np.int64)
+                x_hi = np.minimum(ws - 1, np.floor((C - lon0) * ws / span_deg - 0.5)).astype(np.int64)
+                y_lo = np.maximum(0, np.ceil((lat_top - D) * hs / span_deg - 0.5)).astype(np.int64)
+                y_hi = np.minimum(hs - 1, np.floor((lat_top - B) * hs / span_deg - 0.5)).astype(np.int64)
                 hit = (x_lo <= x_hi) & (y_lo <= y_hi)
                 for k in np.nonzero(hit)[0]:
                     block = tile(k)[y_lo[k] : y_hi[k] + 1, x_lo[k] : x_hi[k] + 1]
@@ -136,11 +161,16 @@ def zonal_pixel_stats(images: DataFrame, admin: DataFrame, res: int) -> DataFram
             for g, ring in generic:
                 rx0, ry0 = ring[:, 0].min(), ring[:, 1].min()
                 rx1, ry1 = ring[:, 0].max(), ring[:, 1].max()
-                hit = (lon0 <= rx1) & (lon0 + 0.25 >= rx0) & (lat_top - 0.25 <= ry1) & (lat_top >= ry0)
+                hit = (
+                    (lon0 <= rx1)
+                    & (lon0 + span_deg >= rx0)
+                    & (lat_top - span_deg <= ry1)
+                    & (lat_top >= ry0)
+                )
                 for k in np.nonzero(hit)[0]:
                     w, h = int(ws[k]), int(hs[k])
-                    gx = lon0[k] + (np.arange(w) + 0.5) * (0.25 / w)
-                    gy = lat_top[k] - (np.arange(h) + 0.5) * (0.25 / h)
+                    gx = lon0[k] + (np.arange(w) + 0.5) * (span_deg / w)
+                    gy = lat_top[k] - (np.arange(h) + 0.5) * (span_deg / h)
                     lon_g, lat_g = np.meshgrid(gx, gy)
                     mask = _points_in_ring(lon_g.ravel(), lat_g.ravel(), ring).reshape(h, w)
                     if not mask.any():
@@ -179,12 +209,18 @@ def zonal_pixel_stats(images: DataFrame, admin: DataFrame, res: int) -> DataFram
     )
 
 
-def vectorize_mask(images: DataFrame, threshold: int) -> DataFrame:
+def vectorize_mask(images: DataFrame, threshold: int, span_deg: float = 0.25) -> DataFrame:
     """Mask→vector extraction: per tile, the bounding boxes of the
     connected runs of pixels >= threshold, emitted as lon/lat rects —
     the inverse kernel of rasterize (reference writes rasters only; this
     gives the engine the mask→polygon direction). Row-run variant (exact
-    for our column-gradient tiles; a full CCL is a plug-in kernel)."""
+    for our column-gradient tiles; a full CCL is a plug-in kernel).
+
+    Requires footprint columns ``lon0``/``lat_top`` (attach with
+    corpus.footprint_cols_for_images); honors the F3 orientation flags."""
+    missing = {"lon0", "lat_top"} - set(images.columns)
+    if missing:
+        raise ValueError(f"images needs footprint columns {sorted(missing)}")
 
     def kernel(batches):
         import pyarrow as pa
@@ -200,22 +236,36 @@ def vectorize_mask(images: DataFrame, threshold: int) -> DataFrame:
             ws = col["w"].to_numpy(zero_copy_only=False)
             hs = col["h"].to_numpy(zero_copy_only=False)
             off, data = _binary_offsets_data(col["bytes"])
+            lon0s = col["lon0"].to_numpy(zero_copy_only=False)
+            lat_tops = col["lat_top"].to_numpy(zero_copy_only=False)
+            if "lon_ascending" in names:
+                flip_x = ~col["lon_ascending"].to_numpy(zero_copy_only=False).astype(bool)
+            else:
+                flip_x = np.zeros(b.num_rows, dtype=bool)
+            if "lat_descending" in names:
+                flip_y = ~col["lat_descending"].to_numpy(zero_copy_only=False).astype(bool)
+            else:
+                flip_y = np.zeros(b.num_rows, dtype=bool)
             o_i, o_minlon, o_minlat, o_maxlon, o_maxlat, o_npx = [], [], [], [], [], []
             for k in range(b.num_rows):
                 i = int(ii[k])
                 w, h = int(ws[k]), int(hs[k])
                 px = decode_tile(data[off[k] : off[k + 1]].tobytes(), fmts[k], w, h)
+                if flip_x[k]:
+                    px = px[:, ::-1]
+                if flip_y[k]:
+                    px = px[::-1, :]
                 mask = px >= threshold
                 if not mask.any():
                     continue
                 ys, xs = np.nonzero(mask)
-                lon0 = -180.0 + 0.25 * ((i * 13) % 1440)
-                lat_top = 90.0 - 0.25 * ((i * 7) % 720)
+                lon0 = float(lon0s[k])
+                lat_top = float(lat_tops[k])
                 o_i.append(i)
-                o_minlon.append(lon0 + xs.min() * 0.25 / w)
-                o_maxlon.append(lon0 + (xs.max() + 1) * 0.25 / w)
-                o_maxlat.append(lat_top - ys.min() * 0.25 / h)
-                o_minlat.append(lat_top - (ys.max() + 1) * 0.25 / h)
+                o_minlon.append(lon0 + xs.min() * span_deg / w)
+                o_maxlon.append(lon0 + (xs.max() + 1) * span_deg / w)
+                o_maxlat.append(lat_top - ys.min() * span_deg / h)
+                o_minlat.append(lat_top - (ys.max() + 1) * span_deg / h)
                 o_npx.append(int(mask.sum()))
             yield pa.RecordBatch.from_arrays(
                 [

@@ -1126,7 +1126,10 @@ def knn_ring_halo(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rio.clip semantics at pixel granularity, with a closed-form oracle.
 # =====================================================================
 
-_ZPS_ORACLE = f"""
+def _zps_oracle(offset: float = 0.0) -> str:
+    """Closed-form pixel-window oracle; ``offset`` selects the shifted
+    admin set (fractional bounds → partial, position-sensitive windows)."""
+    return f"""
 WITH img AS (
   SELECT o_orderkey AS i,
          (o_orderkey % {corpus.C_MOD}) AS c,
@@ -1141,7 +1144,7 @@ win AS (
          least(63,    cast(floor((max_lon - lon0) * 256 - 0.5) as bigint)) AS x_hi,
          greatest(0,  cast(ceil((lat_top - max_lat) * 256 - 0.5) as bigint)) AS y_lo,
          least(63,    cast(floor((lat_top - min_lat) * 256 - 0.5) as bigint)) AS y_hi
-  FROM img JOIN {corpus.admin_sql_values()}
+  FROM img JOIN {corpus.admin_sql_values(offset=offset)}
     ON lon0 <= max_lon AND lon0 + 0.25 >= min_lon
    AND lat_top - 0.25 <= max_lat AND lat_top >= min_lat
 ),
@@ -1163,6 +1166,9 @@ FROM contrib GROUP BY adm_id ORDER BY adm_id
 """
 
 
+_ZPS_ORACLE = _zps_oracle()
+
+
 @register("zonal_pixel_stats", _ZPS_ORACLE)
 def zonal_pixel_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pixel-granularity zonal statistics: decode → rasterize mask →
@@ -1171,8 +1177,29 @@ def zonal_pixel_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     correction) — every decoded pixel is accounted for analytically."""
     from .operators.raster import zonal_pixel_stats
 
-    images = spark.read.parquet(corpus.materialized_images(spark, sf_dir))
+    images = corpus.footprint_cols_for_images(
+        spark.read.parquet(corpus.materialized_images(spark, sf_dir))
+    )
     return zonal_pixel_stats(images, corpus.admin_df(spark), res=6)
+
+
+@register("orientation_flip", _zps_oracle(offset=0.07))
+def orientation_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 orientation check+flip (reference raster_utils.py:42-73): the
+    same corpus stored lon-DESCENDING (mirrored pixel rows,
+    lon_ascending=false). The decode kernel flip-normalizes using the
+    orientation columns, so pixel-level zonal stats must equal the
+    CANONICAL closed-form oracle. The admin set is shifted by a
+    fractional 0.07 deg so rect edges cut tile interiors — partial pixel
+    windows are position-sensitive, making a missing/wrong flip a value
+    divergence (integer-aligned bounds would see only full, mirror-
+    invariant windows)."""
+    from .operators.raster import zonal_pixel_stats
+
+    images = corpus.footprint_cols_for_images(
+        spark.read.parquet(corpus.materialized_images_flipped(spark, sf_dir, "flip_lon"))
+    )
+    return zonal_pixel_stats(images, corpus.admin_df(spark, offset=0.07), res=6)
 
 
 # =====================================================================

@@ -48,7 +48,9 @@ def main(argv: list[str] | None = None) -> int:
         from ds_raster_pipelines_spark import corpus
         from ds_raster_pipelines_spark.operators.raster import zonal_pixel_stats
 
-        images = spark.read.parquet(corpus.materialized_images(spark, args.sf_dir))
+        images = corpus.footprint_cols_for_images(
+            spark.read.parquet(corpus.materialized_images(spark, args.sf_dir))
+        )
         zonal_pixel_stats(images, corpus.admin_df(spark), res=6).orderBy("adm_id").show(
             40, truncate=False
         )

@@ -79,3 +79,28 @@ def test_admin_rects_disjoint_and_hot():
     # all four hot rects share a common region (induces skew)
     assert max(r["min_lon"] for r in hot) < min(r["max_lon"] for r in hot)
     assert max(r["min_lat"] for r in hot) < min(r["max_lat"] for r in hot)
+
+
+def test_orientation_flip_normalization(spark):
+    """F3: a lon-descending corpus (mirrored pixel rows + orientation
+    flags) must produce pixel-level zonal stats identical to the canonical
+    corpus once the kernel flip-normalizes; ignoring the flags diverges."""
+    from ds_raster_pipelines_spark.operators.raster import zonal_pixel_stats
+
+    ids = spark.range(0, 400).withColumnRenamed("id", "i")
+    # fractional admin bounds: rect edges cut tile interiors, so pixel
+    # windows are partial and position-sensitive (integer bounds see only
+    # full windows, which are mirror-invariant — the flip would be hidden)
+    adm = corpus.admin_df(spark, offset=0.07)
+    canon = corpus.footprint_cols_for_images(corpus.images_from_ids(ids))
+    flip = corpus.footprint_cols_for_images(
+        corpus.images_from_ids(ids, orientation="flip_lon")
+    )
+    a = zonal_pixel_stats(canon, adm, res=6).toPandas()
+    b = zonal_pixel_stats(flip, adm, res=6).toPandas()
+    assert a.equals(b)
+    # a reader that drops the orientation flags sees mirrored gradients
+    c = zonal_pixel_stats(
+        flip.drop("lon_ascending", "lat_descending"), adm, res=6
+    ).toPandas()
+    assert not a["px_sum"].equals(c["px_sum"])

@@ -119,7 +119,7 @@ def test_vectorize_mask_golden(spark):
     from ds_raster_pipelines_spark import corpus
     from ds_raster_pipelines_spark.operators.raster import vectorize_mask
 
-    images = corpus.images_from_range(spark, 200)
+    images = corpus.footprint_cols_for_images(corpus.images_from_range(spark, 200))
     out = vectorize_mask(images, threshold=100).toPandas().set_index("i")
     for i in out.index[:20]:
         c = int(i) % 97
