@@ -82,6 +82,33 @@ def validation_report(
     return df.agg(*checks)
 
 
+def metadata_completeness(df: DataFrame, fields: list[str] | None = None) -> DataFrame:
+    """V4 RUNTIME completeness (validation_utils.py:58-84, enforced at
+    pipeline.py:273-274): per-field null-or-empty counts over the 15
+    metadata fields, in ONE aggregate pass. The reference rejects a
+    dataset whose attr is present but empty — a static schema gate cannot
+    see that, so this is a scan-time check (the static dtype/presence
+    gate remains assert_schema).
+
+    Output long-form: (field, n_missing, n_rows), one row per field —
+    valid iff every n_missing is 0.
+    """
+    fields = [f for f in (fields or METADATA_FIELDS) if f in df.columns]
+    if not fields:
+        raise ValueError("none of the metadata fields are present")
+    missing = [
+        F.sum(
+            F.when(F.col(f).isNull() | (F.col(f).cast("string") == ""), 1).otherwise(0)
+        ).alias(f)
+        for f in fields
+    ]
+    wide = df.agg(F.count(F.lit(1)).alias("n_rows"), *missing)
+    stack = ", ".join(f"'{f}', {f}" for f in fields)
+    return wide.select(
+        F.expr(f"stack({len(fields)}, {stack}) as (field, n_missing)"), "n_rows"
+    ).orderBy("field")
+
+
 def assert_schema(df: DataFrame, required: dict[str, str]) -> list[str]:
     """V3/V4: static schema gate — returns a list of problems (empty = ok).
     ``required`` maps column -> simpleString dtype (e.g. 'float')."""

@@ -635,6 +635,66 @@ def validation_leadtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# V4: the 15-field metadata record (reference pipeline.py:74-93) derived
+# from orders with planted missingness — Spark exprs and SQL twins built
+# from ONE table so they cannot drift.
+_V4_FIELDS_SQL: dict[str, str] = {
+    "units": "CASE WHEN o_orderkey % 17 = 0 THEN '' ELSE 'mm' END",
+    "averaging_period": "'monthly'",
+    "grid_resolution": "CASE WHEN o_orderkey % 23 = 0 THEN NULL ELSE 0.25 END",
+    "year_valid": "year(o_orderdate)",
+    "month_valid": "month(o_orderdate)",
+    "date_valid": "cast(o_orderdate as date)",
+    "year_issued": "year(o_orderdate)",
+    "month_issued": "month(o_orderdate)",
+    "date_issued": "CASE WHEN o_orderkey % 29 = 0 THEN NULL ELSE cast(o_orderdate as date) END",
+    "leadtime": "cast(o_orderkey % 7 as int)",
+    "leadtime_units": "'months'",
+    "source": "'synthetic'",
+    "version": "CASE WHEN o_orderkey % 19 = 0 THEN NULL ELSE 'v1' END",
+    "product": "'reanalysis'",
+    "download_date": "cast(o_orderdate as date)",
+}
+
+
+def _v4_oracle() -> str:
+    cols = ",\n         ".join(f"{expr} AS {f}" for f, expr in _V4_FIELDS_SQL.items())
+    counts = ",\n         ".join(
+        f"cast(sum(CASE WHEN {f} IS NULL OR cast({f} as varchar) = '' THEN 1 ELSE 0 END)"
+        f" as bigint) AS {f}"
+        for f in _V4_FIELDS_SQL
+    )
+    branches = "\nUNION ALL ".join(
+        f"SELECT '{f}' AS field, {f} AS n_missing, n_rows FROM agg" for f in _V4_FIELDS_SQL
+    )
+    return f"""
+WITH t AS (
+  SELECT {cols}
+  FROM orders
+),
+agg AS (
+  SELECT count(*) AS n_rows,
+         {counts}
+  FROM t
+)
+{branches}
+ORDER BY field
+"""
+
+
+@register("validation_metadata", _v4_oracle())
+def validation_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4 runtime metadata completeness (validation_utils.py:58-84): the
+    15-field record with deliberately planted empty/null values (units ''
+    at 1/17, grid_resolution NULL at 1/23, version NULL at 1/19,
+    date_issued NULL at 1/29); one aggregate pass, long-form report."""
+    from .operators.validate import metadata_completeness
+
+    o = _pq(spark, sf_dir, "orders")
+    t = o.select(*[F.expr(expr).alias(f) for f, expr in _V4_FIELDS_SQL.items()])
+    return metadata_completeness(t)
+
+
 _SEMI_ORACLE = """
 SELECT n_name, count(*) AS n_suppliers
 FROM supplier JOIN nation ON s_nationkey = n_nationkey

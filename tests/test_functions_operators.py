@@ -144,3 +144,27 @@ def test_validation_report_and_gate(spark):
     assert rep["v1_lon_oob"] == 1 and rep["v1_lat_oob"] == 1
     assert not validated_write_gate(bad, validation_report(bad))
     assert assert_schema(good, {"lon_c": "double", "missing": "int"}) == ["missing column missing"]
+
+
+def test_metadata_completeness_runtime_gate(spark):
+    """V4: present-but-empty attrs must be caught at runtime (the static
+    schema gate cannot see them)."""
+    import pandas as pd
+
+    from ds_raster_pipelines_spark.operators.validate import metadata_completeness
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "units": ["mm", "", "mm"],
+                "source": ["s", "s", None],
+                "version": ["v1", "v1", "v1"],
+            }
+        ),
+        schema="units string, source string, version string",
+    )
+    out = metadata_completeness(df).toPandas().set_index("field")
+    assert out.loc["units", "n_missing"] == 1    # empty string
+    assert out.loc["source", "n_missing"] == 1   # null
+    assert out.loc["version", "n_missing"] == 0
+    assert (out["n_rows"] == 3).all()
