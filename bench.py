@@ -30,16 +30,23 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Bench the SCALE paths (md5 minhash, bucketed LSH), not the oracle-legacy
+# baselines: round-over-round regressions should track the plans that run
+# at 100 TB. ann_cosine_topk stays as the labeled exact-baseline yardstick.
 BENCH_QUERIES = [
     "flagship_zonal_decode",
     "pip_zonal_bbox",
+    "zonal_pixel_stats",
     "q1_pricing_summary",
     "join_customer_revenue",
     "cell_encode_histogram",
     "knn_ring_halo",
     "window_rolling_centered",
-    "minhash_lsh_candidates",
+    "minhash_lsh_md5",
+    "minhash_dedup_verified",
     "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "embedding_near_dup",
     "dedup_exact",
 ]
 
@@ -62,7 +69,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     for name in BENCH_QUERIES:
         best = float("inf")
-        n_reps = reps if name != "minhash_lsh_candidates" else 1
+        n_reps = reps
         for _ in range(n_reps):
             df = qs[name](spark, sf_dir)
             t0 = time.time()
@@ -92,7 +99,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         adm = corpus_mod.admin_df(spark)
         _materialize(flagship(images, adm))
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):  # min-of-3 like every other number on this VM
             t0 = time.time()
             _materialize(flagship(images, adm))
             best = min(best, time.time() - t0)

@@ -232,9 +232,18 @@ def pip_join(
                         axis-aligned rectangle the exact refine lowers to a
                         pure-JVM between-predicate (zero extra Python
                         stages in the task pipeline); otherwise the generic
-                        ray-cast UDF runs. Same results either way.
+                        ray-cast UDF runs.
     ``refine='wkb'``  : force the generic exact ray-cast kernel.
     ``refine='bbox'`` : force the JVM between-predicate (rects only).
+
+    BOUNDARY SEMANTICS CAVEAT: interior points classify identically under
+    every refine mode, but points exactly ON a polygon edge do not —
+    ``bbox`` uses closed intervals (edge point is inside) while the ray
+    cast is half-open at edges (top/right edges exclusive). The synthetic
+    corpus never exercises this (centroids sit at x.125 offsets vs
+    integer/x.07 polygon bounds); for general data pick ONE mode per
+    dataset, or snap coordinates off boundaries first
+    (functions.scalars.snap_coord), before relying on cross-mode equality.
     """
     helper_cols = ["full", "_gi", "_mnx", "_mny", "_mxx", "_mxy"]
     pts = points.withColumn("cell_id", grid.encode_col(F.col(lon_col), F.col(lat_col), res))

@@ -18,12 +18,21 @@ def zonal_stats(
     value_col: str,
     keys: list[str] | None = None,
     round_dp: int | None = 6,
+    fixed_scale: int | None = None,
 ) -> DataFrame:
     """Per-zone avg/min/max/sum/count of ``value_col``.
 
-    ``round_dp`` quantizes float aggregates for cross-engine /
-    cross-parallelism determinism (BASELINE.md correctness gate: identical
-    hashes at local[8] vs local[32]).
+    ``fixed_scale`` accumulates sum/avg in integer fixed-point
+    (sum(round(v*scale) as long) / scale): the aggregate is then exact and
+    ORDER-INDEPENDENT by construction — bit-identical across engines and
+    parallelism for any input, not just inputs whose values happen to be
+    exact binary fractions. Pick scale = 1/resolution of the value domain
+    (the flagship's tile means are multiples of 0.5 → scale 2; raw-double
+    accumulation would only be deterministic here by luck of exactness).
+    min/max are order-independent already and stay on the raw doubles.
+
+    ``round_dp`` additionally quantizes the float outputs (BASELINE.md
+    correctness gate: identical hashes at local[8] vs local[32]).
     """
     keys = keys or ["adm_id"]
     v = F.col(value_col)
@@ -31,10 +40,17 @@ def zonal_stats(
     def r(c):
         return F.round(c, round_dp) if round_dp is not None else c
 
+    if fixed_scale is not None:
+        iv = F.sum(F.round(v * fixed_scale, 0).cast("long")).cast("double")
+        sum_expr = iv / fixed_scale
+        avg_expr = iv / (F.lit(fixed_scale) * F.count(F.lit(1)))
+    else:
+        sum_expr = F.sum(v)
+        avg_expr = F.avg(v)
     return joined.groupBy(*keys).agg(
-        r(F.avg(v)).alias("avg_value"),
+        r(avg_expr).alias("avg_value"),
         r(F.min(v)).alias("min_value"),
         r(F.max(v)).alias("max_value"),
-        r(F.sum(v)).alias("sum_value"),
+        r(sum_expr).alias("sum_value"),
         F.count(F.lit(1)).alias("n_tiles"),
     )

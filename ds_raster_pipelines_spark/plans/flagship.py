@@ -71,8 +71,10 @@ def flagship(
     )
     # no global orderBy: sorting the 32-row zonal output costs a range-
     # sampling job per run; the driver compare is order-insensitive and
-    # consumers sort client-side.
-    return zonal_stats(joined, "mean_value")
+    # consumers sort client-side. fixed_scale=2: tile means are multiples
+    # of 0.5, so the sum/avg accumulate in exact integer half-units —
+    # order-independent by construction, not by luck.
+    return zonal_stats(joined, "mean_value", fixed_scale=2)
 
 
 def flagship_from_orders(spark: SparkSession, sf_dir: str, refine: str = "auto") -> DataFrame:

@@ -103,7 +103,7 @@ def pip_zonal_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     joined = pip_join(pts, corpus.admin_df(spark), res=FLAGSHIP_RES, refine="bbox")
-    return zonal_stats(joined, "mean_value").orderBy("adm_id")
+    return zonal_stats(joined, "mean_value", fixed_scale=2).orderBy("adm_id")
 
 
 @register("pip_zonal_raycast", _FLAGSHIP_ORACLE)
@@ -126,7 +126,7 @@ def pip_zonal_raycast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     joined = pip_join(pts, corpus.admin_df(spark), res=FLAGSHIP_RES, refine="wkb")
-    return zonal_stats(joined, "mean_value").orderBy("adm_id")
+    return zonal_stats(joined, "mean_value", fixed_scale=2).orderBy("adm_id")
 
 
 # =====================================================================
@@ -1525,15 +1525,11 @@ def pip_all_touched(spark: SparkSession, sf_dir: str) -> DataFrame:
         "adm_id", "_mnx", "_mny", "_mxx", "_mxy",
         F.explode(grid.grid_disk_col(F.col("cell_id"), 1, res)).alias("cell_id"),
     ).dropDuplicates(["adm_id", "cell_id"])
-    pts = corpus.centroid_cols_for_images(
-        _pq(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("i"))
-    ).withColumns(
-        {
-            "lon0": F.col("lon_c") - 0.125,
-            "lat_top": F.col("lat_c") + 0.125,
-            "cell_id": grid.encode_col(F.col("lon_c"), F.col("lat_c"), res),
-        }
-    )
+    pts = corpus.footprint_cols_for_images(
+        corpus.centroid_cols_for_images(
+            _pq(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("i"))
+        )
+    ).withColumn("cell_id", grid.encode_col(F.col("lon_c"), F.col("lat_c"), res))
     overlap = (
         (F.col("lon0") <= F.col("_mxx"))
         & (F.col("lon0") + 0.25 >= F.col("_mnx"))
