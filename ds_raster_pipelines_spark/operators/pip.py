@@ -78,23 +78,28 @@ def polygon_cover_cells(admin: DataFrame, res: int) -> DataFrame:
     cols = admin.columns
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..corpus import wkb_polygon_rect
+
         for pdf in batches:
             adm_ids: list[str] = []
             cells: list[np.ndarray] = []
             fulls: list[np.ndarray] = []
-            for _, row in pdf.iterrows():
-                if "geom_wkb" in cols and row.get("geom_wkb") is not None:
-                    ring = parse_wkb_polygon(row["geom_wkb"])
-                else:
-                    ring = parse_wkb_polygon(
-                        __import__(
-                            "ds_raster_pipelines_spark.corpus", fromlist=["wkb_polygon_rect"]
-                        ).wkb_polygon_rect(
-                            row["min_lon"], row["min_lat"], row["max_lon"], row["max_lat"]
-                        )
-                    )
+            has_wkb = "geom_wkb" in cols
+            wkbs = pdf["geom_wkb"] if has_wkb else [None] * len(pdf)
+            bounds = (
+                zip(pdf["min_lon"], pdf["min_lat"], pdf["max_lon"], pdf["max_lat"])
+                if {"min_lon", "min_lat", "max_lon", "max_lat"} <= set(pdf.columns)
+                else [(None,) * 4] * len(pdf)
+            )
+            # per-row loop is over GEOMETRIES (blobs) — plain column zip
+            for adm_id, wkb, bb in zip(pdf["adm_id"], wkbs, bounds):
+                ring = (
+                    parse_wkb_polygon(wkb)
+                    if wkb is not None
+                    else parse_wkb_polygon(wkb_polygon_rect(*bb))
+                )
                 cc, full = _cover_one(ring, res)
-                adm_ids.append(row["adm_id"])
+                adm_ids.append(adm_id)
                 cells.append(cc)
                 fulls.append(full)
             counts = [len(c) for c in cells]

@@ -1,7 +1,9 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
-Image decode is real (codecs.py). Audio/video decode need codec libraries
-absent from this container, so the DECODE STEP is stubbed behind
+Image decode is real (codecs.py). Audio WAV/PCM decode is real too — a
+pure-numpy RIFF parser (uncompressed PCM needs no codec library).
+Compressed audio (mp3/ogg) and video decode need codec libraries absent
+from this container, so THOSE decode steps are stubbed behind
 NotImplementedError — but the Spark-side plumbing (schema, partitioning,
 Arrow batch shape, UDF signatures) is real and tested, with a
 deterministic fake feature extractor standing in for the codec so the
@@ -13,6 +15,7 @@ Schema convention (one table per modality, or a union table with `mod`):
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -22,10 +25,69 @@ from pyspark.sql import DataFrame
 AUDIO_FEATURES_SCHEMA = "media_id string, n_samples bigint, rms double, peak double"
 FRAME_SAMPLE_SCHEMA = "media_id string, frame_idx int, frame_bytes binary"
 
+_WAV_DTYPES = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Mono float[-1,1] -> minimal 16-bit PCM WAV (RIFF) blob."""
+    pcm = np.clip(np.asarray(samples, np.float64), -1.0, 1.0)
+    data = (pcm * 32767.0).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(blob: bytes) -> np.ndarray:
+    """Pure-numpy WAV (RIFF, uncompressed PCM 8/16/32-bit) -> mono float64
+    in [-1, 1] (channels averaged). Chunk-walks the RIFF container, so
+    extra chunks (LIST, fact, ...) are skipped correctly."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    pos, n = 12, len(blob)
+    n_channels = bits = None
+    data = None
+    while pos + 8 <= n:
+        cid = blob[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", blob, pos + 4)
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_format, n_channels, _sr, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if audio_format != 1:
+                raise NotImplementedError(f"WAV audio_format {audio_format} (non-PCM)")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if data is None or bits is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if bits not in _WAV_DTYPES:
+        raise NotImplementedError(f"{bits}-bit PCM")
+    arr = np.frombuffer(data[: len(data) // (bits // 8) * (bits // 8)], _WAV_DTYPES[bits])
+    if bits == 8:
+        pcm = (arr.astype(np.float64) - 128.0) / 128.0
+    else:
+        pcm = arr.astype(np.float64) / float(1 << (bits - 1))
+    if n_channels and n_channels > 1:
+        pcm = pcm[: len(pcm) // n_channels * n_channels].reshape(-1, n_channels).mean(axis=1)
+    return pcm
+
 
 def decode_audio(blob: bytes, codec: str) -> np.ndarray:
-    """Stub: real audio decode requires an audio library (not in this
-    container). The plumbing around this call is real."""
+    """Real decode for container-free formats (wav/pcm16); compressed
+    codecs need an audio library absent from this container and raise.
+    The plumbing around this call is identical either way."""
+    if codec == "wav":
+        return decode_wav(blob)
+    if codec == "pcm16":
+        return _fake_pcm(blob)  # raw little-endian int16 stream
     raise NotImplementedError(f"audio codec {codec!r} not available in this environment")
 
 
@@ -49,14 +111,13 @@ def audio_features(media: DataFrame, use_fake_codec: bool = False) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            mods = pdf["mod"] if "mod" in pdf.columns else ["wav"] * len(pdf)
             out = {"media_id": [], "n_samples": [], "rms": [], "peak": []}
-            for _, row in pdf.iterrows():
-                pcm = (
-                    _fake_pcm(row["bytes"])
-                    if use_fake_codec
-                    else decode_audio(row["bytes"], row.get("mod", "wav"))
-                )
-                out["media_id"].append(row["media_id"])
+            # per-row loop is over BLOBS (payloads dominate); plain column
+            # zip, no pandas row objects in the loop
+            for mid, blob, mod in zip(pdf["media_id"], pdf["bytes"], mods):
+                pcm = _fake_pcm(blob) if use_fake_codec else decode_audio(blob, mod)
+                out["media_id"].append(mid)
                 out["n_samples"].append(len(pcm))
                 out["rms"].append(float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0)
                 out["peak"].append(float(np.abs(pcm).max()) if len(pcm) else 0.0)
@@ -71,17 +132,17 @@ def sample_frames(media: DataFrame, every_n: int = 10, use_fake_codec: bool = Fa
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            mods = pdf["mod"] if "mod" in pdf.columns else ["mp4"] * len(pdf)
             ids, idxs, frames = [], [], []
-            for _, row in pdf.iterrows():
+            for mid, blob, mod in zip(pdf["media_id"], pdf["bytes"], mods):
                 if use_fake_codec:
-                    blob = row["bytes"]
                     step = max(1, every_n)
                     chunks = [blob[k : k + 64] for k in range(0, len(blob), 64)]
                     sampled = chunks[::step]
                 else:
-                    sampled = decode_video_frames(row["bytes"], row.get("mod", "mp4"), every_n)
+                    sampled = decode_video_frames(blob, mod, every_n)
                 for j, fr in enumerate(sampled):
-                    ids.append(row["media_id"])
+                    ids.append(mid)
                     idxs.append(j)
                     frames.append(fr)
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_bytes": frames})

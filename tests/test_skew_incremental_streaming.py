@@ -104,8 +104,10 @@ def test_multimodal_plumbing(spark):
             }
         )
     )
-    # real codec path: stub raises (gated, not silently fake)
-    with pytest.raises(Exception, match="not available"):
+    # real codec path: wav decode is real now, so junk bytes fail the RIFF
+    # parse (not silently fake); compressed codecs stay gated (see
+    # test_wav_decode_real_path for the NotImplementedError stub check)
+    with pytest.raises(Exception, match="RIFF"):
         audio_features(media).collect()
     feats = audio_features(media, use_fake_codec=True).orderBy("media_id").toPandas()
     assert feats["n_samples"].tolist() == [1024, 500]
@@ -131,3 +133,39 @@ def test_vectorize_mask_golden(spark):
     # tiles whose max (c+63) < 100 have no masked pixels → absent
     absent = [i for i in range(200) if (i % 97) + 63 < 100 and corpus.fmt_for(i) != "qnt"]
     assert all(i not in out.index for i in absent)
+
+
+def test_wav_decode_real_path(spark):
+    """Audio WAV decode is REAL (pure-numpy RIFF parser) — features over a
+    synthesized 16-bit PCM WAV must match the analytic signal, through the
+    actual decode_audio path (no fake codec)."""
+    import numpy as np
+    import pandas as pd
+
+    from ds_raster_pipelines_spark.sources.multimodal import (
+        audio_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    t = np.arange(1600) / 16000.0
+    sig = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    blob = encode_wav(sig)
+    rt = decode_wav(blob)
+    assert len(rt) == 1600
+    assert np.abs(rt - sig).max() < 1e-3  # 16-bit quantization only
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": ["w1"], "bytes": [blob], "mod": ["wav"]}),
+        schema="media_id string, bytes binary, mod string",
+    )
+    feats = audio_features(media).toPandas()
+    assert feats.loc[0, "n_samples"] == 1600
+    assert abs(feats.loc[0, "rms"] - 0.5 / np.sqrt(2)) < 1e-3
+    assert abs(feats.loc[0, "peak"] - 0.5) < 1e-3
+    # compressed codecs stay honestly stubbed
+    import pytest as _pytest
+
+    from ds_raster_pipelines_spark.sources.multimodal import decode_audio
+
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"\x00" * 16, "mp3")
