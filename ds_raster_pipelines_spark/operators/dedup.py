@@ -49,6 +49,26 @@ def tokenize(df: DataFrame, text_col: str = "text", out: str = "w") -> DataFrame
     )
 
 
+def tokenize_ngrams(
+    df: DataFrame, n: int = 3, text_col: str = "text", out: str = "w"
+) -> DataFrame:
+    """doc_id + exploded distinct character n-grams — the shingle set that
+    catches near-dups across word-boundary edits (typo'd / concatenated
+    words) which word-set Jaccard misses. Pure Column exprs: sequence of
+    start offsets → substr, explode, distinct. Same downstream family
+    (jaccard/minhash) applies unchanged."""
+    t = F.col(text_col)
+    # guard: Spark's sequence(1, stop) is DESCENDING for stop < 1, so short
+    # texts must produce an empty gram array, not a bogus [1, 0] range
+    grams = F.when(
+        F.length(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (n - 1)), lambda i: t.substr(i, F.lit(n))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select("doc_id", F.explode(grams).alias(out)).distinct()
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: one survivor (min id) per identical content; group size.
     At scale, group on a content hash (xxhash64) instead of the raw text to
@@ -65,14 +85,16 @@ def jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     max_df: int | None = None,
+    ngram: int | None = None,
 ) -> DataFrame:
-    """Exact word-set Jaccard near-dup pairs (doc_a < doc_b, jac >= t).
+    """Exact set-Jaccard near-dup pairs (doc_a < doc_b, jac >= t) over
+    word shingles (default) or character ``ngram``-shingles.
 
-    shared(a,b) via word-wise self-join (one shuffle on word), set sizes
-    via a per-doc aggregate, jaccard = shared / (|A|+|B|-shared) as exact
-    integer arithmetic until the final division.
+    shared(a,b) via shingle-wise self-join (one shuffle on shingle), set
+    sizes via a per-doc aggregate, jaccard = shared / (|A|+|B|-shared) as
+    exact integer arithmetic until the final division.
     """
-    words = tokenize(df, text_col)
+    words = tokenize_ngrams(df, ngram, text_col) if ngram else tokenize(df, text_col)
     if max_df is not None:
         hot = words.groupBy("w").agg(F.count(F.lit(1)).alias("_df")).where(F.col("_df") > max_df)
         words = words.join(hot.select("w"), "w", "left_anti")
@@ -162,7 +184,11 @@ def lsh_candidate_pairs(
         F.col("mh")
         * F.when(F.col("j") % rows_per_band == 0, F.lit(MINHASH_P)).otherwise(F.lit(1)).cast("long"),
     )
-    band_sig = banded.groupBy("doc_id", "band").agg(F.sum("_term").alias("sig"))
+    # band_sig feeds three consumers (hot-bucket census + both join sides)
+    # with different downstream partitionings, so Spark cannot reuse the
+    # exchange — persist it once (docs x bands rows, tiny vs the corpus)
+    # instead of re-deriving the whole tokenize->minhash pipeline 3x.
+    band_sig = banded.groupBy("doc_id", "band").agg(F.sum("_term").alias("sig")).persist()
     if max_bucket is not None:
         hot = (
             band_sig.groupBy("band", "sig")
@@ -196,8 +222,13 @@ def minhash_dedup_pairs(
     The verify stage is CANDIDATE-SCOPED: candidate pairs are joined back
     to the two word sets and jaccard is computed per candidate only. (The
     round-1 version intersected candidates with an all-pairs jaccard —
-    recreating the quadratic join LSH exists to avoid.)"""
-    words = tokenize(df, text_col)
+    recreating the quadratic join LSH exists to avoid.)
+
+    ``words`` feeds four consumers (signatures, sizes, both verify sides)
+    on different join keys — no exchange reuse is possible, so it is
+    persisted once; at warehouse scale stage it as an intermediate table
+    instead (same plan shape, spill-safe)."""
+    words = tokenize(df, text_col).persist()
     cand = lsh_candidate_pairs(
         _signatures_from_words(words, strategy), rows_per_band, max_bucket
     )

@@ -109,6 +109,66 @@ def lsh_topk(
     return _ranked(_sim_pairs(q, c, ["bucket"]), k).drop("bucket")
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-style approximate top-k: inverted-file ANN.
+
+    1. Coarse quantizer: a small centroid table (``centroids`` =
+       (cid, embedding); default: the first ``n_cells`` corpus vectors —
+       the training-free deterministic variant; production plugs k-means
+       centroids trained offline, the operator is identical).
+    2. ASSIGN: every corpus vector goes to its nearest centroid's cell —
+       a broadcast join against n_cells rows, map-side in effect.
+    3. PROBE: each query scores the centroids and searches only its
+       ``nprobe`` nearest cells (equi-join on cell id — never a corpus
+       cross join). Recall/cost dial: nprobe/n_cells.
+    4. Exact integer-quantized cosine within the probed cells, rank top-k.
+
+    Complements sign-LSH (lsh_topk): IVF adapts to the data's density via
+    its centroids where LSH hyperplanes are data-oblivious.
+    """
+    cents = (centroids or corpus.where(F.col("vec_id") < n_cells)).select(
+        F.col("vec_id").alias("cid"), quantize(F.col("embedding")).alias("ce")
+    )
+
+    def nearest_cells(df: DataFrame, id_alias: str, vec_alias: str, take: int) -> DataFrame:
+        x = df.select(
+            F.col("vec_id").alias(id_alias), quantize(F.col("embedding")).alias(vec_alias)
+        )
+        csim = dot_int(F.col(vec_alias), F.col("ce")).cast("double") / F.sqrt(
+            norm2_int(F.col(vec_alias)).cast("double") * norm2_int(F.col("ce")).cast("double")
+        )
+        w = Window.partitionBy(id_alias).orderBy(F.col("_csim").desc(), F.col("cid"))
+        return (
+            x.crossJoin(F.broadcast(cents))  # n_cells-row broadcast product
+            .withColumn("_csim", csim)
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= take)
+            .select(id_alias, vec_alias, "cid")
+        )
+
+    assigned = nearest_cells(corpus, "nid", "ne", 1)
+    probes = nearest_cells(queries, "qid", "qe", nprobe)
+    pairs = (
+        probes.join(assigned, "cid")
+        .where(F.col("qid") != F.col("nid"))
+        .withColumn(
+            "sim",
+            dot_int(F.col("qe"), F.col("ne")).cast("double")
+            / F.sqrt(
+                norm2_int(F.col("qe")).cast("double") * norm2_int(F.col("ne")).cast("double")
+            ),
+        )
+    )
+    return _ranked(pairs, k)
+
+
 def lsh_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.4,

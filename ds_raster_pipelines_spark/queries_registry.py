@@ -817,6 +817,42 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs, max_bucket=50).orderBy("doc_a", "doc_b")
 
 
+_NGRAM_ORACLE = """
+WITH grams0 AS (
+  SELECT DISTINCT doc_id, substring(text, i, 3) AS w
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - 2)) AS i
+        FROM documents)
+),
+hot AS (SELECT w FROM grams0 GROUP BY w HAVING count(*) > 250),
+grams AS (SELECT * FROM grams0 WHERE w NOT IN (SELECT w FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS n_words FROM grams GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM grams a JOIN grams b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+       round(cast(shared as double) / (sa.n_words + sb.n_words - shared), 6) AS jaccard
+FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE cast(shared as double) / (sa.n_words + sb.n_words - shared) >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("near_dup_ngram", _NGRAM_ORACLE)
+def near_dup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 3-gram Jaccard near-dup pairs (threshold 0.8): the
+    shingle family that survives word-boundary edits. Hot-gram cap
+    max_df=250 mirrored in the oracle HAVING — common trigrams ('the',
+    'ing') approach df=n and would make the self-join quadratic."""
+    from .operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(
+        _pq(spark, sf_dir, "documents"), threshold=0.8, max_df=250, ngram=3
+    ).orderBy("doc_a", "doc_b")
+
+
 from .functions.hashing import md5_int_sql  # noqa: E402  (oracle twins below)
 
 
@@ -1146,6 +1182,72 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _pq(spark, sf_dir, "embeddings")
     return lsh_topk(emb.where(F.col("vec_id") < 50), emb, k=5).orderBy("qid", "rank")
+
+
+_ANN_IVF_ORACLE = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint)) AS q
+  FROM embeddings
+),
+dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+ed AS (SELECT vec_id, i, q[i] AS v FROM e, dims),
+ne AS (SELECT vec_id, sum(v * v) AS n2 FROM ed GROUP BY vec_id),
+cd AS (SELECT vec_id AS cid, i, v AS cv FROM ed WHERE vec_id < 16),
+nc AS (SELECT cid, sum(cv * cv) AS n2 FROM cd GROUP BY cid),
+csim AS (
+  SELECT ed.vec_id, cd.cid,
+         cast(sum(v * cv) as double) / sqrt(cast(ne.n2 as double) * cast(nc.n2 as double)) AS sim
+  FROM ed JOIN cd USING (i)
+          JOIN ne ON ne.vec_id = ed.vec_id
+          JOIN nc ON nc.cid = cd.cid
+  GROUP BY ed.vec_id, cd.cid, ne.n2, nc.n2
+),
+assign AS (
+  SELECT vec_id AS nid, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+    FROM csim) WHERE rk = 1
+),
+probes AS (
+  SELECT vec_id AS qid, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+    FROM csim WHERE vec_id < 50) WHERE rk <= 4
+),
+cand AS (SELECT qid, nid FROM probes JOIN assign USING (cid) WHERE qid <> nid),
+dots AS (
+  SELECT c.qid, c.nid, sum(a.v * b.v) AS dot
+  FROM cand c JOIN ed a ON a.vec_id = c.qid
+              JOIN ed b ON b.vec_id = c.nid AND b.i = a.i
+  GROUP BY c.qid, c.nid
+),
+sims AS (
+  SELECT qid, nid,
+         cast(dot as double) / sqrt(cast(na.n2 as double) * cast(nb.n2 as double)) AS sim
+  FROM dots JOIN ne na ON na.vec_id = qid JOIN ne nb ON nb.vec_id = nid
+),
+ranked AS (
+  SELECT qid, nid, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+  FROM sims
+)
+SELECT qid, nid, rank, round(sim, 6) AS sim FROM ranked WHERE rank <= 5
+ORDER BY qid, rank
+"""
+
+
+@register("ann_ivf_topk", _ANN_IVF_ORACLE)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-5: corpus vectors assigned to their nearest of 16
+    coarse cells (broadcast n_cells-row quantizer), queries probe their 4
+    nearest cells, exact cosine within probed cells only — the inverted-
+    file scale path complementing the sign-LSH one. Oracle replicates
+    assign/probe/search fully in SQL."""
+    from .operators.similarity import ivf_topk
+
+    emb = _pq(spark, sf_dir, "embeddings")
+    return ivf_topk(emb.where(F.col("vec_id") < 50), emb, k=5, n_cells=16, nprobe=4).orderBy(
+        "qid", "rank"
+    )
 
 
 _RES_K = 6

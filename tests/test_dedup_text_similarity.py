@@ -190,6 +190,60 @@ def test_lsh_near_dup_recall_and_plan(spark):
     assert recall >= 0.9, f"planted near-dup recall {recall}"
 
 
+def test_ivf_topk_recall_planted(spark):
+    """IVF ANN on planted clusters: near-identical vectors land in the
+    same coarse cell, so probing the query's nearest cells recovers the
+    true neighbors; also check n-gram tokenize goldens here."""
+    import numpy as np
+    import pandas as pd
+
+    from ds_raster_pipelines_spark.operators.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(11)
+    vecs = []
+    for _ in range(12):  # 12 clusters of 5
+        base = rng.normal(size=64)
+        for _ in range(5):
+            v = base + rng.normal(scale=0.03, size=64)
+            vecs.append((v / np.linalg.norm(v)).tolist())
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(len(vecs)), "embedding": vecs}),
+        schema="vec_id long, embedding array<float>",
+    )
+    q = emb.where(F.col("vec_id") < 10)
+    truth = cosine_topk(q, emb, k=4).toPandas()
+    # coarse quantizer = one representative per cluster (the pluggable-
+    # centroid path: production trains k-means offline). Naive "first N
+    # vectors" centroids would be 12 near-identical members of clusters
+    # 1-3 and shred each cluster across several cells — a real IVF
+    # failure mode worth keeping visible here.
+    cents = emb.where(F.col("vec_id") % 5 == 0)
+    got = ivf_topk(q, emb, k=4, nprobe=3, centroids=cents).toPandas()
+    t = set(zip(truth.qid, truth.nid))
+    g = set(zip(got.qid, got.nid))
+    assert len(g & t) / len(t) >= 0.9
+    plan = _plan(ivf_topk(q, emb, k=4, nprobe=3, centroids=cents))
+    # the only nested-loop product allowed is the n_cells-row broadcast
+    assert "CartesianProduct" not in plan
+
+
+def test_tokenize_ngrams_golden(spark):
+    import pandas as pd
+
+    from ds_raster_pipelines_spark.operators.dedup import jaccard_pairs, tokenize_ngrams
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": ["abcd", "abcd", "ab"]})
+    )
+    g = tokenize_ngrams(docs, n=3).toPandas()
+    by_doc = g.groupby("doc_id")["w"].apply(set).to_dict()
+    assert by_doc[0] == {"abc", "bcd"} and by_doc[1] == {"abc", "bcd"}
+    assert 2 not in by_doc  # too short for any 3-gram
+    pairs = jaccard_pairs(docs, threshold=0.9, ngram=3).toPandas()
+    assert set(zip(pairs.doc_a, pairs.doc_b)) == {(0, 1)}
+    assert pairs.jaccard.tolist() == [1.0]
+
+
 def test_knn_ring_join_golden(spark):
     import numpy as np
 
