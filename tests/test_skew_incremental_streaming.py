@@ -169,3 +169,26 @@ def test_wav_decode_real_path(spark):
 
     with _pytest.raises(NotImplementedError):
         decode_audio(b"\x00" * 16, "mp3")
+
+
+def test_stateful_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState: per-user GroupState survives across
+    micro-batches (maxFilesPerTrigger=1 over 4 files) and its FINAL
+    running totals equal the batch aggregate."""
+    from ds_raster_pipelines_spark.streaming.stateful import (
+        running_user_totals_stream,
+        user_totals_batch,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    emitted = running_user_totals_stream(
+        spark, events, str(tmp_path / "stage"), n_files=4, query_name="ut_test"
+    ).toPandas()
+    # multiple emissions per user prove multi-batch state updates ran
+    assert emitted.groupby("user_id").size().max() > 1
+    final = emitted.groupby("user_id").agg(
+        n_events=("n_events", "max"), last_ts_us=("last_ts_us", "max")
+    )
+    batch = user_totals_batch(events).toPandas().set_index("user_id")
+    assert final["n_events"].sort_index().equals(batch["n_events"].sort_index())
+    assert final["last_ts_us"].sort_index().equals(batch["last_ts_us"].sort_index())
