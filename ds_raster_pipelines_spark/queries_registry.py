@@ -1523,6 +1523,49 @@ def bbox_prune_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REQ_ORACLE = f"""
+SELECT count(*) AS n_rows,
+       cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint) AS cents
+FROM orders
+WHERE cast(o_orderdate as date) BETWEEN date '1996-01-01' AND date '1997-12-31'
+  AND cast(o_orderkey % 7 as int) IN (1, 3, 5)
+  AND {_META['lon_c']} BETWEEN 60.0 AND 75.0
+  AND {_META['lat_c']} BETWEEN 29.0 AND 38.0
+"""
+
+
+@register("request_pruned_scan", _REQ_ORACLE)
+def request_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/S8: a MARS/CDS-shaped declarative request (dates x leadtimes x
+    area) compiled to Catalyst-prunable predicates + a coarse cell
+    prefilter (plans/requests.py) — 'query the archive API' becomes
+    'prune the lakehouse scan'. The cell prefilter is a strict superset
+    of the exact bbox, so results equal the plain-WHERE oracle."""
+    from .plans.requests import RequestSpec, pruned_scan
+
+    spec = RequestSpec(
+        "1996-01-01", "1997-12-31", leadtimes=(1, 3, 5), bbox=(60.0, 29.0, 75.0, 38.0)
+    )
+    o = _pq(spark, sf_dir, "orders")
+    t = corpus.centroid_cols_for_images(
+        o.select(F.col("o_orderkey").alias("i"), "o_orderdate", "o_totalprice")
+    ).withColumns(
+        {
+            "leadtime": (F.col("i") % 7).cast("int"),
+            "date": F.to_date("o_orderdate"),
+        }
+    )
+    t = t.withColumn("cell_id", grid.encode_col(F.col("lon_c"), F.col("lat_c"), 6))
+    pr = pruned_scan(
+        t, spec, date_col="date", leadtime_col="leadtime",
+        lon_col="lon_c", lat_col="lat_c", cell_col="cell_id",
+    )
+    return pr.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents"),
+    )
+
+
 _GRACE_ORACLE = """
 WITH expected AS (
   SELECT strftime(unnest(generate_series(date '2000-01-01', date '2000-12-01',

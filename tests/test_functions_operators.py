@@ -168,3 +168,27 @@ def test_metadata_completeness_runtime_gate(spark):
     assert out.loc["source", "n_missing"] == 1   # null
     assert out.loc["version", "n_missing"] == 0
     assert (out["n_rows"] == 3).all()
+
+
+def test_request_spec_pushdown_and_expected(spark):
+    """S7: the declarative request compiles to predicates Catalyst pushes
+    into the parquet scan (PushedFilters on the raw date column), and to
+    the expected-partition grid the backfill anti-join consumes."""
+    from pyspark.sql import functions as F
+
+    from ds_raster_pipelines_spark.plans.requests import (
+        RequestSpec,
+        expected_partitions,
+        pruned_scan,
+    )
+
+    spec = RequestSpec("1996-01-01", "1996-03-31", leadtimes=(1, 2))
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    pr = pruned_scan(
+        o.withColumn("date", F.to_date("o_orderdate")), spec, date_col="date"
+    )
+    plan = pr._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_orderdate" in plan.split("PushedFilters")[1][:200]
+    exp = expected_partitions(spark, spec).toPandas()
+    assert len(exp) == 91 * 2  # 91 days x 2 leadtimes
+    assert set(exp["leadtime"]) == {1, 2}
