@@ -1,0 +1,72 @@
+"""Time-series joins Spark lacks as built-ins (brief: as-of / range join).
+
+``asof_join`` — each probe row picks the build row with the greatest
+``build_ts <= probe_ts`` per key (the "latest reference record as of this
+event" join: forecasts→latest issuance, ticks→latest quote, events→latest
+config). The reference does this imperatively per file pair (latest-wins
+selection in ``floodscan_pipeline.py:292-301``); distributed, the naive
+form is a per-key range join that explodes to |probe|x|build| per key.
+
+Spark-first plan: TAG-UNION + ORDERED WINDOW —
+
+    union(build tagged 0, probe tagged 1)
+      → window per key ordered by (ts, tag)
+      → last(build value, ignoreNulls) over rows unbounded-preceding
+      → keep probe rows
+
+ONE shuffle on the key, sort-based O((n+m) log), no range explosion, no
+cartesian anywhere. Equal timestamps: the build row sorts before the
+probe (tag 0 < 1), giving closed ``<=`` semantics like DuckDB's
+ASOF JOIN (the oracle twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: list[str],
+    probe_ts: str = "ts",
+    build_ts: str = "ts",
+    values: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Probe rows + latest-at-or-before build ``values`` per ``on`` key.
+
+    ``how='inner'`` drops probes with no preceding build row (DuckDB
+    ASOF JOIN semantics); ``'left'`` keeps them with NULL values.
+    Build rows should be unique per (key, build_ts); if not, which
+    equal-timestamp row wins is tie-broken by the value columns' sort
+    order (add a sequence column upstream for full control).
+    """
+    values = values or [c for c in build.columns if c not in set(on) | {build_ts}]
+    b = build.select(
+        *on,
+        F.col(build_ts).cast("timestamp").alias("_ts"),
+        F.lit(0).alias("_src"),
+        *[F.col(v).alias(f"_b_{v}") for v in values],
+    )
+    p = probe.withColumn("_ts", F.col(probe_ts).cast("timestamp")).withColumn(
+        "_src", F.lit(1)
+    )
+    u = p.unionByName(b, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_ts", "_src", *[f"_b_{v}" for v in values])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "*", *[F.last(f"_b_{v}", ignorenulls=True).over(w).alias(v) for v in values]
+    )
+    out = filled.where(F.col("_src") == 1).drop(
+        "_ts", "_src", *[f"_b_{v}" for v in values]
+    )
+    if how == "inner":
+        out = out.na.drop(subset=[values[0]])
+    elif how != "left":
+        raise ValueError(how)
+    return out

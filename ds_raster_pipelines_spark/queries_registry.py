@@ -1566,6 +1566,43 @@ def request_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_ORACLE = """
+WITH refs AS (
+  SELECT user_id, date_trunc('day', ts) AS rts,
+         cast(sum(cast(round(value * 100) as bigint)) as bigint) AS day_cents
+  FROM events GROUP BY user_id, rts
+)
+SELECT p.user_id,
+       count(*) AS n_events,
+       cast(sum(r.day_cents) as bigint) AS matched_cents
+FROM events p ASOF JOIN refs r ON p.user_id = r.user_id AND p.ts >= r.rts
+GROUP BY p.user_id ORDER BY p.user_id
+"""
+
+
+@register("asof_join_daily_ref", _ASOF_ORACLE)
+def asof_join_daily_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/timeseries.py): every event picks its user's
+    latest daily reference record at-or-before the event timestamp —
+    tag-union + ordered window, ONE shuffle per key, no per-key range
+    explosion. Oracle is DuckDB's native ASOF JOIN."""
+    from .operators.timeseries import asof_join
+
+    ev = _pq(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    refs = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("rts")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("day_cents"))
+    joined = asof_join(
+        ev.select("user_id", "ts", "event_id"), refs,
+        on=["user_id"], probe_ts="ts", build_ts="rts", values=["day_cents"],
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("day_cents").alias("matched_cents"))
+        .orderBy("user_id")
+    )
+
+
 _GRACE_ORACLE = """
 WITH expected AS (
   SELECT strftime(unnest(generate_series(date '2000-01-01', date '2000-12-01',

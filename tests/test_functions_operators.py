@@ -192,3 +192,38 @@ def test_request_spec_pushdown_and_expected(spark):
     exp = expected_partitions(spark, spec).toPandas()
     assert len(exp) == 91 * 2  # 91 days x 2 leadtimes
     assert set(exp["leadtime"]) == {1, 2}
+
+
+def test_asof_join_golden(spark):
+    """asof_join: latest-at-or-before semantics, <= at equal timestamps,
+    inner drops unmatched probes, left keeps them NULL; plan has no
+    cartesian (tag-union + window, one shuffle)."""
+    import pandas as pd
+
+    from ds_raster_pipelines_spark.operators.timeseries import asof_join
+
+    build = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [1, 1, 2], "rts": pd.to_datetime(["2020-01-01 00:00:10",
+                                                    "2020-01-01 00:00:20",
+                                                    "2020-01-01 00:00:05"]),
+             "v": ["a", "b", "c"]}
+        )
+    )
+    probe = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [1, 1, 1, 2], "ts": pd.to_datetime(["2020-01-01 00:00:15",
+                                                      "2020-01-01 00:00:20",
+                                                      "2020-01-01 00:00:25",
+                                                      "2020-01-01 00:00:04"]),
+             "pid": [100, 101, 102, 103]}
+        )
+    )
+    out = asof_join(probe, build, on=["k"], probe_ts="ts", build_ts="rts").toPandas()
+    got = out.set_index("pid")["v"].to_dict()
+    assert got == {100: "a", 101: "b", 102: "b"}  # 101: equal ts -> '<=' wins
+    left = asof_join(probe, build, on=["k"], probe_ts="ts", build_ts="rts", how="left")
+    lp = left.toPandas().set_index("pid")["v"]
+    assert lp[103] is None or pd.isna(lp[103])
+    plan = left._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
