@@ -215,7 +215,18 @@ def cover_local(spark, admin: DataFrame, res: int):
             (r["adm_id"], int(c), bool(f), gi, mnx, mny, mxx, mxy)
             for c, f in zip(cells.tolist(), full.tolist())
         )
-    cover = spark.createDataFrame(recs, schema=COVER_SCHEMA).coalesce(1)
+    # Arrow local relation, NOT createDataFrame(python_list): the pickled-
+    # row RDD path costs ~7 s PER EVALUATION on this box (python worker
+    # deserialization) even coalesced to 1 slice, and the cover is
+    # re-evaluated by every broadcast — measured as the entire fixed
+    # overhead of the sf0.1 flagship. The pandas→Arrow path is ~0.25 s.
+    cover = spark.createDataFrame(
+        pd.DataFrame(
+            recs,
+            columns=["adm_id", "cell_id", "full", "_gi", "_mnx", "_mny", "_mxx", "_mxy"],
+        ),
+        schema=COVER_SCHEMA,
+    )
     return rows, rings, cover
 
 

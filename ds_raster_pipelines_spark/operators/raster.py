@@ -81,9 +81,13 @@ def zonal_pixel_stats(
     expanded: set[int] = set()
     for c in cover_cells_driver(rings, res):
         expanded.update(grid.grid_disk_np(c, 1))
+    # pandas→Arrow local relation (the pickled-list path costs ~7 s per
+    # evaluation on this box — see cover_local in pip.py)
+    import pandas as pd
+
     cover = spark.createDataFrame(
-        [(int(c),) for c in sorted(expanded)], schema="cell_id bigint"
-    ).coalesce(1)
+        pd.DataFrame({"cell_id": sorted(int(c) for c in expanded)}), schema="cell_id bigint"
+    )
     if "pcell" in images.columns:  # Iceberg-layout partition pruning
         from ..corpus import PCELL_RES
 
@@ -190,9 +194,12 @@ def zonal_pixel_stats(
     partial = pruned.mapInArrow(kernel, schema=ZONAL_PIXEL_SCHEMA)
 
     # 3. exact integer aggregation + name attach
+    import pandas as pd
+
     idx_df = F.broadcast(
         spark.createDataFrame(
-            [(k, a) for k, a in enumerate(adm_ids)], schema="gi int, adm_id string"
+            pd.DataFrame({"gi": range(len(adm_ids)), "adm_id": adm_ids}),
+            schema="gi int, adm_id string",
         )
     )
     return (

@@ -95,7 +95,11 @@ def expected_partitions(spark: SparkSession, spec: RequestSpec) -> DataFrame:
     dates = spark.range(0, days + 1).select(
         F.date_add(F.lit(spec.date_start).cast("date"), F.col("id").cast("int")).alias("date")
     )
-    lt = spark.createDataFrame([(x,) for x in spec.leadtimes], "leadtime int")
+    import pandas as pd
+
+    lt = spark.createDataFrame(
+        pd.DataFrame({"leadtime": list(spec.leadtimes)}), "leadtime int"
+    )
     return dates.crossJoin(F.broadcast(lt))
 
 

@@ -1392,14 +1392,19 @@ def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_nationkey").alias("k"))
         .distinct()
     )
+    import pandas as pd
+
     return spark.createDataFrame(
-        [
-            (
-                cn.union(sn).distinct().count(),
-                cn.intersect(sn).count(),
-                cn.exceptAll(sn).distinct().count(),
-            )
-        ],
+        pd.DataFrame(
+            [
+                (
+                    cn.union(sn).distinct().count(),
+                    cn.intersect(sn).count(),
+                    cn.exceptAll(sn).distinct().count(),
+                )
+            ],
+            columns=["n_union", "n_intersect", "n_except"],
+        ),
         schema="n_union bigint, n_intersect bigint, n_except bigint",
     ).coalesce(1)
 

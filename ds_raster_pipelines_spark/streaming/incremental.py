@@ -82,7 +82,13 @@ class IncrementalRun:
     def pending_partitions(self, planned: list[int]) -> list[int]:
         """Planned partitions not yet committed — the resume anti-join
         (reference pipeline.py:210)."""
-        plan_df = self.spark.createDataFrame([(int(p),) for p in planned], "part int")
+        import pandas as pd
+
+        # pandas→Arrow local relation (the pickled-list path costs seconds
+        # per evaluation on this box — see cover_local in operators/pip.py)
+        plan_df = self.spark.createDataFrame(
+            pd.DataFrame({"part": [int(p) for p in planned]}), "part int"
+        )
         missing = plan_df.join(self.manifest().select("part"), "part", "left_anti")
         return sorted(r["part"] for r in missing.collect())
 
