@@ -75,18 +75,19 @@ def _sim_pairs(queries: DataFrame, corpus: DataFrame, join_on: list[str] | None)
         F.col("vec_id").alias("qid"),
         quantize(F.col("embedding")).alias("qe"),
         *(join_on or []),
-    )
+    ).withColumn("_nq", norm2_int(F.col("qe")))
     c = corpus.select(
         F.col("vec_id").alias("nid"),
         quantize(F.col("embedding")).alias("ne"),
         *(join_on or []),
-    )
+    ).withColumn("_nn", norm2_int(F.col("ne")))
+    # norms are computed ONCE PER VECTOR before the pair join — inside the
+    # join they would be recomputed per candidate pair (64 mults x 2 per
+    # pair, ~2/3 of the pair work at high fan-out)
     joined = q.join(c, join_on) if join_on else q.crossJoin(c)
     return (
         joined.where(F.col("qid") != F.col("nid"))
         .withColumn("_dot", dot_int(F.col("qe"), F.col("ne")))
-        .withColumn("_nq", norm2_int(F.col("qe")))
-        .withColumn("_nn", norm2_int(F.col("ne")))
         .withColumn(
             "sim",
             F.col("_dot").cast("double")
@@ -136,13 +137,15 @@ def ivf_topk(
     cents = (centroids or corpus.where(F.col("vec_id") < n_cells)).select(
         F.col("vec_id").alias("cid"), quantize(F.col("embedding")).alias("ce")
     )
+    cents = cents.withColumn("_cn2", norm2_int(F.col("ce")))
 
-    def nearest_cells(df: DataFrame, id_alias: str, vec_alias: str, take: int) -> DataFrame:
+    def nearest_cells(df: DataFrame, id_alias: str, vec_alias: str, n2_alias: str, take: int) -> DataFrame:
+        # vector norms computed once per vector, not per centroid / pair
         x = df.select(
             F.col("vec_id").alias(id_alias), quantize(F.col("embedding")).alias(vec_alias)
-        )
+        ).withColumn(n2_alias, norm2_int(F.col(vec_alias)))
         csim = dot_int(F.col(vec_alias), F.col("ce")).cast("double") / F.sqrt(
-            norm2_int(F.col(vec_alias)).cast("double") * norm2_int(F.col("ce")).cast("double")
+            F.col(n2_alias).cast("double") * F.col("_cn2").cast("double")
         )
         w = Window.partitionBy(id_alias).orderBy(F.col("_csim").desc(), F.col("cid"))
         return (
@@ -150,20 +153,18 @@ def ivf_topk(
             .withColumn("_csim", csim)
             .withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") <= take)
-            .select(id_alias, vec_alias, "cid")
+            .select(id_alias, vec_alias, n2_alias, "cid")
         )
 
-    assigned = nearest_cells(corpus, "nid", "ne", 1)
-    probes = nearest_cells(queries, "qid", "qe", nprobe)
+    assigned = nearest_cells(corpus, "nid", "ne", "_nn", 1)
+    probes = nearest_cells(queries, "qid", "qe", "_nq", nprobe)
     pairs = (
         probes.join(assigned, "cid")
         .where(F.col("qid") != F.col("nid"))
         .withColumn(
             "sim",
             dot_int(F.col("qe"), F.col("ne")).cast("double")
-            / F.sqrt(
-                norm2_int(F.col("qe")).cast("double") * norm2_int(F.col("ne")).cast("double")
-            ),
+            / F.sqrt(F.col("_nq").cast("double") * F.col("_nn").cast("double")),
         )
     )
     return _ranked(pairs, k)
@@ -189,24 +190,26 @@ def lsh_near_dup_pairs(
         "vec_id",
         quantize(F.col("embedding")).alias("q"),
         *[lsh_bucket(F.col("embedding"), t).alias(f"_b{k}") for k, t in enumerate(tables)],
-    )
+    ).withColumn("_n2", norm2_int(F.col("q")))  # once per vector, not per pair
     cand = None
     for k in range(len(tables)):
         a = e.select(
-            F.col("vec_id").alias("id_a"), F.col("q").alias("qa"), F.col(f"_b{k}").alias("_bk")
+            F.col("vec_id").alias("id_a"), F.col("q").alias("qa"),
+            F.col("_n2").alias("_na"), F.col(f"_b{k}").alias("_bk"),
         )
         b = e.select(
-            F.col("vec_id").alias("id_b"), F.col("q").alias("qb"), F.col(f"_b{k}").alias("_bk")
+            F.col("vec_id").alias("id_b"), F.col("q").alias("qb"),
+            F.col("_n2").alias("_nb"), F.col(f"_b{k}").alias("_bk"),
         )
         p = (
             a.join(b, "_bk")
             .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "qa", "qb")
+            .select("id_a", "id_b", "qa", "qb", "_na", "_nb")
         )
         cand = p if cand is None else cand.unionByName(p)
     pairs = cand.dropDuplicates(["id_a", "id_b"])
     sim = dot_int(F.col("qa"), F.col("qb")).cast("double") / F.sqrt(
-        norm2_int(F.col("qa")).cast("double") * norm2_int(F.col("qb")).cast("double")
+        F.col("_na").cast("double") * F.col("_nb").cast("double")
     )
     return (
         pairs.withColumn("sim", sim)
