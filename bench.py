@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "flagship_zonal_decode",
     "pip_zonal_bbox",
     "zonal_pixel_stats",
+    "pixel_histogram",
+    "coarsen_resample",
     "q1_pricing_summary",
     "join_customer_revenue",
     "cell_encode_histogram",

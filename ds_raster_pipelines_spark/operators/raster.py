@@ -216,6 +216,135 @@ def zonal_pixel_stats(
     )
 
 
+def pixel_histogram(images: DataFrame) -> DataFrame:
+    """Corpus-wide pixel-value histogram: decode each tile, per-batch
+    uint8 bincount (one numpy pass, no per-pixel Python), emit per-batch
+    partial counts, exact integer groupBy(value) aggregation.
+
+    The map-side bincount is the partial-aggregate trick at kernel level:
+    a batch of B 64x64 tiles leaves the kernel as ≤256 rows, so the
+    shuffle is O(batches x 256) regardless of pixel count — the right
+    shape for value-distribution scans (nodata audits, QC thresholds,
+    radiometric drift) over a 100 TB corpus. Honors the F3 orientation
+    flags trivially (histogram is flip-invariant; flags need no action).
+
+    Output: (value int, n_px bigint), only values that occur.
+    """
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from ..codecs import decode_tile
+        from ..sources.images import _binary_offsets_data
+
+        for b in batches:
+            names = b.schema.names
+            col = {name: b.column(k) for k, name in enumerate(names)}
+            fmts = np.asarray(col["fmt"].to_pylist(), dtype=object)
+            ws = col["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+            hs = col["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+            off, data = _binary_offsets_data(col["bytes"])
+            counts = np.zeros(256, dtype=np.int64)
+            # fixed-size fmts: ONE bincount over the concatenated payloads
+            # (raw and qnt both store decoded-domain bytes — qnt is
+            # LSB-cleared at encode time, codecs.py:82)
+            fixed = (fmts == "raw") | (fmts == "qnt")
+            if fixed.any():
+                idx = np.nonzero(fixed)[0]
+                segs = [data[off[k] : off[k + 1]] for k in idx]
+                raw = np.concatenate(segs) if len(segs) > 1 else segs[0]
+                counts += np.bincount(raw, minlength=256)
+            for k in np.nonzero(~fixed)[0]:
+                px = decode_tile(
+                    data[off[k] : off[k + 1]].tobytes(), fmts[k], int(ws[k]), int(hs[k])
+                )
+                counts += np.bincount(px.ravel(), minlength=256)
+            nz = np.nonzero(counts)[0]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(nz.astype(np.int32)), pa.array(counts[nz])],
+                names=["value", "n_px"],
+            )
+
+    partial = images.mapInArrow(kernel, schema="value int, n_px bigint")
+    return partial.groupBy("value").agg(F.sum("n_px").alias("n_px"))
+
+
+def coarsen_histogram(images: DataFrame, factor: int = 2, quant: int = 1000) -> DataFrame:
+    """Spatial downsample (xarray ``coarsen``-style block mean, the
+    reference's resample-to-coarser-grid step) fused with a value
+    histogram: decode → (h/f, f, w/f, f) block-mean reduction per tile →
+    milli-quantized exact counts. The coarsened pixels never leave the
+    kernel; a batch exits as one row per distinct coarse value — the same
+    map-side-partial shape as pixel_histogram, so resampling a 100 TB
+    corpus shuffles kilobytes.
+
+    Output: (value_milli bigint, n_px bigint) where value_milli =
+    round(block_mean * quant).
+    """
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from ..codecs import decode_tile
+        from ..sources.images import _binary_offsets_data
+
+        for b in batches:
+            names = b.schema.names
+            col = {name: b.column(k) for k, name in enumerate(names)}
+            fmts = np.asarray(col["fmt"].to_pylist(), dtype=object)
+            ws = col["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+            hs = col["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+            off, data = _binary_offsets_data(col["bytes"])
+            acc: dict[int, int] = {}
+
+            def tally(milli: np.ndarray) -> None:
+                vals, cnts = np.unique(milli, return_counts=True)
+                for v, c in zip(vals.tolist(), cnts.tolist()):
+                    acc[v] = acc.get(v, 0) + int(c)
+
+            # fixed-size fmts, grouped by (w, h): bulk-reshape the whole
+            # group's payload to (n, h, w) and block-reduce in ONE numpy
+            # pass — no per-tile Python on the hot path
+            fixed = (fmts == "raw") | (fmts == "qnt")
+            done = np.zeros(b.num_rows, dtype=bool)
+            if fixed.any():
+                for w, h in {(int(ws[k]), int(hs[k])) for k in np.nonzero(fixed)[0]}:
+                    grp = np.nonzero(fixed & (ws == w) & (hs == h))[0]
+                    lens = off[grp + 1] - off[grp]
+                    grp = grp[lens == w * h]  # defensive: malformed rows fall through
+                    if not len(grp):
+                        continue
+                    stack = np.concatenate(
+                        [data[off[k] : off[k + 1]] for k in grp]
+                    ).reshape(len(grp), h, w)
+                    cw, ch = w // factor, h // factor
+                    blocks = (
+                        stack[:, : ch * factor, : cw * factor]
+                        .reshape(len(grp), ch, factor, cw, factor)
+                        .sum(axis=(2, 4), dtype=np.int64)
+                    )
+                    tally(np.rint(blocks * (quant / (factor * factor))).astype(np.int64))
+                    done[grp] = True
+            for k in np.nonzero(~done)[0]:
+                w, h = int(ws[k]), int(hs[k])
+                px = decode_tile(data[off[k] : off[k + 1]].tobytes(), fmts[k], w, h)
+                cw, ch = w // factor, h // factor
+                blocks = (
+                    px[: ch * factor, : cw * factor]
+                    .reshape(ch, factor, cw, factor)
+                    .sum(axis=(1, 3), dtype=np.int64)
+                )
+                tally(np.rint(blocks * (quant / (factor * factor))).astype(np.int64))
+            keys = sorted(acc)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(keys, pa.int64()), pa.array([acc[v] for v in keys], pa.int64())],
+                names=["value_milli", "n_px"],
+            )
+
+    partial = images.mapInArrow(kernel, schema="value_milli bigint, n_px bigint")
+    return partial.groupBy("value_milli").agg(F.sum("n_px").alias("n_px"))
+
+
 def vectorize_mask(images: DataFrame, threshold: int, span_deg: float = 0.25) -> DataFrame:
     """Mask→vector extraction: per tile, the bounding boxes of the
     connected runs of pixels >= threshold, emitted as lon/lat rects —

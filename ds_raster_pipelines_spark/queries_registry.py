@@ -1364,6 +1364,61 @@ def orientation_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal_pixel_stats(images, corpus.admin_df(spark, offset=0.07), res=6)
 
 
+_PXHIST_ORACLE = f"""
+WITH xs AS (SELECT unnest(generate_series(0, 63)) AS x),
+vals AS (
+  SELECT CASE WHEN o_orderkey % 16 = 0
+              THEN (x + o_orderkey % {corpus.C_MOD}) - ((x + o_orderkey % {corpus.C_MOD}) % 2)
+              ELSE x + o_orderkey % {corpus.C_MOD} END AS value
+  FROM orders, xs
+)
+SELECT cast(value as int) AS value, cast(count(*) * 64 as bigint) AS n_px
+FROM vals GROUP BY value ORDER BY value
+"""
+
+
+@register("pixel_histogram", _PXHIST_ORACLE)
+def pixel_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide pixel-value histogram: per-batch uint8 bincount in the
+    decode kernel (a batch of tiles leaves as <=256 rows — map-side
+    partial aggregation at kernel level), exact integer merge. Oracle:
+    every tile column x contributes 64 pixels of value x+c (LSB-cleared
+    for the qnt fmt) — the histogram in closed form."""
+    from .operators.raster import pixel_histogram
+
+    images = spark.read.parquet(corpus.materialized_images(spark, sf_dir))
+    return pixel_histogram(images).orderBy("value")
+
+
+_COARSEN_ORACLE = f"""
+WITH cxs AS (SELECT unnest(generate_series(0, 31)) AS cx),
+vals AS (
+  -- qnt clears each LSB: an even pair (v, v+1) stores (v, v) -> mean v;
+  -- an odd-v pair stores (v-1, v+1) -> mean is STILL v. So the qnt block
+  -- mean is exactly v = 2cx+c; lossless fmts mean to v + 0.5.
+  SELECT CASE WHEN o_orderkey % 16 = 0
+              THEN (2*cx + o_orderkey % {corpus.C_MOD}) * 1000
+              ELSE (2*cx + o_orderkey % {corpus.C_MOD}) * 1000 + 500 END AS value_milli
+  FROM orders, cxs
+)
+SELECT cast(value_milli as bigint) AS value_milli, cast(count(*) * 32 as bigint) AS n_px
+FROM vals GROUP BY value_milli ORDER BY value_milli
+"""
+
+
+@register("coarsen_resample", _COARSEN_ORACLE)
+def coarsen_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-mean spatial downsample (xarray coarsen / resample-to-coarser
+    grid) fused with an exact milli-quantized histogram of the coarsened
+    pixels. Oracle in closed form: a 2x2 block of the column gradient
+    means to 2cx+c+0.5 (qnt: exactly 2cx+c — the LSB-cleared pair
+    (v-1, v+1) still averages to v; 32 rows per tile)."""
+    from .operators.raster import coarsen_histogram
+
+    images = spark.read.parquet(corpus.materialized_images(spark, sf_dir))
+    return coarsen_histogram(images, factor=2).orderBy("value_milli")
+
+
 # =====================================================================
 # Batch 5: set ops / pivot / rollup / windows / pruning / salting
 # =====================================================================
