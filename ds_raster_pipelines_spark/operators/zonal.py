@@ -54,3 +54,33 @@ def zonal_stats(
         r(sum_expr).alias("sum_value"),
         F.count(F.lit(1)).alias("n_tiles"),
     )
+
+
+def zonal_stats_weighted(
+    joined: DataFrame,
+    value_col: str,
+    weight_col: str,
+    keys: list[str] | None = None,
+    round_dp: int | None = 6,
+    fixed_scale: int = 2,
+) -> DataFrame:
+    """Weighted per-zone mean: sum(w*v)/sum(w) — the population- or
+    area-weighted zonal aggregate (the exposure-style consumption of the
+    reference's zonal outputs). Weights must be integers (or pre-quantized
+    to integers) and values quantize by ``fixed_scale``, so both
+    accumulators are exact longs: order-independent, bit-identical across
+    engines and parallelism — never accumulate a float product."""
+    keys = keys or ["adm_id"]
+    w = F.col(weight_col).cast("long")
+    iv = F.round(F.col(value_col) * fixed_scale, 0).cast("long")
+
+    def r(c):
+        return F.round(c, round_dp) if round_dp is not None else c
+
+    return joined.groupBy(*keys).agg(
+        r(
+            F.sum(w * iv).cast("double") / (F.lit(fixed_scale) * F.sum(w))
+        ).alias("wavg_value"),
+        F.sum(w).alias("sum_weight"),
+        F.count(F.lit(1)).alias("n_tiles"),
+    )

@@ -129,6 +129,54 @@ def pip_zonal_raycast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal_stats(joined, "mean_value", fixed_scale=2).orderBy("adm_id")
 
 
+_WZONAL_ORACLE = f"""
+WITH img AS (
+  SELECT {_META['i']} AS i,
+         {_META['decoded_mean']} AS mean_value,
+         {_META['lon_c']} AS lon_c,
+         {_META['lat_c']} AS lat_c,
+         (1 + ({_META['i']} % 7)) AS w
+  FROM orders
+)
+SELECT adm_id,
+       round(cast(sum(w * cast(round(mean_value * 2) as bigint)) as double)
+             / (2 * sum(w)), 6) AS wavg_value,
+       cast(sum(w) as bigint) AS sum_weight,
+       count(*) AS n_tiles
+FROM img JOIN {corpus.admin_sql_values()}
+  ON lon_c BETWEEN min_lon AND max_lon AND lat_c BETWEEN min_lat AND max_lat
+GROUP BY adm_id ORDER BY adm_id
+"""
+
+
+@register("zonal_weighted", _WZONAL_ORACLE)
+def zonal_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 weighted variant: population/area-weighted zonal mean
+    sum(w*v)/sum(w) with BOTH accumulators exact integers (weights are
+    ints, values quantized to half-units) — order-independent by
+    construction. Weights here are synthetic per-tile ints (1 + i%7); in
+    production the weight column is population or cos-lat area, quantized
+    once at ingest."""
+    from .operators.pip import pip_join
+    from .operators.zonal import zonal_stats_weighted
+    from .plans.flagship import FLAGSHIP_RES
+
+    i = F.col("i")
+    c = i % corpus.C_MOD
+    pts = corpus.centroid_cols_for_images(
+        _pq(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("i"))
+        .withColumns(
+            {
+                "mean_value": F.when(i % 16 == 0, c + F.lit(31.0)).otherwise(c + F.lit(31.5)),
+                "w": (F.lit(1) + i % 7).cast("long"),
+            }
+        )
+    )
+    joined = pip_join(pts, corpus.admin_df(spark), res=FLAGSHIP_RES, refine="bbox")
+    return zonal_stats_weighted(joined, "mean_value", "w").orderBy("adm_id")
+
+
 # =====================================================================
 # Relational core over TPC-H-ish tables
 # =====================================================================
