@@ -255,6 +255,62 @@ def minhash_dedup_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup candidate graph → dedup
+    GROUPS (pairs alone under-merge: A~B and B~C must collapse to one
+    survivor even when A~C was never emitted).
+
+    Iterative hash-min label propagation, the GraphX-free Spark form:
+    every node starts labeled with itself; each round every node takes
+    min(own label, neighbors' labels); converged when no label changes
+    (checked with one tiny count per round — O(diameter) rounds, and
+    near-dup cluster diameters are small). Each round is one shuffle on
+    the node id. Output: (node, component) with component = min node id
+    of the component — deterministic regardless of partitioning.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        # localCheckpoint TRUNCATES LINEAGE — without it every round's plan
+        # nests the previous rounds' and the logical tree blows the stack
+        # after ~10 iterations (the classic Spark iterative-algorithm trap;
+        # persist() alone does NOT cut the plan)
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct().withColumn("lbl", F.col("node"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("lbl", "old"), "node")
+            .where(F.col("lbl") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("lbl").alias("component"))
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", bits: int = 16, hash: str = "md5"
 ) -> DataFrame:

@@ -988,6 +988,45 @@ def minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+_CC_ORACLE = (
+    _minhash_md5_cte(md5_int_sql("w")).replace("WITH words", "WITH RECURSIVE words", 1)
+    + """,
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION ALL
+  SELECT doc_b, doc_a FROM cand
+),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+reach AS (
+  SELECT node AS doc, node AS l FROM nodes
+  UNION
+  SELECT s.a, r.l FROM sym s JOIN reach r ON r.doc = s.b
+)
+SELECT doc AS node, cast(min(l) as bigint) AS component
+FROM reach GROUP BY doc ORDER BY node
+"""
+)
+
+
+@register("dedup_components", _CC_ORACLE)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS: connected components over the MinHash-LSH
+    candidate graph (A~B, B~C collapse to one cluster even without an
+    A~C edge) via iterative hash-min label propagation — one shuffle per
+    round, O(cluster diameter) rounds. Oracle: recursive-CTE min-label
+    reachability over the same candidate edges."""
+    from .operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    cand = lsh_candidate_pairs(
+        minhash_signatures(_pq(spark, sf_dir, "documents"), strategy="md5"), max_bucket=50
+    )
+    return connected_components(cand).orderBy("node")
+
+
 _SIMHASH_ORACLE = f"""
 WITH words AS (
   SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents

@@ -259,3 +259,17 @@ def test_knn_ring_join_golden(spark):
     out = halo_counts(df, k=1, res=5).toPandas().set_index("cell_id")["n_neighbors"]
     assert out[cells[0]] == 2 and out[cells[1]] == 3 and out[cells[2]] == 2
     assert out[cells[3]] == 1
+
+
+def test_connected_components_golden(spark):
+    """Chain edges must collapse transitively (A~B, B~C, C~D one group
+    without any A~D edge); min node id labels the component."""
+    import pandas as pd
+
+    from ds_raster_pipelines_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [1, 2, 3, 10], "doc_b": [2, 3, 5, 11]})
+    )
+    out = connected_components(edges).toPandas().set_index("node")["component"].to_dict()
+    assert out == {1: 1, 2: 1, 3: 1, 5: 1, 10: 10, 11: 10}
