@@ -192,3 +192,45 @@ def test_stateful_stream_matches_batch(spark, tmp_path):
     batch = user_totals_batch(events).toPandas().set_index("user_id")
     assert final["n_events"].sort_index().equals(batch["n_events"].sort_index())
     assert final["last_ts_us"].sort_index().equals(batch["last_ts_us"].sort_index())
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Watermark semantics, for real: in append mode a window only emits
+    once the watermark passes its end, and an event older than
+    (max event time - delay) is DROPPED, not aggregated late."""
+    import os
+
+    import pandas as pd
+
+    stage = str(tmp_path / "wm_in")
+    os.makedirs(stage)
+    schema = "ts timestamp, v int"
+
+    def write(times):
+        spark.createDataFrame(
+            pd.DataFrame({"ts": pd.to_datetime(times), "v": [1] * len(times)}),
+            schema=schema,
+        ).write.mode("append").parquet(stage)
+
+    write(["2020-01-01 10:15:00", "2020-01-01 11:05:00"])
+    stream = (
+        spark.readStream.schema(schema).parquet(stage).withWatermark("ts", "2 hours")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("win"))
+        .count()
+        .select(F.col("win.start").alias("win_start"), "count")
+    )
+    q = agg.writeStream.outputMode("append").format("memory").queryName("wm_test").start()
+    try:
+        q.processAllAvailable()  # batch 1: watermark -> 11:05 - 2h = 09:05
+        # batch 2: 08:30 is BEHIND the watermark (dropped); 14:00 advances
+        # the watermark to 12:00, finalizing the 10:00 and 11:00 windows
+        write(["2020-01-01 08:30:00", "2020-01-01 14:00:00"])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT * FROM wm_test").toPandas()
+    starts = set(out["win_start"].dt.strftime("%H:%M"))
+    assert "10:00" in starts and "11:00" in starts  # finalized on watermark pass
+    assert "08:00" not in starts  # late event dropped, never emitted
