@@ -85,6 +85,53 @@ def langid(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> Dat
     return df.withColumn(out, pred).drop(*[f"_s_{lang}" for lang in LANG_MARKERS])
 
 
+def deterministic_sample(
+    df: DataFrame, rate_pct: int, key_col: str = "doc_id", salt: str = "s0"
+) -> DataFrame:
+    """Hash-threshold sampling: keep rows where md5(salt || key) % 100 <
+    rate_pct. Unlike df.sample(), this is (a) REPRODUCIBLE across runs,
+    engines and parallelism (no RNG state), (b) stable under re-partition
+    and incremental reruns (a row's fate depends only on its key), and
+    (c) stratifiable by salting per stratum. The standard trick for
+    train/eval splits over a moving 100 TB corpus — exact oracle twin via
+    the same md5 arithmetic."""
+    from ..functions.hashing import md5_int
+
+    h = md5_int(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    return df.where(h % 100 < rate_pct)
+
+
+def tfidf_top_terms(
+    df: DataFrame, top_k: int = 3, text_col: str = "text", min_df: int = 1
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms: tf = in-doc term count, idf =
+    ln(N / df). One shuffle for document frequencies + one for the final
+    rank window (partitioned by doc — no global window).
+
+    The score is INTEGER MICRO-UNITS: idf is rounded once per distinct df
+    to micro-precision, then multiplied by the integer tf — so ranking
+    and output are exact integer arithmetic (a raw tf*ln(x) double could
+    rank-flip across engines on a last-ulp ln difference). Ties break
+    lexicographically. Output: (doc_id, w, tfidf_micro, rk).
+    """
+    toks = df.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("w")).where(
+        F.col("w") != ""
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select("doc_id").distinct().count()  # one scalar, driver-held
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") >= min_df)
+    from pyspark.sql import Window
+
+    idf_micro = F.round(F.log(F.lit(float(n_docs)) / F.col("df")) * 1e6, 0).cast("long")
+    scored = tf.join(dfreq, "w").withColumn("tfidf_micro", F.col("tf") * idf_micro)
+    w_rank = Window.partitionBy("doc_id").orderBy(F.col("tfidf_micro").desc(), F.col("w"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rank))
+        .where(F.col("rk") <= top_k)
+        .select("doc_id", "w", "tfidf_micro", "rk")
+    )
+
+
 FP_P = (1 << 31) - 1  # keep term products ≤ ~2^41: no int64 overflow
 
 

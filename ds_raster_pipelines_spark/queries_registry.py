@@ -1077,6 +1077,60 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_pq(spark, sf_dir, "documents"), hash="md5").orderBy("doc_id")
 
 
+_SAMPLE_ORACLE = f"""
+SELECT count(*) AS n_sampled,
+       cast(sum(n_chars) as bigint) AS chars_sampled
+FROM documents
+WHERE {md5_int_sql("('s0' || cast(doc_id as varchar))")} % 100 < 10
+"""
+
+
+@register("deterministic_sample", _SAMPLE_ORACLE)
+def deterministic_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-threshold 10% sample: reproducible across runs/engines/
+    parallelism and stable under incremental reruns (a doc's fate depends
+    only on its key + salt) — the train/eval-split primitive df.sample()
+    cannot provide. Oracle applies the identical md5 threshold."""
+    from .operators.text import deterministic_sample
+
+    s = deterministic_sample(_pq(spark, sf_dir, "documents"), rate_pct=10)
+    return s.agg(
+        F.count(F.lit(1)).alias("n_sampled"), F.sum("n_chars").alias("chars_sampled")
+    )
+
+
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM toks WHERE w <> '' GROUP BY doc_id, w),
+dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, w,
+         tf * cast(round(ln(cast(n_docs as double) / df) * 1000000) as bigint) AS tfidf_micro
+  FROM tf JOIN dfreq USING (w) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, w, tfidf_micro,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_micro DESC, w) AS rk
+  FROM scored
+)
+SELECT doc_id, w, cast(tfidf_micro as bigint) AS tfidf_micro, rk
+FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
+"""
+
+
+@register("tfidf_top_terms", _TFIDF_ORACLE)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF terms in integer micro-units (idf rounded once
+    per distinct df, then exact integer products — rank order cannot flip
+    on a last-ulp ln difference between engines)."""
+    from .operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_pq(spark, sf_dir, "documents"), top_k=3).orderBy("doc_id", "rk")
+
+
 _TOKEN_ORACLE = """
 SELECT lang,
        cast(sum(len(string_split(text, ' '))) as bigint) AS total_tokens,
