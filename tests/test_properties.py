@@ -1,0 +1,137 @@
+"""Property-based tests (hypothesis) for the pure-math layers — no Spark
+session needed, so hundreds of examples run in milliseconds.
+
+Grid invariants are the load-bearing ones: every spatial join, prune and
+rollup in the engine assumes encode/centroid/parent/cover behave like a
+proper hierarchical cell index for ARBITRARY coordinates, not just the
+synthetic corpus's 0.25-degree lattice.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ds_raster_pipelines_spark import grid
+
+LON = st.floats(min_value=-180.0, max_value=179.999999, allow_nan=False)
+LAT = st.floats(min_value=-89.999999, max_value=89.999999, allow_nan=False)
+RES = st.integers(min_value=0, max_value=10)
+
+
+@settings(max_examples=300, deadline=None)
+@given(LON, LAT, RES)
+def test_grid_centroid_roundtrip(lon, lat, res):
+    """encode(centroid(encode(p))) == encode(p): the centroid of a cell
+    re-encodes to the same cell (idempotent quantization)."""
+    c = grid.encode_np(np.array([lon]), np.array([lat]), res)
+    clon, clat = grid.centroid_np(c)
+    c2 = grid.encode_np(clon, clat, res)
+    assert c2[0] == c[0]
+
+
+@settings(max_examples=300, deadline=None)
+@given(LON, LAT, RES)
+def test_grid_bounds_contain_point(lon, lat, res):
+    """A point's cell bounds contain the point, up to one float rounding
+    at a cell edge (a point within an ulp of a boundary may quantize to
+    either side — hypothesis found lon=-2e-309 landing in the [0,180)
+    cell; harmless because EVERY path quantizes identically, so joins
+    and prunes still agree)."""
+    c = grid.encode_np(np.array([lon]), np.array([lat]), res)
+    mnx, mny, mxx, mxy = grid.cell_bounds_np(c)
+    eps_x = (mxx[0] - mnx[0]) * 1e-9 + 1e-12
+    eps_y = (mxy[0] - mny[0]) * 1e-9 + 1e-12
+    assert mnx[0] - eps_x <= lon <= mxx[0] + eps_x
+    assert mny[0] - eps_y <= lat <= mxy[0] + eps_y
+
+
+@settings(max_examples=300, deadline=None)
+@given(LON, LAT, st.integers(min_value=2, max_value=10), st.integers(min_value=0, max_value=4))
+def test_grid_parent_consistency(lon, lat, res, up):
+    """parent(encode(p, res)) == encode(p, res-up): coarsening the cell
+    equals encoding at the coarser resolution — the rollup invariant."""
+    pres = res - up
+    if pres < 0:
+        return
+    child = grid.encode_np(np.array([lon]), np.array([lat]), res)
+    parent = grid.parent_np(child, pres)
+    direct = grid.encode_np(np.array([lon]), np.array([lat]), pres)
+    assert parent[0] == direct[0]
+
+
+@settings(max_examples=150, deadline=None)
+@given(LON, LAT, st.integers(min_value=1, max_value=8), st.integers(min_value=1, max_value=2))
+def test_grid_disk_contains_self_and_is_symmetric(lon, lat, res, k):
+    """grid_disk(c, k) contains c, and neighborhood is symmetric:
+    a in disk(b) iff b in disk(a) (the halo-join correctness condition)."""
+    c = int(grid.encode_np(np.array([lon]), np.array([lat]), res)[0])
+    disk = set(grid.grid_disk_np(c, k))
+    assert c in disk
+    for n in list(disk)[:8]:
+        assert c in set(grid.grid_disk_np(int(n), k))
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.floats(min_value=-179.0, max_value=178.0, allow_nan=False),
+    st.floats(min_value=-89.0, max_value=88.0, allow_nan=False),
+    st.floats(min_value=0.001, max_value=5.0, allow_nan=False),
+    st.floats(min_value=0.001, max_value=5.0, allow_nan=False),
+    st.integers(min_value=2, max_value=7),
+)
+def test_cover_rect_covers_interior_points(lon, lat, w, h, res):
+    """Every point inside a rect encodes into some cell of the rect's
+    cover — the PIP-join candidate-completeness invariant (a missed cover
+    cell would silently drop tiles from zonal stats)."""
+    max_lon, max_lat = min(lon + w, 179.999), min(lat + h, 89.999)
+    cover = set(grid.cover_rect_np(lon, lat, max_lon, max_lat, res).tolist())
+    # probe the corners and center
+    for plon, plat in [
+        (lon, lat),
+        (max_lon - 1e-9, lat),
+        (lon, max_lat - 1e-9),
+        (max_lon - 1e-9, max_lat - 1e-9),
+        ((lon + max_lon) / 2, (lat + max_lat) / 2),
+    ]:
+        c = int(grid.encode_np(np.array([plon]), np.array([plat]), res)[0])
+        assert c in cover
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 50), st.integers(0, 50)), min_size=1, max_size=40))
+def test_connected_components_reference(edges):
+    """Spark CC result == a reference union-find on random small graphs
+    (run through the same label-propagation math in numpy)."""
+    # pure-python union-find reference
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    nodes = set()
+    for a, b in edges:
+        union(a, b)
+        nodes.update((a, b))
+    expect = {n: find(n) for n in nodes}
+    # hash-min propagation reference (mirrors operators/dedup.connected_components)
+    sym = {(a, b) for a, b in edges} | {(b, a) for a, b in edges}
+    lbl = {n: n for n in nodes}
+    for _ in range(len(nodes) + 1):
+        new = dict(lbl)
+        for a, b in sym:
+            new[a] = min(new[a], lbl[b])
+        if new == lbl:
+            break
+        lbl = new
+    assert lbl == expect
