@@ -26,6 +26,34 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to the
+    previous event of the same key exceeds ``gap_minutes``. lag + running
+    sum over a PER-KEY window (never a global window): one shuffle on the
+    key, then two windowed passes over sorted partitions. ``order_cols``
+    breaks timestamp ties deterministically.
+
+    Output: events + session_id (1-based per key).
+    """
+    order_cols = order_cols or []
+    w = Window.partitionBy(key_col).orderBy(ts_col, *order_cols)
+    ts = F.col(ts_col).cast("timestamp")
+    prev = F.lag(ts).over(w)
+    new_sess = F.when(
+        prev.isNull() | (ts.cast("long") - prev.cast("long") > gap_minutes * 60), 1
+    ).otherwise(0)
+    return events.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+
+
 def asof_join(
     probe: DataFrame,
     build: DataFrame,

@@ -1804,6 +1804,55 @@ def asof_join_daily_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESS_ORACLE = """
+WITH marks AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marks
+),
+per_sess AS (
+  SELECT user_id, session_id, count(*) AS n FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id,
+       cast(max(session_id) as bigint) AS n_sessions,
+       cast(max(n) as bigint) AS max_session_events,
+       count(*) AS n_events
+FROM sess JOIN per_sess USING (user_id, session_id)
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register("sessionize_events", _SESS_ORACLE)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap): lag + running sum over
+    PER-KEY windows (one shuffle on user_id, no global window); per-user
+    session census. The batch form of session_window streaming."""
+    from .operators.timeseries import sessionize
+
+    ev = _pq(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    s = sessionize(ev, gap_minutes=30, order_cols=["event_id"])
+    per_sess = s.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        s.join(per_sess, ["user_id", "session_id"])
+        .groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.max("n").alias("max_session_events"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 _GRACE_ORACLE = """
 WITH expected AS (
   SELECT strftime(unnest(generate_series(date '2000-01-01', date '2000-12-01',
