@@ -40,6 +40,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # bucketed-table writes (co-located joins) go to /tmp, not the repo
+        .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
+        .config(
+            "spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/spark_graft_derby"
+        )
         .config("spark.python.worker.reuse", "true")
         # glibc in the Python workers munmaps every Arrow/numpy batch
         # buffer (>128 KB) immediately; under 32-way concurrency the

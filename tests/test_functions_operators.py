@@ -227,3 +227,34 @@ def test_asof_join_golden(spark):
     assert lp[103] is None or pd.isna(lp[103])
     plan = left._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Bucketing for co-located joins: two tables bucketed+sorted on the
+    join key join WITHOUT any Exchange — the pre-shuffled layout big
+    fact-to-fact joins need at 100 TB (broadcast only fits small dims)."""
+    from pyspark.sql import functions as F
+
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS bkt_a")
+    spark.sql("DROP TABLE IF EXISTS bkt_b")
+    # a fresh derby metastore may not know about stale warehouse dirs
+    for t in ("bkt_a", "bkt_b"):
+        shutil.rmtree(f"/tmp/spark_graft_warehouse/{t}", ignore_errors=True)
+    a = spark.range(0, 10000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(0, 10000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    a.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bkt_a")
+    b.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bkt_b")
+    # small test tables would auto-broadcast; at fact-to-fact scale they
+    # would not — force the SMJ path the bucketing exists for
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: zero shuffle
+        assert joined.count() == 10000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

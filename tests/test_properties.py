@@ -135,3 +135,23 @@ def test_connected_components_reference(edges):
             break
         lbl = new
     assert lbl == expect
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=255),
+    st.sampled_from(["raw", "png", "qnt"]),
+)
+def test_codec_roundtrip_properties(offset, fmt):
+    """raw/png are lossless roundtrips; qnt clears exactly the LSB
+    (error <= 1, PSNR >= 40 dB) — the lossy-format contract."""
+    from ds_raster_pipelines_spark import codecs
+
+    px = (np.arange(64, dtype=np.int32)[None, :] + offset).astype(np.uint8)
+    tile = np.tile(px, (64, 1))
+    out = codecs.decode_tile(codecs.encode_tile(tile, fmt), fmt, 64, 64)
+    if fmt in ("raw", "png"):
+        assert np.array_equal(out, tile)
+    else:
+        assert np.abs(out.astype(int) - tile.astype(int)).max() <= 1
+        assert codecs.psnr(tile, out) >= 40.0
