@@ -1505,6 +1505,39 @@ def orientation_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal_pixel_stats(images, corpus.admin_df(spark, offset=0.07), res=6)
 
 
+_QUANT_ORACLE = """
+SELECT o_orderpriority,
+       quantile_cont(cast(round(o_totalprice * 100) as bigint), 0.5) AS p50_cents,
+       quantile_cont(cast(round(o_totalprice * 100) as bigint), 0.9) AS p90_cents,
+       quantile_cont(cast(round(o_totalprice * 100) as bigint), 0.99) AS p99_cents,
+       count(*) AS n
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@register("quantile_summary", _QUANT_ORACLE)
+def quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group: Spark `percentile` and
+    DuckDB `quantile_cont` share linear-interpolation semantics and are
+    bit-identical over integer cents (verified incl. fractional
+    interpolation). Exact percentile is sort-based per group — fine for
+    bounded-cardinality groups; for free-scale groups the operator to
+    reach for is approx_percentile (t-digest), which trades exactness
+    and thus has no bit-exact oracle."""
+    cents = "cast(round(o_totalprice * 100) as long)"
+    return (
+        _pq(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr(f"percentile({cents}, 0.5)").alias("p50_cents"),
+            F.expr(f"percentile({cents}, 0.9)").alias("p90_cents"),
+            F.expr(f"percentile({cents}, 0.99)").alias("p99_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 _PXHIST_ORACLE = f"""
 WITH xs AS (SELECT unnest(generate_series(0, 63)) AS x),
 vals AS (
