@@ -40,6 +40,26 @@ MINHASH_PARAMS = [
 ]
 
 
+# Persisted shared intermediates (words / band_sig) must stay cached until
+# the caller materializes the returned plan, so they cannot be unpersisted
+# inside the operator that created them. Each new top-level invocation
+# instead releases the PREVIOUS one's blocks first, bounding cache growth to
+# one run (bench reps and 65-query oracle sweeps in a single session no
+# longer accumulate blocks for the session lifetime).
+_CACHED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    _CACHED.append(df.persist())
+    return _CACHED[-1]
+
+
+def release_cached() -> None:
+    """Unpersist intermediates cached by earlier dedup invocations."""
+    while _CACHED:
+        _CACHED.pop().unpersist()
+
+
 def tokenize(df: DataFrame, text_col: str = "text", out: str = "w") -> DataFrame:
     """doc_id + exploded distinct words (the shingle set)."""
     return (
@@ -166,7 +186,10 @@ def _signatures_from_words(words: DataFrame, strategy: str) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, rows_per_band: int = 2, max_bucket: int | None = None
+    sigs: DataFrame,
+    rows_per_band: int = 2,
+    max_bucket: int | None = None,
+    _fresh: bool = True,
 ) -> DataFrame:
     """Band the signatures and bucket-join: docs sharing any full band are
     candidates. Band signature packed as an integer (order-free sum of
@@ -179,6 +202,8 @@ def lsh_candidate_pairs(
     exact dedup / union-find on a sample than via all-pairs."""
     if rows_per_band not in (1, 2):
         raise ValueError("packed band signature implemented for rows_per_band in {1, 2}")
+    if _fresh:  # top-level call: free the previous invocation's blocks
+        release_cached()
     banded = sigs.withColumn("band", F.floor(F.col("j") / rows_per_band)).withColumn(
         "_term",
         F.col("mh")
@@ -188,7 +213,7 @@ def lsh_candidate_pairs(
     # with different downstream partitionings, so Spark cannot reuse the
     # exchange — persist it once (docs x bands rows, tiny vs the corpus)
     # instead of re-deriving the whole tokenize->minhash pipeline 3x.
-    band_sig = banded.groupBy("doc_id", "band").agg(F.sum("_term").alias("sig")).persist()
+    band_sig = _persist(banded.groupBy("doc_id", "band").agg(F.sum("_term").alias("sig")))
     if max_bucket is not None:
         hot = (
             band_sig.groupBy("band", "sig")
@@ -228,9 +253,10 @@ def minhash_dedup_pairs(
     on different join keys — no exchange reuse is possible, so it is
     persisted once; at warehouse scale stage it as an intermediate table
     instead (same plan shape, spill-safe)."""
-    words = tokenize(df, text_col).persist()
+    release_cached()  # free the previous invocation's blocks
+    words = _persist(tokenize(df, text_col))
     cand = lsh_candidate_pairs(
-        _signatures_from_words(words, strategy), rows_per_band, max_bucket
+        _signatures_from_words(words, strategy), rows_per_band, max_bucket, _fresh=False
     )
     sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
     wa = words.select(F.col("doc_id").alias("doc_a"), "w")
@@ -308,6 +334,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Exhausting max_iter with labels still changing means the returned
+        # labels are NOT components (under-merged) — never return silently
+        # wrong groups; at scale there is no oracle gate to catch it.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "component diameter exceeds max_iter — raise max_iter"
+        )
     return labels.select("node", F.col("lbl").alias("component"))
 
 

@@ -73,14 +73,19 @@ def zonal_pixel_stats(
         )
 
     pts = with_cell(images)
-    # cover expanded by one ring: a tile can straddle a cell edge, putting
-    # pixels in a covered cell while its centroid cell is outside.
+    # cover expanded by straddle rings: a tile can straddle a cell edge,
+    # putting pixels in a covered cell while its centroid cell is outside.
+    # The ring count scales with the tile span — a fixed one-ring disk
+    # silently drops contributing tiles once span_deg exceeds the cell
+    # width at ``res`` (5.625 deg at res 6).
     # All driver-side (admin is broadcast-small): zero planning-time jobs.
     from .pip import cover_cells_driver
 
+    cell_width = 360.0 / grid.nx_ny(res)[0]
+    n_rings = max(1, int(np.ceil(span_deg / cell_width)))
     expanded: set[int] = set()
     for c in cover_cells_driver(rings, res):
-        expanded.update(grid.grid_disk_np(c, 1))
+        expanded.update(grid.grid_disk_np(c, n_rings))
     # pandas→Arrow local relation (the pickled-list path costs ~7 s per
     # evaluation on this box — see cover_local in pip.py)
     import pandas as pd

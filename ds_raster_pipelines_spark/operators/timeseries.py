@@ -45,8 +45,13 @@ def sessionize(
     w = Window.partitionBy(key_col).orderBy(ts_col, *order_cols)
     ts = F.col(ts_col).cast("timestamp")
     prev = F.lag(ts).over(w)
+    # Compare in INTEGER MICROSECONDS: cast('long') truncates to seconds,
+    # so a sub-second-resolution gap within ~1 s of the threshold would
+    # classify differently here vs an epoch_us oracle — exact on both
+    # sides by construction, not by data luck.
+    gap_us = F.unix_micros(ts) - F.unix_micros(prev)
     new_sess = F.when(
-        prev.isNull() | (ts.cast("long") - prev.cast("long") > gap_minutes * 60), 1
+        prev.isNull() | (gap_us > gap_minutes * 60_000_000), 1
     ).otherwise(0)
     return events.withColumn(
         "session_id",
@@ -76,6 +81,10 @@ def asof_join(
         *on,
         F.col(build_ts).cast("timestamp").alias("_ts"),
         F.lit(0).alias("_src"),
+        # explicit match flag: "no preceding build row" must be detected by
+        # this flag, not by values[0] being NULL — a matched build row whose
+        # first value column is legitimately NULL is still a match
+        F.lit(1).alias("_b__hit"),
         *[F.col(v).alias(f"_b_{v}") for v in values],
     )
     p = probe.withColumn("_ts", F.col(probe_ts).cast("timestamp")).withColumn(
@@ -88,13 +97,13 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(
-        "*", *[F.last(f"_b_{v}", ignorenulls=True).over(w).alias(v) for v in values]
+        "*",
+        F.last("_b__hit", ignorenulls=True).over(w).alias("_hit"),
+        *[F.last(f"_b_{v}", ignorenulls=True).over(w).alias(v) for v in values],
     )
-    out = filled.where(F.col("_src") == 1).drop(
-        "_ts", "_src", *[f"_b_{v}" for v in values]
-    )
+    out = filled.where(F.col("_src") == 1)
     if how == "inner":
-        out = out.na.drop(subset=[values[0]])
+        out = out.where(F.col("_hit") == 1)
     elif how != "left":
         raise ValueError(how)
-    return out
+    return out.drop("_ts", "_src", "_b__hit", "_hit", *[f"_b_{v}" for v in values])

@@ -1841,7 +1841,7 @@ _SESS_ORACLE = """
 WITH marks AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
