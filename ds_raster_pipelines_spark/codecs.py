@@ -22,7 +22,7 @@ import zlib
 
 import numpy as np
 
-LOSSLESS_FMTS = frozenset({"raw", "png"})
+LOSSLESS_FMTS = frozenset({"raw", "png", "tif", "cog"})
 LOSSY_FMTS = frozenset({"qnt"})
 ALL_FMTS = LOSSLESS_FMTS | LOSSY_FMTS
 
@@ -92,6 +92,14 @@ def encode_tile(pixels: np.ndarray, fmt: str) -> bytes:
         return encode_png(pixels)
     if fmt == "qnt":
         return encode_qnt(pixels)
+    if fmt == "tif":  # strip-based PackBits TIFF (tiff.py, from scratch)
+        from . import tiff
+
+        return tiff.encode_tif(pixels)
+    if fmt == "cog":  # tiled TIFF + overview IFD — the COG sink shape
+        from . import tiff
+
+        return tiff.encode_cog(pixels)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -101,6 +109,10 @@ def decode_tile(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         return decode_raw(data, w, h)
     if fmt == "png":
         return decode_png(data)
+    if fmt in ("tif", "cog"):  # both read the full-resolution IFD
+        from . import tiff
+
+        return tiff.decode_tif(data)
     if fmt in ("jpg", "jpeg", "webp"):
         # Real lossy codecs need an imaging lib absent from this container;
         # the 'qnt' format stands in for the lossy path (PSNR gate).

@@ -92,6 +92,7 @@ def images_from_ids(
     partitions: int | None = None,
     extra_cols: list[str] | None = None,
     orientation: str = "canonical",
+    fmt_override: str | None = None,
 ) -> DataFrame:
     """Build the images table from a DataFrame of int64 ids.
 
@@ -110,9 +111,15 @@ def images_from_ids(
     stores it mirrored along y with ``lat_descending=false``. Footprints
     are unchanged — only the pixel storage order differs; decode kernels
     normalize back using the flag columns.
+
+    ``fmt_override`` stores every tile in one format instead of the
+    default raw/png/qnt mix — e.g. ``"tif"`` (strip PackBits TIFF) or
+    ``"cog"`` (tiled TIFF + overview), the reference's on-disk formats.
     """
     if orientation not in ("canonical", "flip_lon", "flip_lat"):
         raise ValueError(orientation)
+    if fmt_override is not None and fmt_override not in codecs.ALL_FMTS:
+        raise ValueError(fmt_override)
     if partitions != 0:
         n_parts = partitions or ids.sparkSession.sparkContext.defaultParallelism
         ids = ids.repartition(n_parts, id_col)
@@ -129,10 +136,13 @@ def images_from_ids(
         F.format_string("img%010d", F.col(id_col)).alias("image_id"),
         F.lit(TILE_W).cast("int").alias("w"),
         F.lit(TILE_H).cast("int").alias("h"),
-        F.when(F.col(id_col) % 16 == 0, "qnt")
-        .when(F.col(id_col) % 4 == 0, "png")
-        .otherwise("raw")
-        .alias("fmt"),
+        (
+            F.lit(fmt_override)
+            if fmt_override
+            else F.when(F.col(id_col) % 16 == 0, "qnt")
+            .when(F.col(id_col) % 4 == 0, "png")
+            .otherwise("raw")
+        ).alias("fmt"),
         F.concat(F.lit("tile "), F.col(id_col).cast("string"), F.lit(" of synthetic corpus")).alias(
             "caption"
         ),
@@ -210,6 +220,7 @@ def _write_corpus(
     id_col: str = "i",
     n_rows: int | None = None,
     orientation: str = "canonical",
+    fmt_override: str | None = None,
 ) -> None:
     """Generate + write the corpus partitioned by pcell.
 
@@ -229,10 +240,15 @@ def _write_corpus(
     if n_rows >= 500 * (1 << (2 * PCELL_RES + 1)):
         n_parts = max(ids.sparkSession.sparkContext.defaultParallelism * 2, 64)
         ids_p = ids_p.repartitionByRange(n_parts, "pcell", "i")
-        images = images_from_ids(ids_p, partitions=0, extra_cols=["pcell"], orientation=orientation)
+        images = images_from_ids(
+            ids_p, partitions=0, extra_cols=["pcell"], orientation=orientation,
+            fmt_override=fmt_override,
+        )
         images.write.mode("overwrite").partitionBy("pcell").parquet(path)
     else:
-        images = images_from_ids(ids_p, extra_cols=["pcell"], orientation=orientation)
+        images = images_from_ids(
+            ids_p, extra_cols=["pcell"], orientation=orientation, fmt_override=fmt_override
+        )
         images.write.mode("overwrite").parquet(path)
 
 
@@ -280,6 +296,28 @@ def materialized_images_flipped(
         orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
         ids = orders.select(F.col("o_orderkey").alias("i"))
         _write_corpus(ids, path, orientation=orientation)
+    return path
+
+
+def materialized_images_fmt(
+    spark: SparkSession,
+    sf_dir: str,
+    fmt: str = "tif",
+    cache_root: str = "/tmp/spark_graft_corpus",
+) -> str:
+    """Same corpus stored with every tile in one on-disk format — e.g.
+    ``tif`` (strip PackBits) / ``cog`` (tiled + overview), the reference's
+    actual raster containers (floodscan_pipeline.py:384, pipeline.py:277).
+    Pixel values identical to the canonical corpus (both lossless), so the
+    closed-form pixel oracles apply with the qnt branch dropped."""
+    import os
+
+    key = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    path = f"{cache_root}/{CORPUS_VERSION}/{key}_{fmt}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        ids = orders.select(F.col("o_orderkey").alias("i"))
+        _write_corpus(ids, path, fmt_override=fmt)
     return path
 
 

@@ -1429,9 +1429,18 @@ def knn_ring_halo(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rio.clip semantics at pixel granularity, with a closed-form oracle.
 # =====================================================================
 
-def _zps_oracle(offset: float = 0.0) -> str:
+def _zps_oracle(offset: float = 0.0, lossless: bool = False) -> str:
     """Closed-form pixel-window oracle; ``offset`` selects the shifted
-    admin set (fractional bounds → partial, position-sensitive windows)."""
+    admin set (fractional bounds → partial, position-sensitive windows).
+    ``lossless=True`` drops the qnt LSB correction (single-format corpora
+    like tif/cog, where every tile round-trips bit-exactly)."""
+    qnt_term = (
+        "0"
+        if lossless
+        else """CASE WHEN fmt = 'qnt'
+                THEN (y_hi - y_lo + 1) * (((x_hi + c + 1) // 2) - ((x_lo + c) // 2))
+                ELSE 0 END"""
+    )
     return f"""
 WITH img AS (
   SELECT o_orderkey AS i,
@@ -1456,9 +1465,7 @@ contrib AS (
          (y_hi - y_lo + 1) * (x_hi - x_lo + 1) AS cnt,
          (y_hi - y_lo + 1)
            * ((x_hi - x_lo + 1) * c + (x_hi * (x_hi + 1) - (x_lo - 1) * x_lo) // 2)
-         - CASE WHEN fmt = 'qnt'
-                THEN (y_hi - y_lo + 1) * (((x_hi + c + 1) // 2) - ((x_lo + c) // 2))
-                ELSE 0 END AS s
+         - {qnt_term} AS s
   FROM win WHERE x_lo <= x_hi AND y_lo <= y_hi
 )
 SELECT adm_id,
@@ -1503,6 +1510,23 @@ def orientation_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(corpus.materialized_images_flipped(spark, sf_dir, "flip_lon"))
     )
     return zonal_pixel_stats(images, corpus.admin_df(spark, offset=0.07), res=6)
+
+
+@register("zonal_pixel_stats_tif", _zps_oracle(offset=0.03, lossless=True))
+def zonal_pixel_stats_tif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-level zonal stats over a corpus stored as REAL strip-PackBits
+    TIFF bytes (tiff.py, from-scratch baseline codec — the reference's
+    on-disk raster container, floodscan_pipeline.py:384). Admin set is
+    shifted 0.03 deg so pixel windows are partial and position-sensitive:
+    a decode/reassembly bug in the TIFF path becomes a value divergence,
+    not just a crash. Oracle = the same closed-form pixel-window algebra
+    with the lossy branch dropped (tif is lossless)."""
+    from .operators.raster import zonal_pixel_stats
+
+    images = corpus.footprint_cols_for_images(
+        spark.read.parquet(corpus.materialized_images_fmt(spark, sf_dir, "tif"))
+    )
+    return zonal_pixel_stats(images, corpus.admin_df(spark, offset=0.03), res=6)
 
 
 _QUANT_ORACLE = """

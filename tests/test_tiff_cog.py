@@ -1,0 +1,101 @@
+"""TIFF codec (strips/tiles, PackBits) + COG sink round-trip gates."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ds_raster_pipelines_spark import codecs, corpus, tiff
+
+
+@pytest.mark.parametrize("comp", [tiff.COMP_NONE, tiff.COMP_PACKBITS])
+@pytest.mark.parametrize(
+    "shape", [(64, 64), (70, 50), (16, 16), (1, 1), (33, 129)]
+)
+def test_tif_strip_and_cog_roundtrip(comp, shape):
+    rng = np.random.default_rng(shape[0] * 1000 + shape[1])
+    for px in (
+        rng.integers(0, 256, size=shape, dtype=np.uint8),  # incompressible
+        np.full(shape, 7, dtype=np.uint8),  # one run
+        np.tile(np.arange(shape[1], dtype=np.uint8), (shape[0], 1)),  # gradient
+    ):
+        assert np.array_equal(tiff.decode_tif(tiff.encode_tif(px, compression=comp)), px)
+        c = tiff.encode_cog(px, compression=comp)
+        assert np.array_equal(tiff.decode_tif(c), px)
+        if shape[0] % 2 == 0 and shape[1] % 2 == 0:
+            assert np.array_equal(tiff.decode_tif_overview(c), tiff.overview_2x(px))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=600))
+def test_packbits_roundtrip_property(raw):
+    assert tiff.packbits_decode(tiff.packbits_encode(raw), len(raw)) == raw
+
+
+def test_packbits_prefers_runs():
+    run_heavy = bytes([9] * 4096)
+    assert len(tiff.packbits_encode(run_heavy)) <= 2 * (4096 // 128 + 1)
+
+
+def test_corpus_fmt_tif_decodes_to_ground_truth():
+    for i in [0, 1, 4, 16, 97, 1439]:
+        px = corpus.pixels_for(i)
+        for fmt in ("tif", "cog"):
+            blob = codecs.encode_tile(px, fmt)
+            assert blob[:4] == b"II*\x00"
+            assert np.array_equal(
+                codecs.decode_tile(blob, fmt, corpus.TILE_W, corpus.TILE_H), px
+            )
+
+
+def test_cog_sink_write_rescan_identical(spark, tmp_path):
+    """S12 gate: decode → COG re-encode → validated write → rescan must
+    reproduce the pre-sink pixel stats bit-exactly (the reference's
+    validate-then-write-COG flow, pipeline.py:262-293)."""
+    from ds_raster_pipelines_spark.operators.raster import zonal_pixel_stats
+    from ds_raster_pipelines_spark.sinks import reencode_cog, write_cog_corpus
+
+    ids = spark.range(0, 300).withColumnRenamed("id", "i")
+    images = corpus.images_from_ids(ids)  # mixed raw/png/qnt
+    adm = corpus.admin_df(spark, offset=0.07)
+    before = zonal_pixel_stats(
+        corpus.footprint_cols_for_images(images), adm, res=6
+    ).toPandas()
+
+    # green report -> write happens
+    ok_report = images.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("w") == corpus.TILE_W, 0).otherwise(1)).alias("bad_w"),
+    )
+    path = str(tmp_path / "cog_corpus")
+    assert write_cog_corpus(images, ok_report, path)
+
+    rescanned = spark.read.parquet(path)
+    assert rescanned.select("fmt").distinct().collect()[0][0] == "cog"
+    after = zonal_pixel_stats(
+        corpus.footprint_cols_for_images(rescanned), adm, res=6
+    ).toPandas()
+    assert before.equals(after)
+
+    # every written blob is a real multi-IFD TIFF whose overview matches
+    # the deterministic 2x2-mean downsample of its decoded pixels
+    sample = rescanned.orderBy("i").limit(5).select("i", "bytes").collect()
+    for r in sample:
+        px = tiff.decode_tif(bytes(r["bytes"]))
+        assert np.array_equal(
+            tiff.decode_tif_overview(bytes(r["bytes"])), tiff.overview_2x(px)
+        )
+
+    # red report -> gate refuses, nothing written
+    bad_report = images.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("w") == -1, 0).otherwise(1)).alias("bad_w"),
+    )
+    blocked = str(tmp_path / "blocked")
+    assert not write_cog_corpus(images, bad_report, blocked)
+    import os
+
+    assert not os.path.exists(blocked)
