@@ -110,6 +110,68 @@ def lsh_topk(
     return _ranked(_sim_pairs(q, c, ["bucket"]), k).drop("bucket")
 
 
+def sampled_centroids(corpus: DataFrame, n_cells: int) -> DataFrame:
+    """Deterministic hash-spread representatives: the ``n_cells`` corpus
+    vectors minimizing md5(vec_id). Stateless, oracle-replicable (same md5
+    recipe as functions/hashing.py), and spread pseudo-uniformly over the
+    corpus — unlike a prefix of ids, which frequently lands several
+    near-duplicate vectors (a cluster split across many near-identical
+    cells is the classic IVF failure mode). ``orderBy().limit()`` is a
+    distributed take-ordered (per-partition top-k then merge) — no global
+    window, scale-safe."""
+    from ..functions.hashing import md5_int
+
+    return (
+        corpus.select("vec_id", "embedding")
+        .withColumn("_h", md5_int(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .limit(n_cells)
+        .drop("_h")
+    )
+
+
+def default_centroids(corpus: DataFrame, n_cells: int, oversample: int = 8) -> DataFrame:
+    """Training-free default quantizer: k-center greedy (farthest-point)
+    over a deterministic hash-spread sample.
+
+    The sample (``oversample * n_cells`` rows, bounded driver collect —
+    the standard 'train the coarse quantizer on a sample' step) is reduced
+    to AT MOST ``n_cells`` representatives by greedy max-min cosine
+    distance, so no two centroids are near-duplicates: a planted near-dup
+    cluster contributes at most one centroid regardless of how many of
+    its members the sample caught. The traversal stops early when the
+    max-min distance collapses below 5% of its initial value — data with
+    fewer than n_cells distinct modes gets fewer cells, rather than
+    several centroids inside one mode (which would split that mode across
+    more cells than nprobe covers). Fully deterministic (hash-ordered
+    sample, first-max argmax). Production can still pass offline-trained
+    k-means centroids — the operator is identical.
+    """
+    import numpy as np
+    import pandas as pd
+
+    sample = sampled_centroids(corpus, oversample * n_cells).toPandas()
+    V = np.asarray([np.asarray(v, dtype=np.float64) for v in sample["embedding"]])
+    norms = np.linalg.norm(V, axis=1)
+    norms[norms == 0] = 1.0
+    U = V / norms[:, None]
+    chosen = [0]  # hash-min sample row seeds the traversal
+    d = 1.0 - U @ U[0]
+    d_first = None
+    for _ in range(1, min(n_cells, len(U))):
+        nxt = int(np.argmax(d))
+        if d_first is None:
+            d_first = max(float(d[nxt]), 1e-12)
+        if d[nxt] < 0.05 * d_first:  # only near-dups of chosen cells remain
+            break
+        chosen.append(nxt)
+        d = np.minimum(d, 1.0 - U @ U[nxt])
+    picked = sample.iloc[chosen][["vec_id", "embedding"]].reset_index(drop=True)
+    return corpus.sparkSession.createDataFrame(
+        pd.DataFrame(picked), schema=corpus.select("vec_id", "embedding").schema
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -121,9 +183,10 @@ def ivf_topk(
     """IVF-style approximate top-k: inverted-file ANN.
 
     1. Coarse quantizer: a small centroid table (``centroids`` =
-       (cid, embedding); default: the first ``n_cells`` corpus vectors —
-       the training-free deterministic variant; production plugs k-means
-       centroids trained offline, the operator is identical).
+       (vec_id, embedding); default: :func:`default_centroids` —
+       farthest-point representatives of a deterministic sample;
+       production plugs k-means centroids trained offline, the operator
+       is identical).
     2. ASSIGN: every corpus vector goes to its nearest centroid's cell —
        a broadcast join against n_cells rows, map-side in effect.
     3. PROBE: each query scores the centroids and searches only its
@@ -134,7 +197,9 @@ def ivf_topk(
     Complements sign-LSH (lsh_topk): IVF adapts to the data's density via
     its centroids where LSH hyperplanes are data-oblivious.
     """
-    cents = (centroids or corpus.where(F.col("vec_id") < n_cells)).select(
+    if centroids is None:
+        centroids = default_centroids(corpus, n_cells)
+    cents = centroids.select(
         F.col("vec_id").alias("cid"), quantize(F.col("embedding")).alias("ce")
     )
     cents = cents.withColumn("_cn2", norm2_int(F.col("ce")))

@@ -1325,7 +1325,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb.where(F.col("vec_id") < 50), emb, k=5).orderBy("qid", "rank")
 
 
-_ANN_IVF_ORACLE = """
+_ANN_IVF_ORACLE = f"""
 WITH e AS (
   SELECT vec_id,
          list_transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint)) AS q
@@ -1334,7 +1334,9 @@ WITH e AS (
 dims AS (SELECT unnest(generate_series(1, 64)) AS i),
 ed AS (SELECT vec_id, i, q[i] AS v FROM e, dims),
 ne AS (SELECT vec_id, sum(v * v) AS n2 FROM ed GROUP BY vec_id),
-cd AS (SELECT vec_id AS cid, i, v AS cv FROM ed WHERE vec_id < 16),
+cids AS (SELECT vec_id AS cid FROM embeddings
+         ORDER BY {md5_int_sql('cast(vec_id as varchar)')}, vec_id LIMIT 16),
+cd AS (SELECT cid, i, v AS cv FROM ed JOIN cids ON ed.vec_id = cids.cid),
 nc AS (SELECT cid, sum(cv * cv) AS n2 FROM cd GROUP BY cid),
 csim AS (
   SELECT ed.vec_id, cd.cid,
@@ -1382,13 +1384,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse cells (broadcast n_cells-row quantizer), queries probe their 4
     nearest cells, exact cosine within probed cells only — the inverted-
     file scale path complementing the sign-LSH one. Oracle replicates
-    assign/probe/search fully in SQL."""
-    from .operators.similarity import ivf_topk
+    assign/probe/search fully in SQL, including the quantizer: the graded
+    twin uses hash-spread sampled centroids (md5-min vec_ids — the
+    SQL-replicable selection stage); the operator's full DEFAULT adds a
+    farthest-point refinement over that sample (not SQL-expressible), and
+    is recall-gated by pytest on planted clusters instead."""
+    from .operators.similarity import ivf_topk, sampled_centroids
 
     emb = _pq(spark, sf_dir, "embeddings")
-    return ivf_topk(emb.where(F.col("vec_id") < 50), emb, k=5, n_cells=16, nprobe=4).orderBy(
-        "qid", "rank"
-    )
+    return ivf_topk(
+        emb.where(F.col("vec_id") < 50), emb, k=5, n_cells=16, nprobe=4,
+        centroids=sampled_centroids(emb, 16),
+    ).orderBy("qid", "rank")
 
 
 _RES_K = 6

@@ -212,16 +212,21 @@ def test_ivf_topk_recall_planted(spark):
     )
     q = emb.where(F.col("vec_id") < 10)
     truth = cosine_topk(q, emb, k=4).toPandas()
-    # coarse quantizer = one representative per cluster (the pluggable-
-    # centroid path: production trains k-means offline). Naive "first N
-    # vectors" centroids would be 12 near-identical members of clusters
-    # 1-3 and shred each cluster across several cells — a real IVF
-    # failure mode worth keeping visible here.
-    cents = emb.where(F.col("vec_id") % 5 == 0)
-    got = ivf_topk(q, emb, k=4, nprobe=3, centroids=cents).toPandas()
+    # DEFAULT quantizer (no centroids arg): farthest-point representatives
+    # of a deterministic hash-spread sample. Naive "first N vectors"
+    # centroids would be 12 near-identical members of clusters 1-3 and
+    # shred each cluster across several cells — the k-center greedy step
+    # guarantees at most one centroid per planted cluster, so the default
+    # must clear the recall gate on its own.
+    got = ivf_topk(q, emb, k=4, nprobe=3).toPandas()
     t = set(zip(truth.qid, truth.nid))
     g = set(zip(got.qid, got.nid))
     assert len(g & t) / len(t) >= 0.9
+    # explicit per-cluster representatives (the offline-k-means path)
+    # must also pass
+    cents = emb.where(F.col("vec_id") % 5 == 0)
+    got2 = ivf_topk(q, emb, k=4, nprobe=3, centroids=cents).toPandas()
+    assert len(set(zip(got2.qid, got2.nid)) & t) / len(t) >= 0.9
     plan = _plan(ivf_topk(q, emb, k=4, nprobe=3, centroids=cents))
     # the only nested-loop product allowed is the n_cells-row broadcast
     assert "CartesianProduct" not in plan
