@@ -70,3 +70,42 @@ def band_merge(
     (floodscan_pipeline.py:369-378) as a full outer equi-join on the
     integer grid keys. On bucketed tables this is shuffle-free."""
     return a.join(b, keys, how)
+
+
+def multiband_baseline(
+    merged: DataFrame,
+    band_cols: list[str],
+    key_col: str = "cell_id",
+    date_col: str = "date",
+) -> DataFrame:
+    """S13: the FloodScan baseline CUBE — per-(doy, cell) climatology of
+    every band of the merged SFED+MFED table in one aggregate pass
+    (floodscan_pipeline.py:405-410 persists exactly this multi-variable
+    dataset). One shuffle on (doy, key); column per band, so the cube
+    re-reads as a single coordinate-aligned table (the parquet analog of
+    the reference's multi-variable NetCDF)."""
+    aggs = []
+    for b in band_cols:
+        aggs += [
+            F.avg(b).alias(f"{b}_baseline"),
+            F.count(b).alias(f"{b}_n"),
+        ]
+    return merged.groupBy(
+        F.dayofyear(F.col(date_col)).alias("doy"), key_col
+    ).agg(*aggs)
+
+
+def write_cube(df: DataFrame, path: str) -> None:
+    """Persist the baseline cube (reference writes the NetCDF at
+    floodscan_pipeline.py:410; here a parquet table — same columns,
+    doubles stored bit-exactly)."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def read_cube(spark, path: str, like: DataFrame | None = None) -> DataFrame:
+    """Re-read the cube for the baseline-update pipeline. With ``like``,
+    the stored schema is pinned to the in-memory plan's schema (dtype
+    drift on re-read becomes an error at plan time, not silent casts)."""
+    if like is not None:
+        return spark.read.schema(like.schema).parquet(path).select(like.columns)
+    return spark.read.parquet(path)

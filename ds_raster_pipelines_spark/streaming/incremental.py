@@ -97,14 +97,37 @@ class IncrementalRun:
     def commit_partition(self, part: int, df: DataFrame, cell_col: str | None = None) -> dict:
         """Write one partition's data, then its manifest row (write order
         is the crash-safety contract: data before manifest; a partition
-        without a manifest row is recomputed on resume)."""
-        path = os.path.join(self.data_dir, f"part={int(part)}")
+        without a manifest row is recomputed on resume).
+
+        Idempotent under LATE RE-DELIVERY (the reference FloodScan feed
+        ships a rolling 90-day archive — floodscan_pipeline.py:54,424 —
+        so already-committed dated partitions arrive again): committing
+        an existing ``part`` overwrites its data directory and REPLACES
+        its manifest row instead of appending a duplicate. A crash between
+        the data overwrite and the manifest swap leaves the old manifest
+        row pointing at new data — ``verify()`` flags exactly that
+        partition for recompute, so the resume contract holds."""
+        part = int(part)
+        path = os.path.join(self.data_dir, f"part={part}")
         df.write.mode("overwrite").parquet(path)
         # lineage is computed from the WRITTEN files (checksums what is
         # durable, not what was planned), then committed to the manifest
-        written = self.spark.read.parquet(path).withColumn("part", F.lit(int(part)))
+        written = self.spark.read.parquet(path).withColumn("part", F.lit(part))
         m = partition_manifest(written, "part", cell_col)
-        m.write.mode("append").parquet(self.manifest_dir)
+        existing = self.manifest()
+        if existing.where(F.col("part") == part).limit(1).count():
+            # re-delivery upsert: rewrite the (small) manifest without the
+            # stale row, then swap directories; the tmp write materializes
+            # the merged rows BEFORE the old directory is removed
+            import shutil
+
+            merged = existing.where(F.col("part") != part).unionByName(m)
+            tmp = self.manifest_dir + "._tmp"
+            merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(self.manifest_dir)
+            os.rename(tmp, self.manifest_dir)
+        else:
+            m.write.mode("append").parquet(self.manifest_dir)
         return m.collect()[0].asDict()
 
     # -- reads -------------------------------------------------------------

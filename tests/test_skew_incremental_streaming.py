@@ -67,6 +67,92 @@ def test_incremental_checkpoint_resume(spark, tmp_path):
     assert met["skew_ratio"] == 1.0
 
 
+def test_incremental_redelivery_upsert(spark, tmp_path):
+    """I2/I3: a late re-delivery of an already-committed dated partition
+    (the reference FloodScan rolling 90-day archive re-ships committed
+    dates — floodscan_pipeline.py:54,424) must re-commit idempotently:
+    one manifest row per partition, identical counts/checksums for
+    identical data, updated lineage for changed data."""
+    from ds_raster_pipelines_spark.streaming.incremental import IncrementalRun
+
+    out = str(tmp_path / "run")
+
+    def build(p, bump=0):
+        return spark.range(p * 100, p * 100 + 50).select(
+            F.col("id").alias("cell_id"), (F.col("id") * 2 + bump).alias("v")
+        )
+
+    run = IncrementalRun(spark, out)
+    first = {p: run.commit_partition(p, build(p), cell_col="cell_id") for p in [0, 1, 2]}
+
+    # identical re-delivery of the overlapping window [1, 2]
+    for p in [1, 2]:
+        again = run.commit_partition(p, build(p), cell_col="cell_id")
+        assert again == first[p]  # counts + checksums exactly stable
+    man = run.manifest().orderBy("part").toPandas()
+    assert man["part"].tolist() == [0, 1, 2]  # no duplicate rows
+    assert run.verify(cell_col="cell_id").count() == 0
+    assert run.read().count() == 150
+    assert run.pending_partitions([0, 1, 2, 3]) == [3]
+
+    # corrected re-delivery: data changed -> manifest row must follow
+    changed = run.commit_partition(1, build(1, bump=1), cell_col="cell_id")
+    assert changed["n_rows"] == 50 and changed["checksum"] != first[1]["checksum"]
+    man2 = run.manifest().orderBy("part").toPandas()
+    assert man2["part"].tolist() == [0, 1, 2]
+    assert run.verify(cell_col="cell_id").count() == 0
+
+
+def test_multiband_cube_roundtrip(spark, tmp_path):
+    """S13: SFED+MFED merge -> per-(doy, cell) multi-band baseline cube ->
+    persist -> re-read must be BIT-exact, and the baseline-update step
+    (anomaly vs baseline) must produce identical results from the re-read
+    cube (reference persists and re-opens the cube at
+    floodscan_pipeline.py:369-378,410)."""
+    from ds_raster_pipelines_spark.operators.climatology import (
+        band_merge,
+        multiband_baseline,
+        read_cube,
+        write_cube,
+    )
+
+    n = 3000
+    base = spark.range(0, n).select(
+        (F.col("id") % 50).alias("cell_id"),
+        F.date_add(F.lit("2000-01-01").cast("date"), (F.col("id") % 90).cast("int")).alias("date"),
+        F.col("id").alias("i"),
+    )
+    sfed = base.select("cell_id", "date", (F.col("i") % 17 / 16.0).alias("sfed"))
+    mfed = base.where(F.col("i") % 3 != 0).select(
+        "cell_id", "date", (F.col("i") % 23 / 22.0).alias("mfed")
+    )
+    merged = band_merge(sfed, mfed, ["cell_id", "date"])
+    cube = multiband_baseline(merged, ["sfed", "mfed"])
+    path = str(tmp_path / "cube")
+    write_cube(cube, path)
+    reread = read_cube(spark, path, like=cube)
+    # file sources are always nullable in Spark; names + dtypes must match
+    assert [(f.name, f.dataType) for f in reread.schema.fields] == [
+        (f.name, f.dataType) for f in cube.schema.fields
+    ]
+    a = cube.orderBy("doy", "cell_id").toPandas()
+    b = reread.orderBy("doy", "cell_id").toPandas()
+    assert a.equals(b)  # bit-exact round-trip incl. float64 baselines
+
+    # baseline-update usability: anomalies computed against the re-read
+    # cube equal those against the in-memory cube
+    def anomalies(c):
+        return (
+            merged.withColumn("doy", F.dayofyear("date"))
+            .join(c, ["doy", "cell_id"])
+            .select("cell_id", "date", (F.col("sfed") - F.col("sfed_baseline")).alias("anom"))
+            .orderBy("cell_id", "date", "anom")  # total order: (cell_id, date) repeats
+            .toPandas()
+        )
+
+    assert anomalies(cube).equals(anomalies(reread))
+
+
 def test_checksum_order_insensitive(spark):
     from ds_raster_pipelines_spark.streaming.incremental import partition_manifest
 
