@@ -46,11 +46,18 @@ BENCH_QUERIES = [
     "window_rolling_centered",
     "minhash_lsh_md5",
     "minhash_dedup_verified",
+    "dedup_components",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "embedding_near_dup",
     "dedup_exact",
+    "asof_join_daily_ref",
+    "sessionize_events",
+    "zonal_pixel_stats_tif",
 ]
+
+# plans whose driver loop executes jobs during query CONSTRUCTION
+ITERATIVE_QUERIES = {"dedup_components"}
 
 
 def _materialize(df) -> None:
@@ -70,12 +77,23 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     _materialize(qs["flagship_zonal_decode"](spark, sf_dir))
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     for name in BENCH_QUERIES:
+        qs[name](spark, sf_dir)  # one-time corpus materialization, cached
         best = float("inf")
         n_reps = reps
         for _ in range(n_reps):
-            df = qs[name](spark, sf_dir)
-            t0 = time.time()
-            _materialize(df)
+            # Iterative plans (connected components) run their rounds
+            # EAGERLY at construction (localCheckpoint per round) —
+            # construction is execution there and must sit inside the
+            # timer. For everything else the timer starts at action time
+            # (driver-side plan building amortizes to zero at scale and
+            # would only add constant noise to round-over-round diffs).
+            if name in ITERATIVE_QUERIES:
+                t0 = time.time()
+                _materialize(qs[name](spark, sf_dir))
+            else:
+                df = qs[name](spark, sf_dir)
+                t0 = time.time()
+                _materialize(df)
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)  # min-of-N: robust to noisy-VM outliers
     flagship_sec = timings["flagship_zonal_decode"]
