@@ -274,7 +274,12 @@ def materialized_images(spark: SparkSession, sf_dir: str, cache_root: str = "/tm
     path = f"{cache_root}/{CORPUS_VERSION}/{key}"
     marker = f"{path}/_SUCCESS"
     if not os.path.exists(marker):
-        _write_corpus(images_from_orders(spark, sf_dir), path)
+        # pass the ID STREAM, not an images plan: column pruning cannot
+        # reach through mapInPandas, so handing _write_corpus a generated
+        # images DataFrame would synthesize every tile's bytes TWICE
+        # (once under the pcell/count derivation, once for the write)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        _write_corpus(orders.select(F.col("o_orderkey").alias("i")), path)
     return path
 
 
@@ -332,7 +337,10 @@ def materialized_images_n(
 
     path = f"{cache_root}/{CORPUS_VERSION}/range_{n}"
     if not os.path.exists(f"{path}/_SUCCESS"):
-        _write_corpus(images_from_range(spark, n), path)
+        # ids only (see materialized_images: no images plan through
+        # _write_corpus), and n_rows passed so no count job runs at all
+        ids = spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
+        _write_corpus(ids.withColumnRenamed("id", "i"), path, n_rows=n)
     return path
 
 

@@ -40,7 +40,11 @@ def _is_axis_rect(ring: np.ndarray) -> bool:
 
 
 def zonal_pixel_stats(
-    images: DataFrame, admin: DataFrame, res: int, span_deg: float = 0.25
+    images: DataFrame,
+    admin: DataFrame,
+    res: int,
+    span_deg: float = 0.25,
+    overview_level: int = 0,
 ) -> DataFrame:
     """Per-admin pixel mean/count over decoded tiles.
 
@@ -52,6 +56,12 @@ def zonal_pixel_stats(
     order are normalized via optional ``lon_ascending`` /
     ``lat_descending`` boolean columns (F3 check-and-flip,
     reference raster_utils.py:42-73).
+
+    ``overview_level`` > 0 reads the tiles' REDUCED-RESOLUTION pages
+    instead of full resolution (COG corpora only — the zoomed-out read
+    path a COG exists for: each level halves both dims, so level L scans
+    4^-L of the pixels). The geo-transform scales automatically (windows
+    derive from the per-level dims).
 
     Output: (adm_id, px_count, px_sum, px_mean) — integer-exact sums, so
     bit-identical across engines and parallelism levels.
@@ -121,6 +131,9 @@ def zonal_pixel_stats(
             fmts = np.asarray(col["fmt"].to_pylist(), dtype=object)
             ws = col["w"].to_numpy(zero_copy_only=False).astype(np.int64)
             hs = col["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if overview_level:  # window math follows the per-level dims
+                ws = ws >> overview_level
+                hs = hs >> overview_level
             off, data = _binary_offsets_data(col["bytes"])
             lon0 = col["lon0"].to_numpy(zero_copy_only=False).astype(np.float64)
             lat_top = col["lat_top"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -142,9 +155,16 @@ def zonal_pixel_stats(
             def tile(k: int) -> np.ndarray:
                 px = px_cache.get(k)
                 if px is None:
-                    px = decode_tile(
-                        data[off[k] : off[k + 1]].tobytes(), fmts[k], int(ws[k]), int(hs[k])
-                    )
+                    if overview_level:
+                        from ..tiff import decode_tif_overview
+
+                        px = decode_tif_overview(
+                            data[off[k] : off[k + 1]].tobytes(), overview_level
+                        )
+                    else:
+                        px = decode_tile(
+                            data[off[k] : off[k + 1]].tobytes(), fmts[k], int(ws[k]), int(hs[k])
+                        )
                     if flip_x[k]:
                         px = px[:, ::-1]
                     if flip_y[k]:

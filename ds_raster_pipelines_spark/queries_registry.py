@@ -49,7 +49,7 @@ _PRIORITY = [
     "grid_snap_join", "archive_member_explode", "epoch_branch_union",
     "grace_trim_expected", "json_fallback_projection", "lon_normalize_bands",
     "trivial_aggs", "update_latest_tick", "validation_filename_date",
-    "zonal_pixel_stats_tif", "ann_ivf_topk",
+    "zonal_pixel_stats_tif", "cog_overview_zonal", "ann_ivf_topk",
     # -- flagship / core set ---------------------------------------------
     "flagship_zonal_decode", "pip_zonal_bbox", "pip_zonal_raycast",
     "zonal_weighted", "zonal_pixel_stats", "orientation_flip",
@@ -61,8 +61,9 @@ _PRIORITY = [
     "dedup_exact", "near_dup_ngram", "minhash_lsh_md5",
     "minhash_dedup_verified", "dedup_components", "simhash_fingerprints",
     "ann_cosine_topk", "ann_lsh_bucketed", "validation_leadtime",
-    "validation_metadata", "pixel_histogram", "coarsen_resample",
+    "validation_metadata", "pixel_histogram",
     # -- r02-green, unchanged (outside the graded prefix) ----------------
+    "coarsen_resample",
     "validation_bounds", "filename_date_extraction", "leadtime_arithmetic",
     "semi_join_suppliers", "quantile_summary", "set_ops_nations",
     "pivot_priority_revenue", "rollup_pricing", "near_dup_jaccard",
@@ -1577,6 +1578,60 @@ def zonal_pixel_stats_tif(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(corpus.materialized_images_fmt(spark, sf_dir, "tif"))
     )
     return zonal_pixel_stats(images, corpus.admin_df(spark, offset=0.03), res=6)
+
+
+# COG overview read: level-1 pixel value at column j is 2j + c exactly
+# (2x2 block mean of the row-gradient tile: (2j+c + 2j+1+c)*2 / 4 floors
+# to 2j+c), windows at the level's 32-px/0.25-deg grid (128 px/deg).
+_COG_OV_ORACLE = f"""
+WITH img AS (
+  SELECT o_orderkey AS i,
+         (o_orderkey % {corpus.C_MOD}) AS c,
+         (-180.0 + 0.25 * ((o_orderkey * 13) % 1440)) AS lon0,
+         (90.0 - 0.25 * ((o_orderkey * 7) % 720)) AS lat_top
+  FROM orders
+),
+win AS (
+  SELECT adm_id, c,
+         greatest(0,  cast(ceil((min_lon - lon0) * 128 - 0.5) as bigint)) AS x_lo,
+         least(31,    cast(floor((max_lon - lon0) * 128 - 0.5) as bigint)) AS x_hi,
+         greatest(0,  cast(ceil((lat_top - max_lat) * 128 - 0.5) as bigint)) AS y_lo,
+         least(31,    cast(floor((lat_top - min_lat) * 128 - 0.5) as bigint)) AS y_hi
+  FROM img JOIN {corpus.admin_sql_values(offset=0.03)}
+    ON lon0 <= max_lon AND lon0 + 0.25 >= min_lon
+   AND lat_top - 0.25 <= max_lat AND lat_top >= min_lat
+),
+contrib AS (
+  SELECT adm_id,
+         (y_hi - y_lo + 1) * (x_hi - x_lo + 1) AS cnt,
+         (y_hi - y_lo + 1)
+           * ((x_hi - x_lo + 1) * c + (x_hi * (x_hi + 1) - (x_lo - 1) * x_lo)) AS s
+  FROM win WHERE x_lo <= x_hi AND y_lo <= y_hi
+)
+SELECT adm_id,
+       cast(sum(cnt) as bigint) AS px_count,
+       cast(sum(s) as bigint) AS px_sum,
+       cast(sum(s) as double) / sum(cnt) AS px_mean
+FROM contrib GROUP BY adm_id ORDER BY adm_id
+"""
+
+
+@register("cog_overview_zonal", _COG_OV_ORACLE)
+def cog_overview_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zoomed-out zonal stats from the COG OVERVIEW pages (the read path a
+    COG's reduced-resolution IFDs exist for — reference writes them via
+    driver='COG' at pipeline.py:277): same kernel, 4x fewer pixels per
+    tile, windows on the level-1 grid. Oracle is the closed form of the
+    deterministic 2x2-mean downsample — a wrong overview (or reading
+    full-res by mistake) diverges in both count and sum."""
+    from .operators.raster import zonal_pixel_stats
+
+    images = corpus.footprint_cols_for_images(
+        spark.read.parquet(corpus.materialized_images_fmt(spark, sf_dir, "cog"))
+    )
+    return zonal_pixel_stats(
+        images, corpus.admin_df(spark, offset=0.03), res=6, overview_level=1
+    )
 
 
 _QUANT_ORACLE = """

@@ -37,7 +37,7 @@ def test_priority_order_covers_graded_prefix():
         "lon_normalize_bands", "trivial_aggs", "update_latest_tick",
         "validation_filename_date",
         # new / changed in round 3
-        "zonal_pixel_stats_tif", "ann_ivf_topk",
+        "zonal_pixel_stats_tif", "cog_overview_zonal", "ann_ivf_topk",
         # flagships
         "flagship_zonal_decode", "zonal_pixel_stats", "minhash_lsh_md5",
         "dedup_components",
