@@ -221,6 +221,7 @@ def _write_corpus(
     n_rows: int | None = None,
     orientation: str = "canonical",
     fmt_override: str | None = None,
+    mode: str = "overwrite",
 ) -> None:
     """Generate + write the corpus partitioned by pcell.
 
@@ -244,12 +245,12 @@ def _write_corpus(
             ids_p, partitions=0, extra_cols=["pcell"], orientation=orientation,
             fmt_override=fmt_override,
         )
-        images.write.mode("overwrite").partitionBy("pcell").parquet(path)
+        images.write.mode(mode).partitionBy("pcell").parquet(path)
     else:
         images = images_from_ids(
             ids_p, extra_cols=["pcell"], orientation=orientation, fmt_override=fmt_override
         )
-        images.write.mode("overwrite").parquet(path)
+        images.write.mode(mode).parquet(path)
 
 
 def read_corpus(spark: SparkSession, path: str) -> DataFrame:
@@ -338,9 +339,26 @@ def materialized_images_n(
     path = f"{cache_root}/{CORPUS_VERSION}/range_{n}"
     if not os.path.exists(f"{path}/_SUCCESS"):
         # ids only (see materialized_images: no images plan through
-        # _write_corpus), and n_rows passed so no count job runs at all
-        ids = spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
-        _write_corpus(ids.withColumnRenamed("id", "i"), path, n_rows=n)
+        # _write_corpus), and n_rows passed so no count job runs at all.
+        # Generation runs in <=4M-tile JOBS (append per chunk): bounding
+        # per-task output volume sidesteps a python-runner flow-control
+        # wedge observed on this box when a single byte-generating task
+        # emits ~2 GB (worker stuck in tcp_sendmsg / task thread in epoll
+        # at 32M tiles x 64 tasks) — and at warehouse scale you'd stage a
+        # 128 GB corpus as resumable chunked jobs anyway.
+        chunk = 4_000_000
+        tmp = f"{path}.__building__"
+        if os.path.exists(tmp):
+            import shutil
+
+            shutil.rmtree(tmp)
+        for lo in range(0, n, chunk):
+            ids = spark.range(lo, min(lo + chunk, n), 1, spark.sparkContext.defaultParallelism)
+            # n_rows=n keeps the layout decision (partitionBy vs plain)
+            # identical across chunks
+            _write_corpus(ids.withColumnRenamed("id", "i"), tmp, n_rows=n, mode="append")
+        os.rename(tmp, path)
+        open(f"{path}/_SUCCESS", "a").close()
     return path
 
 
