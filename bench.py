@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "asof_join_daily_ref",
     "sessionize_events",
     "zonal_pixel_stats_tif",
+    "cog_overview_zonal",
 ]
 
 # plans whose driver loop executes jobs during query CONSTRUCTION

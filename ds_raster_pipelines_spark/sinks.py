@@ -26,6 +26,30 @@ from pyspark.sql import functions as F
 
 from . import codecs, tiff
 
+# Storage-tier / content-type rules of the reference
+# (azure_utils.py:75-98: COOL + application/octet-stream default;
+# pipeline.py:285-292: HOT + image/tiff for processed COG outputs).
+TIER_HOT = "HOT"
+TIER_COOL = "COOL"
+CT_TIFF = "image/tiff"
+CT_OCTET = "application/octet-stream"
+
+
+def with_storage_properties(df: DataFrame, processed: bool = False) -> DataFrame:
+    """S9 tier semantics as DATA: attach ``blob_tier`` / ``content_type``
+    columns derived from the reference's rules. A Spark/Iceberg table has
+    no per-blob tier API, so the properties ride as columns — an Azure
+    uploader maps them to ``standard_blob_tier``/``ContentSettings``
+    per object, an Iceberg catalog to table properties; lifecycle policies
+    (tier by age) become plain UPDATE/filter expressions over them."""
+    tiffish = F.col("fmt").isin("tif", "cog")
+    return df.withColumns(
+        {
+            "blob_tier": F.when(F.lit(processed) & tiffish, TIER_HOT).otherwise(TIER_COOL),
+            "content_type": F.when(tiffish, CT_TIFF).otherwise(F.lit(CT_OCTET)),
+        }
+    )
+
 
 def reencode_cog(images: DataFrame, tile: int = 32, overviews: int = 1) -> DataFrame:
     """Decode each tile and re-encode as COG bytes (fmt='cog').
@@ -65,7 +89,10 @@ def write_cog_corpus(
 
     if not validated_write_gate(images, report):
         return False
-    out = reencode_cog(images, tile=tile, overviews=overviews)
+    # processed COG output → HOT tier + image/tiff (pipeline.py:285-292)
+    out = with_storage_properties(
+        reencode_cog(images, tile=tile, overviews=overviews), processed=True
+    )
     writer = out.write.mode("overwrite")
     if "pcell" in images.columns:
         writer = writer.partitionBy("pcell")

@@ -75,6 +75,21 @@ def test_cog_sink_write_rescan_identical(spark, tmp_path):
 
     rescanned = spark.read.parquet(path)
     assert rescanned.select("fmt").distinct().collect()[0][0] == "cog"
+    # S9 tier semantics: processed COG output carries HOT + image/tiff
+    # (reference pipeline.py:285-292); raw blobs default COOL/octet-stream
+    tiers = rescanned.select("blob_tier", "content_type").distinct().collect()
+    assert [(t["blob_tier"], t["content_type"]) for t in tiers] == [("HOT", "image/tiff")]
+    from ds_raster_pipelines_spark.sinks import with_storage_properties
+
+    raw_props = (
+        with_storage_properties(images)  # not processed
+        .select("blob_tier", "content_type")
+        .distinct()
+        .collect()
+    )
+    assert {(r["blob_tier"], r["content_type"]) for r in raw_props} == {
+        ("COOL", "application/octet-stream")
+    }
     after = zonal_pixel_stats(
         corpus.footprint_cols_for_images(rescanned), adm, res=6
     ).toPandas()
