@@ -77,15 +77,17 @@ def asof_join(
     order (add a sequence column upstream for full control).
     """
     values = values or [c for c in build.columns if c not in set(on) | {build_ts}]
+    # The matched build row travels as ONE NON-NULL STRUCT: last(ignorenulls)
+    # over the struct picks the LATEST BUILD ROW itself. Filling each value
+    # column independently would instead carry the latest NON-NULL value per
+    # column — wrong when the matched row legitimately holds NULLs (columns
+    # could even come from different build rows), and 'no match yet' would
+    # be indistinguishable from 'matched row with NULL value'.
     b = build.select(
         *on,
         F.col(build_ts).cast("timestamp").alias("_ts"),
         F.lit(0).alias("_src"),
-        # explicit match flag: "no preceding build row" must be detected by
-        # this flag, not by values[0] being NULL — a matched build row whose
-        # first value column is legitimately NULL is still a match
-        F.lit(1).alias("_b__hit"),
-        *[F.col(v).alias(f"_b_{v}") for v in values],
+        F.struct(*[F.col(v) for v in values]).alias("_brow"),
     )
     p = probe.withColumn("_ts", F.col(probe_ts).cast("timestamp")).withColumn(
         "_src", F.lit(1)
@@ -93,17 +95,16 @@ def asof_join(
     u = p.unionByName(b, allowMissingColumns=True)
     w = (
         Window.partitionBy(*on)
-        .orderBy("_ts", "_src", *[f"_b_{v}" for v in values])
+        .orderBy("_ts", "_src", "_brow")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = u.select(
-        "*",
-        F.last("_b__hit", ignorenulls=True).over(w).alias("_hit"),
-        *[F.last(f"_b_{v}", ignorenulls=True).over(w).alias(v) for v in values],
-    )
+    filled = u.select("*", F.last("_brow", ignorenulls=True).over(w).alias("_m"))
     out = filled.where(F.col("_src") == 1)
     if how == "inner":
-        out = out.where(F.col("_hit") == 1)
+        out = out.where(F.col("_m").isNotNull())
     elif how != "left":
         raise ValueError(how)
-    return out.drop("_ts", "_src", "_b__hit", "_hit", *[f"_b_{v}" for v in values])
+    return out.select(
+        *[c for c in probe.columns],
+        *[F.col(f"_m.{v}").alias(v) for v in values],
+    )

@@ -31,6 +31,70 @@ def windowed_agg_batch(events: DataFrame, width: str = "1 hour") -> DataFrame:
     )
 
 
+def session_agg_batch(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user gap-based session census via Spark's native session_window
+    (batch form). Same semantics as operators/timeseries.sessionize with
+    half-open windows: a new session starts when the gap to the previous
+    event REACHES ``gap`` (session_window treats [start, start+gap) as
+    one window, so an exact-gap event begins a new session — sessionize's
+    strict '>' keeps it; use this twin where streaming parity matters
+    more than closed-gap semantics)."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+
+
+def session_agg_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "12 hours",
+    query_name: str = "events_sessions",
+) -> DataFrame:
+    """The same session census as a STREAM: session_window is Structured
+    Streaming's merging-session state machine (late events extend/merge
+    sessions until the watermark closes them) — the true streaming form
+    of the reference's incremental run modes for event feeds."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+    )
+    agg = stream.groupBy(F.session_window("ts", gap).alias("win"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.sql(f"SELECT user_id, n_events FROM {query_name}")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+
+
 def windowed_agg_stream(
     spark: SparkSession,
     sf_dir: str,

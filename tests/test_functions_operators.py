@@ -258,3 +258,71 @@ def test_bucketed_join_is_shuffle_free(spark):
         assert joined.count() == 10000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_asof_join_matches_bruteforce(spark):
+    """Randomized as-of join vs a per-row brute-force reference: duplicate
+    keys, probe keys missing from the build side, and build rows whose
+    VALUE is legitimately NULL (the inner-mode match flag must keep those
+    probes — a matched NULL is not an unmatched probe)."""
+    import numpy as np
+    import pandas as pd
+
+    from ds_raster_pipelines_spark.operators.timeseries import asof_join
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        n_b, n_p = 40, 120
+        base = pd.Timestamp("2024-01-01")
+        b = pd.DataFrame(
+            {
+                "k": rng.integers(0, 5, n_b),
+                "ts": base + pd.to_timedelta(rng.integers(0, 1000, n_b), unit="m"),
+                "v": rng.integers(0, 99, n_b).astype("int64"),
+            }
+        ).drop_duplicates(["k", "ts"])
+        p = pd.DataFrame(
+            {
+                "k": rng.integers(0, 7, n_p),  # keys 5,6 never in build
+                "ts": base + pd.to_timedelta(rng.integers(0, 1000, n_p), unit="m"),
+                "pid": np.arange(n_p, dtype="int64"),
+            }
+        )
+        # NULLs injected JVM-side (pandas NaN would arrive as NaN doubles,
+        # which last(ignorenulls) treats as values, not nulls)
+        bdf = spark.createDataFrame(b, "k long, ts timestamp, v long").withColumn(
+            "v", F.when(F.col("v") < 20, None).otherwise(F.col("v"))
+        )
+        pdf_ = spark.createDataFrame(p, "k long, ts timestamp, pid long")
+        b_ref = b.assign(v=b.v.where(b.v >= 20, other=pd.NA))
+
+        def brute(row):
+            c = b_ref[(b_ref.k == row.k) & (b_ref.ts <= row.ts)]
+            if c.empty:
+                return (False, pd.NA)
+            return (True, c.loc[c.ts.idxmax(), "v"])
+
+        expect = p.apply(brute, axis=1, result_type="expand")
+        expect.columns = ["matched", "v"]
+
+        inner = (
+            asof_join(pdf_, bdf, on=["k"], probe_ts="ts", build_ts="ts", values=["v"])
+            .toPandas()
+            .set_index("pid")
+        )
+        left = (
+            asof_join(pdf_, bdf, on=["k"], probe_ts="ts", build_ts="ts", values=["v"], how="left")
+            .toPandas()
+            .set_index("pid")
+        )
+        assert sorted(inner.index) == sorted(p.pid[expect.matched].tolist()), trial
+        assert len(left) == n_p
+        for pid in p.pid:
+            matched, v = expect.loc[pid, "matched"], expect.loc[pid, "v"]
+            got = left.loc[pid, "v"]
+            if not matched or pd.isna(v):
+                assert pd.isna(got), (trial, pid)
+                if matched:  # matched build row with NULL value: inner KEEPS it
+                    assert pid in inner.index, (trial, pid)
+            else:
+                assert got == v, (trial, pid)

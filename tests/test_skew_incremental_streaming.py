@@ -178,6 +178,29 @@ def test_streaming_matches_batch(spark):
     assert len(batch) > 0
 
 
+def test_session_window_stream_matches_batch(spark):
+    """Native session_window: the streaming merging-session state machine
+    must converge to the batch session census exactly; and the per-user
+    event totals must agree with the window-free sessionize operator."""
+    from ds_raster_pipelines_spark.operators.timeseries import sessionize
+    from ds_raster_pipelines_spark.streaming.events import (
+        session_agg_batch,
+        session_agg_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    batch = session_agg_batch(ev).orderBy("user_id").toPandas()
+    stream = session_agg_stream(spark, sf).orderBy("user_id").toPandas()
+    assert len(batch) > 0
+    assert batch.equals(stream)
+    # cross-check totals vs the lag+cumsum sessionize operator (session
+    # boundary semantics differ only on measure-zero exact-gap events)
+    s = sessionize(ev.withColumn("ts", F.col("ts").cast("timestamp")), gap_minutes=30)
+    per_user = s.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events")).orderBy("user_id").toPandas()
+    assert per_user["n_events"].tolist() == batch["n_events"].tolist()
+
+
 def test_multimodal_plumbing(spark):
     from ds_raster_pipelines_spark.sources.multimodal import audio_features, sample_frames
 
