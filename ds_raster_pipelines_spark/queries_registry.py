@@ -50,6 +50,7 @@ _PRIORITY = [
     "grace_trim_expected", "json_fallback_projection", "lon_normalize_bands",
     "trivial_aggs", "update_latest_tick", "validation_filename_date",
     "zonal_pixel_stats_tif", "cog_overview_zonal", "ann_ivf_topk",
+    "multiband_cube_baseline",
     # -- flagship / core set ---------------------------------------------
     "flagship_zonal_decode", "pip_zonal_bbox", "pip_zonal_raycast",
     "zonal_weighted", "zonal_pixel_stats", "orientation_flip",
@@ -61,9 +62,9 @@ _PRIORITY = [
     "dedup_exact", "near_dup_ngram", "minhash_lsh_md5",
     "minhash_dedup_verified", "dedup_components", "simhash_fingerprints",
     "ann_cosine_topk", "ann_lsh_bucketed", "validation_leadtime",
-    "validation_metadata", "pixel_histogram",
+    "validation_metadata",
     # -- r02-green, unchanged (outside the graded prefix) ----------------
-    "coarsen_resample",
+    "pixel_histogram", "coarsen_resample",
     "validation_bounds", "filename_date_extraction", "leadtime_arithmetic",
     "semi_join_suppliers", "quantile_summary", "set_ops_nations",
     "pivot_priority_revenue", "rollup_pricing", "near_dup_jaccard",
@@ -1632,6 +1633,54 @@ def cog_overview_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal_pixel_stats(
         images, corpus.admin_df(spark, offset=0.03), res=6, overview_level=1
     )
+
+
+_CUBE_ORACLE = """
+WITH a AS (
+  SELECT user_id, date_trunc('day', ts) AS d,
+         sum(cast(round(value * 100) as bigint)) AS click_cents
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+b AS (
+  SELECT user_id, date_trunc('day', ts) AS d,
+         sum(cast(round(value * 100) as bigint)) AS view_cents
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+m AS (SELECT * FROM a FULL JOIN b USING (user_id, d))
+SELECT cast(dayofyear(d) as int) AS doy, user_id,
+       avg(click_cents) AS click_cents_baseline,
+       count(click_cents) AS click_cents_n,
+       avg(view_cents) AS view_cents_baseline,
+       count(view_cents) AS view_cents_n
+FROM m GROUP BY 1, 2 ORDER BY doy, user_id
+"""
+
+
+@register("multiband_cube_baseline", _CUBE_ORACLE)
+def multiband_cube_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 cube through the gate: two daily band tables (click/view cents)
+    band-merged full-outer (xr.merge analog, floodscan_pipeline.py:369-378)
+    and collapsed to the per-(doy, key) multi-band climatology the
+    reference persists as its baseline NetCDF (:410). Averages divide
+    exact integer sums once — deterministic across engines/parallelism.
+    (The persist/re-read leg is pytest-gated bit-exactly:
+    test_multiband_cube_roundtrip.)"""
+    from .operators.climatology import band_merge, multiband_baseline
+
+    ev = _pq(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def band(etype: str, out: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == etype)
+            .groupBy("user_id", F.date_trunc("day", "ts").alias("d"))
+            .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(out))
+        )
+
+    merged = band_merge(band("click", "click_cents"), band("view", "view_cents"),
+                        ["user_id", "d"])
+    return multiband_baseline(
+        merged, ["click_cents", "view_cents"], key_col="user_id", date_col="d"
+    ).orderBy("doy", "user_id")
 
 
 _QUANT_ORACLE = """
