@@ -25,7 +25,10 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="run_pipeline")
-    ap.add_argument("command", choices=["flagship", "zonal-pixel", "ingest", "coverage", "verify"])
+    ap.add_argument(
+        "command",
+        choices=["flagship", "zonal-pixel", "ingest", "coverage", "verify", "cog-sink"],
+    )
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--mode", default="full", choices=["full", "update", "backfill"])
@@ -92,6 +95,26 @@ def main(argv: list[str] | None = None) -> int:
             F.sum(F.when(F.col("caption_ok"), 0).otherwise(1)).alias("caption_bad"),
             F.sum(F.when(F.col("psnr") >= 40.0, 0).otherwise(1)).alias("psnr_bad"),
         ).show(truncate=False)
+    elif args.command == "cog-sink":
+        # validate → re-encode to tiled-TIFF-with-overview bytes → write
+        # (reference pipeline.py:262-293: validate_dataset then save COGs)
+        from pyspark.sql import functions as F
+
+        from ds_raster_pipelines_spark import corpus
+        from ds_raster_pipelines_spark.sinks import write_cog_corpus
+
+        images = spark.read.parquet(corpus.materialized_images(spark, args.sf_dir))
+        report = images.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("w") == corpus.TILE_W, 0).otherwise(1)).alias("bad_w"),
+            F.sum(F.when(F.col("h") == corpus.TILE_H, 0).otherwise(1)).alias("bad_h"),
+            F.sum(F.when(F.col("bytes").isNull(), 1).otherwise(0)).alias("null_bytes"),
+        )
+        ok = write_cog_corpus(images, report, args.out)
+        n = spark.read.parquet(args.out).count() if ok else 0
+        print(json.dumps({"written": ok, "out": args.out, "rows": n}))
+        if not ok:
+            return 1
     return 0
 
 

@@ -82,6 +82,35 @@ def test_cli_dispatcher(tmp_path):
     assert metrics["partitions"] == 2 and metrics["rows_total"] == 1000
 
 
+def test_cli_cog_sink(tmp_path):
+    """The processed-output flow end-to-end from the CLI: validate →
+    COG re-encode → write (reference run_pipeline's processed upload)."""
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [
+            sys.executable,
+            "run_pipeline.py",
+            "cog-sink",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--out",
+            str(tmp_path / "cogs"),
+            "--cpus",
+            "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["written"] and res["rows"] > 0
+
+
 def test_remote_fetch_blobs(spark, tmp_path):
     """S5/S6/S9 pluggable source layer: distributed fetch over a manifest,
     errors captured as data (resumable), real file:// adapter."""
