@@ -179,6 +179,36 @@ def run_scaling(sf_dir: str, levels: tuple[int, int] = SCALE_LEVELS) -> dict:
     }
 
 
+def run_weak_scaling(sf_dir: str, levels: tuple[int, int] = (1, 4), base_tiles: int = 8_000_000) -> dict:
+    """WEAK scaling: work grows proportionally with cores (base_tiles per
+    core), the north rule's framing — efficiency = t_lo / t_hi (1.0 =
+    perfect: 4x cores chew 4x data in the same wall time). Same pinning
+    discipline as run_scaling."""
+    from ds_raster_pipelines_spark.session import get_spark
+    from ds_raster_pipelines_spark import corpus as corpus_mod
+
+    prep = get_spark("weak_prep", cpus=32)
+    for cpus in levels:
+        corpus_mod.materialized_images_n(prep, base_tiles * cpus)
+    results = {}
+    for cpus in levels:
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus),
+                   SPARK_GRAFT_SCALE_TILES=str(base_tiles * cpus))
+        cmd = [sys.executable, __file__, "--single-flagship"]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    lo, hi = levels
+    return {
+        "metric": "weak_scaling_efficiency",
+        "value": round(results[lo]["value"] / results[hi]["value"], 3),
+        "unit": "ratio",
+        "tiles_per_core": base_tiles,
+        "levels": {str(c): results[c] for c in levels},
+    }
+
+
 def run_single_flagship(sf_dir: str, cpus: int) -> dict:
     """One flagship run over the scaling corpus at the given parallelism."""
     from ds_raster_pipelines_spark.session import get_spark
@@ -223,6 +253,9 @@ def main() -> None:
         return
     if "--scaling-wide" in sys.argv:
         print(json.dumps(run_scaling(SF_DIR, levels=(8, 32))))
+        return
+    if "--weak-scaling" in sys.argv:
+        print(json.dumps(run_weak_scaling(SF_DIR)))
         return
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(SF_DIR)))
