@@ -380,3 +380,71 @@ def simhash(
             .otherwise(F.lit(0))
         ).alias("simhash")
     )
+
+
+def phash_near_dup_pairs(
+    images: DataFrame,
+    id_col: str = "i",
+    phash_col: str = "phash",
+    bands: int = 4,
+    band_bits: int = 8,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """IMAGE near-duplicate pairs via banded Hamming LSH over perceptual
+    hashes — the image-modality analog of MinHash-LSH for text.
+
+    Split each phash into ``bands`` contiguous ``band_bits``-bit bands and
+    bucket-join per (band index, band value): by pigeonhole, any pair with
+    hamming distance < ``bands`` shares at least one intact band, so
+    recall is EXACT (1.0) for ``max_hamming <= bands - 1`` — no
+    probabilistic misses, unlike minhash. Larger ``max_hamming`` is the
+    approximate regime: candidates are still only band-sharers (recall
+    1 - P(no intact band), high for mildly larger distances). Verification
+    is candidate-scoped (bit_count(xor) on candidates only); the all-pairs
+    O(n^2) comparison never exists.
+
+    Sizing at scale: bucket density ~ n / (2^band_bits) per band — 64-bit
+    production phashes give 16-bit bands (65k buckets/band, hamming<=3
+    guaranteed); ``max_bucket`` drops degenerate hot buckets (e.g. the
+    all-black-image hash) exactly like the minhash hot-bucket cap.
+
+    Output: (id_a, id_b, hamming), id_a < id_b, hamming <= max_hamming.
+    """
+    mask = (1 << band_bits) - 1
+    e = images.select(F.col(id_col).alias("id"), F.col(phash_col).alias("ph"))
+    banded = e.select(
+        "id",
+        "ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.shiftright("ph", j * band_bits).bitwiseAND(F.lit(mask)).alias("b"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("p"),
+    ).select("id", "ph", F.col("p.j").alias("j"), F.col("p.b").alias("b"))
+    if max_bucket is not None:
+        hot = (
+            banded.groupBy("j", "b")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket)
+            .select("j", "b")
+        )
+        banded = banded.join(F.broadcast(hot), ["j", "b"], "left_anti")
+    a = banded.select(F.col("id").alias("id_a"), F.col("ph").alias("pa"), "j", "b")
+    bb = banded.select(F.col("id").alias("id_b"), F.col("ph").alias("pb"), "j", "b")
+    ham = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+    return (
+        a.join(bb, ["j", "b"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", "pb")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -278,3 +278,42 @@ def test_connected_components_golden(spark):
     )
     out = connected_components(edges).toPandas().set_index("node")["component"].to_dict()
     assert out == {1: 1, 2: 1, 3: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_phash_near_dup_planted(spark):
+    """Planted perceptual-hash clusters: pairs within hamming<=3 must ALL
+    be found (pigeonhole: 4 bands, <4 flipped bits leave one band intact
+    — exact recall, no LSH luck), far pairs must not appear; hamming
+    values are exact. Hot-bucket cap drops a degenerate all-same band."""
+    import pandas as pd
+
+    from ds_raster_pipelines_spark.operators.dedup import phash_near_dup_pairs
+
+    base = 0b1011_0110_1001_1100_0101_0011_1010_0110
+    rows = [
+        (0, base),
+        (1, base ^ 0b1),                      # ham 1
+        (2, base ^ 0b1000000000),             # ham 1
+        (3, base ^ 0b111),                    # ham 3
+        (4, base ^ ((1 << 3) | (1 << 11) | (1 << 19) | (1 << 27))),  # ham 4: one flip/band
+        (5, 0x2AAAAAAA),                      # far
+        (6, 0x15553333),                      # far
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["i", "phash"]),
+                               "i long, phash long")
+    got = phash_near_dup_pairs(df, max_hamming=3).toPandas()
+    pairs = {(a, b): h for a, b, h in zip(got.id_a, got.id_b, got.hamming)}
+    assert pairs[(0, 1)] == 1 and pairs[(0, 2)] == 1 and pairs[(0, 3)] == 3
+    assert pairs[(1, 2)] == 2 and pairs[(1, 3)] == 2  # within-cluster closure
+    assert (0, 4) not in pairs  # ham 4 with NO shared band: beyond guarantee
+    assert not any(5 in p or 6 in p for p in pairs)
+    # approximate regime: ham<=4 pair appears only if a band survives —
+    # id 4 flips one bit in EVERY band, so it stays invisible (documented)
+    got5 = phash_near_dup_pairs(df, max_hamming=4).toPandas()
+    assert (0, 4) not in set(zip(got5.id_a, got5.id_b))
+    # hot-bucket cap: band value shared by ALL docs gets dropped
+    same_band = [(k, (k << 8) | 0x55) for k in range(30)]  # band0 identical
+    df2 = spark.createDataFrame(pd.DataFrame(same_band, columns=["i", "phash"]),
+                                "i long, phash long")
+    capped = phash_near_dup_pairs(df2, max_hamming=3, max_bucket=10).toPandas()
+    assert len(capped) == 0  # only the hot band collided; cap removes it
