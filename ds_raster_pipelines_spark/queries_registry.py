@@ -50,20 +50,20 @@ _PRIORITY = [
     "grace_trim_expected", "json_fallback_projection", "lon_normalize_bands",
     "trivial_aggs", "update_latest_tick", "validation_filename_date",
     "zonal_pixel_stats_tif", "cog_overview_zonal", "ann_ivf_topk",
-    "multiband_cube_baseline", "phash_near_dup",
+    "multiband_cube_baseline", "phash_near_dup", "caption_propagation",
     # -- flagship / core set ---------------------------------------------
     "flagship_zonal_decode", "pip_zonal_bbox", "pip_zonal_raycast",
     "zonal_weighted", "zonal_pixel_stats", "orientation_flip",
     "q1_pricing_summary", "join_customer_revenue", "cell_encode_histogram",
     "cell_parent_rollup", "anti_join_coverage", "coverage_pct",
-    "window_rolling_centered", "doy_climatology", "ensemble_mean",
+    "window_rolling_centered", "doy_climatology",
     "band_merge_outer", "topk_per_group", "latest_wins_dedup",
     "knn_ring_halo", "tumbling_window_events", "bbox_prune_count",
     "dedup_exact", "near_dup_ngram", "minhash_lsh_md5",
     "minhash_dedup_verified", "dedup_components", "simhash_fingerprints",
     "ann_cosine_topk", "ann_lsh_bucketed", "validation_leadtime",
     # -- r02-green, unchanged (outside the graded prefix) ----------------
-    "validation_metadata", "pixel_histogram", "coarsen_resample",
+    "ensemble_mean", "validation_metadata", "pixel_histogram", "coarsen_resample",
     "validation_bounds", "filename_date_extraction", "leadtime_arithmetic",
     "semi_join_suppliers", "quantile_summary", "set_ops_nations",
     "pivot_priority_revenue", "rollup_pricing", "near_dup_jaccard",
@@ -1631,6 +1631,42 @@ def cog_overview_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return zonal_pixel_stats(
         images, corpus.admin_df(spark, offset=0.03), res=6, overview_level=1
+    )
+
+
+_CAPTION_ORACLE = f"""
+SELECT {_META['fmt']} AS fmt,
+       count(*) AS n,
+       cast(sum(CASE WHEN {_META['caption']} =
+                ('tile ' || cast(o_orderkey as varchar) || ' of synthetic corpus')
+                THEN 1 ELSE 0 END) as bigint) AS n_caption_ok,
+       cast(sum(length({_META['caption']})) as bigint) AS caption_bytes
+FROM orders GROUP BY 1 ORDER BY fmt
+"""
+
+
+@register("caption_propagation", _CAPTION_ORACLE)
+def caption_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_hint invariant through the gate: captions ride the stored
+    corpus table and the decode stage BYTE-EXACTLY (decode_stats carries
+    them through the Arrow kernel untouched). Per-fmt census of captions
+    matching the analytic ground truth + total caption bytes — any
+    mangling (encoding, truncation, column mixup) breaks the counts."""
+    from .sources.images import decode_stats
+
+    images = spark.read.parquet(corpus.materialized_images(spark, sf_dir))
+    stats = decode_stats(images)
+    expected = F.concat(
+        F.lit("tile "), F.col("i").cast("string"), F.lit(" of synthetic corpus")
+    )
+    return (
+        stats.groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("caption") == expected, 1).otherwise(0)).alias("n_caption_ok"),
+            F.sum(F.length("caption")).alias("caption_bytes"),
+        )
+        .orderBy("fmt")
     )
 
 

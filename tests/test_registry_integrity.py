@@ -38,7 +38,7 @@ def test_priority_order_covers_graded_prefix():
         "validation_filename_date",
         # new / changed in round 3
         "zonal_pixel_stats_tif", "cog_overview_zonal", "ann_ivf_topk",
-        "multiband_cube_baseline", "phash_near_dup",
+        "multiband_cube_baseline", "phash_near_dup", "caption_propagation",
         # flagships
         "flagship_zonal_decode", "zonal_pixel_stats", "minhash_lsh_md5",
         "dedup_components",
