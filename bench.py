@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "sessionize_events",
     "zonal_pixel_stats_tif",
     "cog_overview_zonal",
+    "multiband_cube_baseline",
+    "caption_propagation",
 ]
 
 # plans whose driver loop executes jobs during query CONSTRUCTION
