@@ -11,7 +11,7 @@ Spark-first plan: TAG-UNION + ORDERED WINDOW —
 
     union(build tagged 0, probe tagged 1)
       → window per key ordered by (ts, tag)
-      → last(build value, ignoreNulls) over rows unbounded-preceding
+      → last(build ROW STRUCT, ignoreNulls) over rows unbounded-preceding
       → keep probe rows
 
 ONE shuffle on the key, sort-based O((n+m) log), no range explosion, no
