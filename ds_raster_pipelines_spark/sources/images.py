@@ -37,17 +37,27 @@ def _binary_offsets_data(arr) -> tuple[np.ndarray, np.ndarray]:
     return off.astype(np.int64, copy=False), data
 
 
-def decode_stats(images: DataFrame) -> DataFrame:
+def decode_stats(images: DataFrame, on_error: str = "raise") -> DataFrame:
     """images -> per-tile decoded stats. Columns preserved: i, image_id,
     caption (byte-exact propagation — input_hint invariant), fmt, phash.
 
     mapInArrow kernel: string/int columns pass through as Arrow arrays
     (zero conversion); the binary column is sliced from the Arrow buffers
     directly. Fixed-size formats (raw/qnt) decode as ONE vectorized gather
-    + row-wise reductions per batch; entropy-coded formats (png) fall back
-    to per-blob decode. Pixels never leave the kernel — only stats do, so
-    nothing pixel-sized ever crosses a shuffle.
-    """
+    + row-wise reductions per batch; entropy-coded formats (png/tif) fall
+    back to per-blob decode. Pixels never leave the kernel — only stats
+    do, so nothing pixel-sized ever crosses a shuffle.
+
+    ``on_error``: ``"raise"`` (default — a corrupt blob fails the task;
+    payload-size mismatches on the fixed-size path are detected, never
+    silently mis-averaged) or ``"null"`` — ERROR-AS-DATA: bad blobs yield
+    NULL stats plus ``decode_ok=false``, so one poisoned object out of
+    10^12 quarantines itself as a row instead of killing a 12-hour job
+    (the decode-side analog of the fetch layer's status column)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(on_error)
+    tolerant = on_error == "null"
+    schema = DECODE_STATS_SCHEMA + (", decode_ok boolean" if tolerant else "")
 
     def kernel(batches):
         import pyarrow as pa
@@ -60,21 +70,33 @@ def decode_stats(images: DataFrame) -> DataFrame:
             ws = col["w"].to_numpy(zero_copy_only=False)
             hs = col["h"].to_numpy(zero_copy_only=False)
             arr = col["bytes"]
-            if arr.null_count:
+            if arr.null_count and not tolerant:
                 raise ValueError("null bytes in images table")
             off, data = _binary_offsets_data(arr)
-            mean = np.empty(n)
-            mn = np.empty(n)
-            mx = np.empty(n)
+            mean = np.full(n, np.nan)
+            mn = np.full(n, np.nan)
+            mx = np.full(n, np.nan)
+            ok = np.ones(n, dtype=bool)
             npx = (ws.astype(np.int64)) * hs.astype(np.int64)
+            seg_len = off[1:] - off[:-1]
             # vectorized fast path: fixed-size uncompressed payloads via
             # segment reduceat — ONE pass over the data buffer. (A fancy-
             # index gather here builds an int64 index matrix 8x the payload
             # size per batch; under 32-way worker concurrency the page
             # faults + bandwidth made the kernel ~40x slower — measured.)
             fixed = (fmts == "raw") | (fmts == "qnt")
-            if fixed.any():
-                idx = np.nonzero(fixed)[0]
+            bad_size = fixed & (seg_len != npx)
+            if bad_size.any():
+                if not tolerant:
+                    k = int(np.nonzero(bad_size)[0][0])
+                    raise ValueError(
+                        f"payload size mismatch for fixed-size fmt at row {k}: "
+                        f"{seg_len[k]} bytes for {npx[k]} pixels"
+                    )
+                ok[bad_size] = False
+            good_fixed = fixed & ~bad_size
+            if good_fixed.any():
+                idx = np.nonzero(good_fixed)[0]
                 bounds = np.empty(2 * len(idx), dtype=np.int64)
                 bounds[0::2] = off[idx]
                 bounds[1::2] = off[idx + 1]
@@ -86,28 +108,37 @@ def decode_stats(images: DataFrame) -> DataFrame:
                 mn[idx] = np.minimum.reduceat(data, b)[0::2]
                 mx[idx] = np.maximum.reduceat(data, b)[0::2]
             for k in np.nonzero(~fixed)[0]:
-                px = codecs.decode_tile(
-                    data[off[k] : off[k + 1]].tobytes(), fmts[k], int(ws[k]), int(hs[k])
-                )
+                try:
+                    px = codecs.decode_tile(
+                        data[off[k] : off[k + 1]].tobytes(), fmts[k], int(ws[k]), int(hs[k])
+                    )
+                except Exception:
+                    if not tolerant:
+                        raise
+                    ok[k] = False
+                    continue
                 mean[k] = px.mean(dtype=np.float64)
                 mn[k] = float(px.min())
                 mx[k] = float(px.max())
-            yield pa.RecordBatch.from_arrays(
-                [
-                    col["i"],
-                    col["image_id"],
-                    col["caption"],
-                    col["fmt"],
-                    col["phash"],
-                    pa.array(mean),
-                    pa.array(mn),
-                    pa.array(mx),
-                    pa.array(npx),
-                ],
-                names=["i", "image_id", "caption", "fmt", "phash", "mean_value", "min_value", "max_value", "n_px"],
-            )
+            arrays = [
+                col["i"],
+                col["image_id"],
+                col["caption"],
+                col["fmt"],
+                col["phash"],
+                pa.array(mean, pa.float64(), from_pandas=True),
+                pa.array(mn, pa.float64(), from_pandas=True),
+                pa.array(mx, pa.float64(), from_pandas=True),
+                pa.array(npx),
+            ]
+            names_out = ["i", "image_id", "caption", "fmt", "phash",
+                         "mean_value", "min_value", "max_value", "n_px"]
+            if tolerant:
+                arrays.append(pa.array(ok))
+                names_out.append("decode_ok")
+            yield pa.RecordBatch.from_arrays(arrays, names=names_out)
 
-    return images.mapInArrow(kernel, schema=DECODE_STATS_SCHEMA)
+    return images.mapInArrow(kernel, schema=schema)
 
 
 VERIFY_SCHEMA = "i bigint, fmt string, psnr double, caption_ok boolean, lossless_exact boolean"

@@ -95,6 +95,45 @@ def session_agg_stream(
     )
 
 
+def dedup_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    keys: list[str] | None = None,
+    watermark: str = "24 hours",
+    query_name: str = "events_dedup",
+) -> DataFrame:
+    """Streaming EXACT dedup: duplicate deliveries dropped by key with
+    bounded state (``dropDuplicatesWithinWatermark`` — state for a key is
+    evicted once the watermark passes it, so an at-least-once upstream
+    feed dedups with O(window) memory instead of O(stream)). The batch
+    twin is a plain ``dropDuplicates`` — the test asserts equality. Each
+    input row is doubled in-stream first, modeling the re-delivery."""
+    keys = keys or ["event_id"]
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        # model at-least-once delivery: every event arrives twice
+        .withColumn("_copy", F.explode(F.array(F.lit(1), F.lit(2))))
+        .drop("_copy")
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def windowed_agg_stream(
     spark: SparkSession,
     sf_dir: str,

@@ -65,3 +65,42 @@ def test_entry_contract(spark):
     pdf = df.toPandas()
     assert len(pdf) > 0
     assert set(pdf.columns) == {"adm_id", "avg_value", "min_value", "max_value", "sum_value", "n_tiles"}
+
+
+def test_decode_stats_error_as_data(spark):
+    """Poisoned-blob tolerance: corrupt payloads (truncated raw, garbage
+    png bytes) must quarantine as decode_ok=false rows with NULL stats in
+    on_error='null' mode, fail the job loudly in strict mode, and never
+    silently mis-average a size-mismatched fixed-size payload."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ds_raster_pipelines_spark.sources.images import decode_stats
+
+    images = corpus.images_from_range(spark, 60, partitions=2)
+
+    def poison(pdf_iter):
+        for pdf in pdf_iter:
+            blobs = pdf["bytes"].tolist()
+            for k, i in enumerate(pdf["i"]):
+                if i == 7:  # raw tile truncated (size mismatch)
+                    blobs[k] = blobs[k][: len(blobs[k]) // 2]
+                elif i == 8:  # png tile replaced with garbage
+                    blobs[k] = b"\x00garbage-not-a-png"
+            pdf = pdf.assign(bytes=pd.Series(blobs, index=pdf.index, dtype=object))
+            yield pdf
+    poisoned = images.mapInPandas(poison, schema=images.schema)
+
+    out = decode_stats(poisoned, on_error="null").toPandas().set_index("i")
+    bad = out[~out["decode_ok"]]
+    assert sorted(bad.index) == [7, 8]
+    assert bad["mean_value"].isna().all()
+    good = out[out["decode_ok"]]
+    assert len(good) == 58 and good["mean_value"].notna().all()
+    for i in [0, 5, 20]:
+        assert good.loc[i, "mean_value"] == corpus.expected_decoded_mean(i)
+
+    # strict mode: the same corpus fails the job (size mismatch is
+    # DETECTED, not averaged over the wrong byte count)
+    with pytest.raises(Exception, match="size mismatch|garbage|PNG|unknown"):
+        decode_stats(poisoned).agg(F.count(F.lit(1))).collect()

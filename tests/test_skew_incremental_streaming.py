@@ -178,6 +178,22 @@ def test_streaming_matches_batch(spark):
     assert len(batch) > 0
 
 
+def test_dedup_stream_matches_batch(spark):
+    """Streaming exact dedup with bounded state: doubled (at-least-once)
+    deliveries collapse back to exactly the batch-distinct row set."""
+    from ds_raster_pipelines_spark.streaming.events import dedup_stream
+
+    sf = "/root/testdata/sf0.001"
+    batch = spark.read.parquet(f"{sf}/events.parquet")
+    got = dedup_stream(spark, sf)
+    assert got.count() == batch.count()  # every duplicate dropped
+    a = got.select("event_id", "user_id", "event_type").orderBy("event_id").toPandas()
+    b = (
+        batch.select("event_id", "user_id", "event_type").orderBy("event_id").toPandas()
+    )
+    assert a.equals(b)
+
+
 def test_session_window_stream_matches_batch(spark):
     """Native session_window: the streaming merging-session state machine
     must converge to the batch session census exactly; and the per-user
