@@ -11,6 +11,7 @@ for floats). Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -124,7 +125,8 @@ def main() -> int:
     import __spark_entry__ as entry_mod
     from ds_raster_pipelines_spark.session import get_spark
 
-    spark = get_spark("oracle_check", cpus=8, shuffle_partitions=8)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    spark = get_spark("oracle_check", cpus=cpus, shuffle_partitions=cpus)
     con = duck_con(sf_dir)
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
