@@ -141,6 +141,39 @@ def decode_stats(images: DataFrame, on_error: str = "raise") -> DataFrame:
     return images.mapInArrow(kernel, schema=schema)
 
 
+FEATURES_SCHEMA = "vec_id bigint, embedding array<float>"
+
+
+def decode_features(images: DataFrame, bins: int = 16) -> DataFrame:
+    """Image FEATURE EXTRACTION: decode each tile and emit an L2-normalized
+    ``bins``-dim intensity-histogram vector in the ``embeddings`` shape
+    (vec_id, embedding array<float>) — so every ANN / embedding-near-dup
+    operator (operators/similarity.py) composes directly on image content:
+    decode → features → sign-LSH/IVF near-dup is the whole image pipeline
+    with no new join machinery. One Arrow stage; per-blob decode + one
+    bincount per image (vectorized, no per-pixel Python).
+
+    Features are MEAN-CENTERED before normalization: raw histograms are
+    all-nonnegative, which would put every vector on the same side of
+    every sign-LSH hyperplane (one giant bucket — the LSH degenerates to
+    all-pairs). Centering splits the sign bits, keeping the bucketed
+    operators bucketed."""
+
+    def kernel(batches):
+        for pdf in batches:
+            vecs = []
+            for blob, fmt, w, h in zip(pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]):
+                px = codecs.decode_tile(bytes(blob), fmt, int(w), int(h))
+                hist = np.bincount(px.ravel() >> int(np.log2(256 // bins)), minlength=bins)
+                v = hist.astype(np.float64)
+                v -= v.mean()
+                n = np.linalg.norm(v)
+                vecs.append((v / n if n else v).astype(np.float32).tolist())
+            yield pd.DataFrame({"vec_id": pdf["i"], "embedding": vecs})
+
+    return images.mapInPandas(kernel, schema=FEATURES_SCHEMA)
+
+
 VERIFY_SCHEMA = "i bigint, fmt string, psnr double, caption_ok boolean, lossless_exact boolean"
 
 

@@ -104,3 +104,31 @@ def test_decode_stats_error_as_data(spark):
     # DETECTED, not averaged over the wrong byte count)
     with pytest.raises(Exception, match="size mismatch|garbage|PNG|unknown"):
         decode_stats(poisoned).agg(F.count(F.lit(1))).collect()
+
+
+def test_image_feature_ann_pipeline(spark):
+    """End-to-end image near-dup: decode → intensity-histogram feature
+    vectors (embeddings shape) → the EXISTING embedding LSH near-dup
+    operator. Tiles with equal pixel offset (i ≡ j mod 97) decode to
+    identical content → identical unit features → sim 1.0 pairs; the
+    planted duplicates must all surface, distinct-content pairs must not
+    reach sim 1.0."""
+    from pyspark.sql import functions as F
+
+    from ds_raster_pipelines_spark.operators.similarity import lsh_near_dup_pairs
+    from ds_raster_pipelines_spark.sources.images import decode_features
+
+    # ids 0..29 plus planted duplicates of 3 of them (content repeats mod 97)
+    ids = spark.createDataFrame(
+        [(i,) for i in list(range(30)) + [97, 98, 99]], "i long"
+    )
+    feats = decode_features(corpus.images_from_ids(ids, partitions=2))
+    assert feats.schema.simpleString() == "struct<vec_id:bigint,embedding:array<float>>"
+    pairs = lsh_near_dup_pairs(
+        feats, threshold=0.999999, tables=[[1, 5, 9, 13], [3, 7, 11, 15]]
+    ).toPandas()
+    got = set(zip(pairs.id_a, pairs.id_b))
+    assert {(0, 97), (1, 98), (2, 99)} <= got  # every planted dup found
+    # only same-content pairs reach sim ~1 (histogram of c..c+63 differs
+    # per c except at exact 97-shifts)
+    assert all(b - a == 97 for a, b in got)
