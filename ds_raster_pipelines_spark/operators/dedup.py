@@ -60,13 +60,18 @@ def release_cached() -> None:
         _CACHED.pop().unpersist()
 
 
-def tokenize(df: DataFrame, text_col: str = "text", out: str = "w") -> DataFrame:
-    """doc_id + exploded distinct words (the shingle set)."""
-    return (
-        df.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias(out))
-        .where(F.col(out) != "")
-        .distinct()
-    )
+def tokenize(
+    df: DataFrame, text_col: str = "text", out: str = "w", distinct: bool = True
+) -> DataFrame:
+    """doc_id + exploded words. ``distinct=True`` gives the shingle SET
+    (required by jaccard counting — one full shuffle of strings);
+    ``distinct=False`` is the raw stream for duplicate-insensitive
+    consumers: min() over a multiset equals min() over its set, so the
+    MinHash signature path skips the distinct shuffle entirely."""
+    words = df.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias(out)
+    ).where(F.col(out) != "")
+    return words.distinct() if distinct else words
 
 
 def tokenize_ngrams(
@@ -170,7 +175,10 @@ def minhash_signatures(
                     readable, but builds the vocabulary through a single-
                     partition window: keep for small corpora / the legacy
                     oracle twin only, never for the 100 TB path."""
-    return _signatures_from_words(tokenize(df, text_col), strategy)
+    # no distinct: MinHash is duplicate-insensitive, and skipping it
+    # removes a full shuffle of word STRINGS — the signature pipeline's
+    # only remaining exchange is the (doc_id, j) groupBy of longs
+    return _signatures_from_words(tokenize(df, text_col, distinct=False), strategy)
 
 
 def _signatures_from_words(words: DataFrame, strategy: str) -> DataFrame:
