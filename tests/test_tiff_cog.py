@@ -40,6 +40,30 @@ def test_packbits_prefers_runs():
     assert len(tiff.packbits_encode(run_heavy)) <= 2 * (4096 // 128 + 1)
 
 
+def test_cog_multi_overview_pyramid():
+    """overviews=3 builds a 64->32->16->8 pyramid: every level decodes to
+    the iterated 2x2-mean of the one above; decode_tif still returns
+    full-res; requesting a level beyond the pyramid raises."""
+    rng = np.random.default_rng(12)
+    px = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    c = tiff.encode_cog(px, overviews=3)
+    assert np.array_equal(tiff.decode_tif(c), px)
+    level = px
+    for lv in (1, 2, 3):
+        level = tiff.overview_2x(level)
+        got = tiff.decode_tif_overview(c, lv)
+        assert got.shape == (64 >> lv, 64 >> lv)
+        assert np.array_equal(got, level)
+    with pytest.raises(ValueError, match="overview"):
+        tiff.decode_tif_overview(c, 4)
+    # odd level stops the pyramid cleanly before a fractional 2x step
+    c2 = tiff.encode_cog(rng.integers(0, 256, size=(20, 20), dtype=np.uint8), overviews=3)
+    assert tiff.decode_tif_overview(c2, 1).shape == (10, 10)
+    assert tiff.decode_tif_overview(c2, 2).shape == (5, 5)
+    with pytest.raises(ValueError, match="overview"):
+        tiff.decode_tif_overview(c2, 3)  # 5x5 has no clean 2x reduction
+
+
 def test_corpus_fmt_tif_decodes_to_ground_truth():
     for i in [0, 1, 4, 16, 97, 1439]:
         px = corpus.pixels_for(i)
