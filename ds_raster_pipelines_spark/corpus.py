@@ -338,6 +338,13 @@ def materialized_images_n(
 
     path = f"{cache_root}/{CORPUS_VERSION}/range_{n}"
     if not os.path.exists(f"{path}/_SUCCESS"):
+        if os.path.exists(path):
+            # stale partial corpus from a run that crashed before the final
+            # rename ever wrote _SUCCESS — remove it (mirroring the tmp
+            # cleanup below) or the os.rename at the end wedges every run
+            import shutil
+
+            shutil.rmtree(path)
         # ids only (see materialized_images: no images plan through
         # _write_corpus), and n_rows passed so no count job runs at all.
         # Generation runs in <=4M-tile JOBS (append per chunk): bounding

@@ -42,22 +42,63 @@ MINHASH_PARAMS = [
 
 # Persisted shared intermediates (words / band_sig) must stay cached until
 # the caller materializes the returned plan, so they cannot be unpersisted
-# inside the operator that created them. Each new top-level invocation
-# instead releases the PREVIOUS one's blocks first, bounding cache growth to
-# one run (bench reps and 65-query oracle sweeps in a single session no
-# longer accumulate blocks for the session lifetime).
-_CACHED: list[DataFrame] = []
+# inside the operator that created them. Lifetime is owned by a CacheScope:
+# pass one explicitly (`with CacheScope() as s: minhash_dedup_pairs(df,
+# scope=s); out.collect()`) to control exactly when blocks are freed, e.g.
+# when building several dedup plans before materializing any of them. With
+# no scope, each top-level invocation uses a THREAD-LOCAL default scope and
+# releases the previous default-scope blocks first — bounding cache growth
+# to one plan per thread (bench reps and 70-query oracle sweeps in a single
+# session never accumulate blocks for the session lifetime).
+import threading
 
 
-def _persist(df: DataFrame) -> DataFrame:
-    _CACHED.append(df.persist())
-    return _CACHED[-1]
+class CacheScope:
+    """Owns the persisted intermediates of one dedup plan build."""
+
+    def __init__(self) -> None:
+        self._dfs: list[DataFrame] = []
+
+    def persist(self, df: DataFrame) -> DataFrame:
+        self._dfs.append(df.persist())
+        return self._dfs[-1]
+
+    def release(self) -> None:
+        while self._dfs:
+            self._dfs.pop().unpersist()
+
+    def __enter__(self) -> "CacheScope":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+
+_DEFAULT = threading.local()
+
+
+def _scope(scope: CacheScope | None, fresh: bool) -> CacheScope:
+    """Resolve the cache scope for a top-level invocation. Explicit scope:
+    caller owns the lifetime, nothing is implicitly released. No scope:
+    rotate this thread's default scope (release previous plan's blocks)."""
+    if scope is not None:
+        return scope
+    if fresh:
+        release_cached()
+        _DEFAULT.scope = CacheScope()
+    cur = getattr(_DEFAULT, "scope", None)
+    if cur is None:
+        cur = _DEFAULT.scope = CacheScope()
+    return cur
 
 
 def release_cached() -> None:
-    """Unpersist intermediates cached by earlier dedup invocations."""
-    while _CACHED:
-        _CACHED.pop().unpersist()
+    """Unpersist intermediates cached by this THREAD's default scope (plans
+    built with an explicit CacheScope are unaffected — release those via
+    the scope)."""
+    cur = getattr(_DEFAULT, "scope", None)
+    if cur is not None:
+        cur.release()
 
 
 def tokenize(
@@ -197,6 +238,7 @@ def lsh_candidate_pairs(
     sigs: DataFrame,
     rows_per_band: int = 2,
     max_bucket: int | None = None,
+    scope: CacheScope | None = None,
     _fresh: bool = True,
 ) -> DataFrame:
     """Band the signatures and bucket-join: docs sharing any full band are
@@ -210,8 +252,7 @@ def lsh_candidate_pairs(
     exact dedup / union-find on a sample than via all-pairs."""
     if rows_per_band not in (1, 2):
         raise ValueError("packed band signature implemented for rows_per_band in {1, 2}")
-    if _fresh:  # top-level call: free the previous invocation's blocks
-        release_cached()
+    sc = _scope(scope, _fresh)
     banded = sigs.withColumn("band", F.floor(F.col("j") / rows_per_band)).withColumn(
         "_term",
         F.col("mh")
@@ -221,7 +262,7 @@ def lsh_candidate_pairs(
     # with different downstream partitionings, so Spark cannot reuse the
     # exchange — persist it once (docs x bands rows, tiny vs the corpus)
     # instead of re-deriving the whole tokenize->minhash pipeline 3x.
-    band_sig = _persist(banded.groupBy("doc_id", "band").agg(F.sum("_term").alias("sig")))
+    band_sig = sc.persist(banded.groupBy("doc_id", "band").agg(F.sum("_term").alias("sig")))
     if max_bucket is not None:
         hot = (
             band_sig.groupBy("band", "sig")
@@ -247,6 +288,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
     rows_per_band: int = 2,
     max_bucket: int | None = None,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup: candidates from LSH, verified with exact
     Jaccard (filter-refine — same shape as the PIP join). rows_per_band
@@ -261,10 +303,11 @@ def minhash_dedup_pairs(
     on different join keys — no exchange reuse is possible, so it is
     persisted once; at warehouse scale stage it as an intermediate table
     instead (same plan shape, spill-safe)."""
-    release_cached()  # free the previous invocation's blocks
-    words = _persist(tokenize(df, text_col))
+    sc = _scope(scope, fresh=True)
+    words = sc.persist(tokenize(df, text_col))
     cand = lsh_candidate_pairs(
-        _signatures_from_words(words, strategy), rows_per_band, max_bucket, _fresh=False
+        _signatures_from_words(words, strategy), rows_per_band, max_bucket,
+        scope=sc, _fresh=False,
     )
     sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
     wa = words.select(F.col("doc_id").alias("doc_a"), "w")

@@ -132,6 +132,25 @@ def zonal_pixel_stats(
             ws = col["w"].to_numpy(zero_copy_only=False).astype(np.int64)
             hs = col["h"].to_numpy(zero_copy_only=False).astype(np.int64)
             if overview_level:  # window math follows the per-level dims
+                # fail fast with a clear message on misuse: only COG blobs
+                # carry overview pages, and the floor-shift window math is
+                # only exact when the dims divide by 2^level — a mixed or
+                # odd-dim corpus would otherwise die mid-decode (or worse,
+                # silently diverge windows from decoded dims)
+                bad_fmt = fmts[fmts != "cog"]
+                if bad_fmt.size:
+                    raise ValueError(
+                        f"overview_level={overview_level} requires fmt='cog' "
+                        f"for every tile; got {sorted(set(bad_fmt))[:3]}"
+                    )
+                step = 1 << overview_level
+                odd = (ws % step != 0) | (hs % step != 0)
+                if odd.any():
+                    k = int(np.flatnonzero(odd)[0])
+                    raise ValueError(
+                        f"overview_level={overview_level} needs dims divisible "
+                        f"by {step}; tile {int(ws[k])}x{int(hs[k])} is not"
+                    )
                 ws = ws >> overview_level
                 hs = hs >> overview_level
             off, data = _binary_offsets_data(col["bytes"])

@@ -76,7 +76,14 @@ class IncrementalRun:
 
     def manifest(self) -> DataFrame:
         if not os.path.exists(self.manifest_dir):
-            return self.spark.createDataFrame([], MANIFEST_SCHEMA)
+            # a crash inside commit_partition's swap window can leave only
+            # the renamed-aside backup; recover it so resume degrades to
+            # "recompute the in-flight partition", never a missing-path error
+            old = self.manifest_dir + "._old"
+            if os.path.exists(old):
+                os.rename(old, self.manifest_dir)
+            else:
+                return self.spark.createDataFrame([], MANIFEST_SCHEMA)
         return self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.manifest_dir)
 
     def pending_partitions(self, planned: list[int]) -> list[int]:
@@ -124,8 +131,17 @@ class IncrementalRun:
             merged = existing.where(F.col("part") != part).unionByName(m)
             tmp = self.manifest_dir + "._tmp"
             merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(self.manifest_dir)
+            # swap keeps a readable manifest at EVERY crash point: the old
+            # dir is renamed aside (not deleted) before tmp moves in, so a
+            # crash mid-swap leaves either the old or the new manifest in
+            # place — never a missing path (resume degrades to "recompute
+            # that partition", as the contract promises).
+            old = self.manifest_dir + "._old"
+            if os.path.exists(old):
+                shutil.rmtree(old)  # leftover from a prior crashed swap
+            os.rename(self.manifest_dir, old)
             os.rename(tmp, self.manifest_dir)
+            shutil.rmtree(old)
         else:
             m.write.mode("append").parquet(self.manifest_dir)
         return m.collect()[0].asDict()

@@ -317,3 +317,24 @@ def test_phash_near_dup_planted(spark):
                                 "i long, phash long")
     capped = phash_near_dup_pairs(df2, max_hamming=3, max_bucket=10).toPandas()
     assert len(capped) == 0  # only the hot band collided; cap removes it
+
+
+def test_cache_scope_isolates_invocations(spark, docs):
+    """Two dedup plans built BEFORE either materializes: explicit
+    CacheScopes keep the first plan's persisted band_sig/words alive while
+    the second builds (the old module-global cache released them last-wins,
+    silently recomputing the whole tokenize→minhash pipeline)."""
+    from ds_raster_pipelines_spark.operators.dedup import (
+        CacheScope,
+        minhash_dedup_pairs,
+    )
+
+    with CacheScope() as s1, CacheScope() as s2:
+        p1 = minhash_dedup_pairs(docs, strategy="md5", threshold=0.5, scope=s1)
+        cached_after_first = [df for df in s1._dfs]
+        p2 = minhash_dedup_pairs(docs, strategy="md5", threshold=0.5, scope=s2)
+        # building the second plan must not touch the first scope's blocks
+        assert all(df.storageLevel.useMemory for df in cached_after_first)
+        assert p1.count() == p2.count()
+    # context exit released everything
+    assert not any(df.storageLevel.useMemory for df in s1._dfs + s2._dfs)

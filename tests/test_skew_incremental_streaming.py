@@ -359,3 +359,38 @@ def test_watermark_drops_late_events(spark, tmp_path):
     starts = set(out["win_start"].dt.strftime("%H:%M"))
     assert "10:00" in starts and "11:00" in starts  # finalized on watermark pass
     assert "08:00" not in starts  # late event dropped, never emitted
+
+
+def test_manifest_swap_crash_recovery(spark, tmp_path):
+    """A crash inside commit_partition's upsert swap must never leave the
+    run without a readable manifest: if only the renamed-aside backup
+    exists, manifest() recovers it and resume degrades to recomputing the
+    in-flight partition (ADVICE r3: the old rmtree-then-rename swap had a
+    window with NO manifest directory at all)."""
+    import os
+    import shutil
+
+    from ds_raster_pipelines_spark.streaming.incremental import IncrementalRun
+
+    out = str(tmp_path / "run")
+
+    def build(p):
+        return spark.range(p * 100, p * 100 + 50).select(
+            F.col("id").alias("cell_id"), (F.col("id") * 2).alias("v")
+        )
+
+    run = IncrementalRun(spark, out)
+    for p in [0, 1]:
+        run.commit_partition(p, build(p), cell_col="cell_id")
+    # simulate the mid-swap crash point: old manifest renamed aside, new
+    # one never moved into place
+    os.rename(run.manifest_dir, run.manifest_dir + "._old")
+    run2 = IncrementalRun(spark, out)
+    man = run2.manifest().orderBy("part").toPandas()
+    assert list(man["part"]) == [0, 1]  # recovered from the backup
+    assert run2.pending_partitions([0, 1, 2]) == [2]
+    # a later successful commit clears any leftover backup
+    run2.commit_partition(0, build(0), cell_col="cell_id")
+    assert not os.path.exists(run2.manifest_dir + "._old")
+    assert run2.verify(cell_col="cell_id").count() == 0
+    shutil.rmtree(out, ignore_errors=True)

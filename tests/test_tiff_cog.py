@@ -138,3 +138,19 @@ def test_cog_sink_write_rescan_identical(spark, tmp_path):
     import os
 
     assert not os.path.exists(blocked)
+
+
+def test_overview_guard_rejects_non_cog(spark):
+    """overview_level>0 on a non-COG corpus must fail at first-batch time
+    with a clear message, not die mid-decode on a missing overview IFD
+    (ADVICE r3: mixed-format corpora silently entered the shift math)."""
+    from ds_raster_pipelines_spark.operators.raster import zonal_pixel_stats
+
+    ids = spark.range(0, 50).withColumnRenamed("id", "i")
+    images = corpus.images_from_ids(ids)  # mixed raw/png/qnt — no COGs
+    adm = corpus.admin_df(spark, offset=0.07)
+    out = zonal_pixel_stats(
+        corpus.footprint_cols_for_images(images), adm, res=6, overview_level=1
+    )
+    with pytest.raises(Exception, match="fmt='cog'"):
+        out.collect()
