@@ -22,7 +22,7 @@ import zlib
 
 import numpy as np
 
-LOSSLESS_FMTS = frozenset({"raw", "png", "tif", "cog"})
+LOSSLESS_FMTS = frozenset({"raw", "png", "tif", "cog", "nc"})
 LOSSY_FMTS = frozenset({"qnt"})
 ALL_FMTS = LOSSLESS_FMTS | LOSSY_FMTS
 
@@ -85,7 +85,10 @@ def encode_qnt(pixels: np.ndarray) -> bytes:
     return px.tobytes()
 
 
-def encode_tile(pixels: np.ndarray, fmt: str) -> bytes:
+def encode_tile(pixels: np.ndarray, fmt: str, meta: dict | None = None) -> bytes:
+    """``meta`` is consumed by container formats that embed georeferencing
+    (currently 'nc': lon0/lat_top/span_deg/date_days); pixel-only formats
+    ignore it."""
     if fmt == "raw":
         return encode_raw(pixels)
     if fmt == "png":
@@ -100,6 +103,10 @@ def encode_tile(pixels: np.ndarray, fmt: str) -> bytes:
         from . import tiff
 
         return tiff.encode_cog(pixels)
+    if fmt == "nc":  # classic NetCDF-3 container (netcdf.py, from scratch)
+        from . import netcdf
+
+        return netcdf.encode_nc_tile(pixels, **(meta or {}))
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -113,6 +120,10 @@ def decode_tile(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         from . import tiff
 
         return tiff.decode_tif(data)
+    if fmt == "nc":  # classic NetCDF-3: (time, lat, lon) band_data
+        from . import netcdf
+
+        return netcdf.decode_nc_tile(data)
     if fmt in ("jpg", "jpeg", "webp"):
         # Real lossy codecs need an imaging lib absent from this container;
         # the 'qnt' format stands in for the lossy path (PSNR gate).

@@ -169,13 +169,25 @@ def images_from_ids(
             # (B, h, w) vectorized synthesis
             rows = px_base[None, :] + offs[:, None]
             blobs = []
-            for r, f in zip(rows, pdf["fmt"].to_numpy()):
+            for i, r, f in zip(ii, rows, pdf["fmt"].to_numpy()):
                 tile = np.tile(r, (TILE_H, 1))
                 if orientation == "flip_lon":
                     tile = tile[:, ::-1]
                 elif orientation == "flip_lat":
                     tile = tile[::-1, :]
-                blobs.append(codecs.encode_tile(np.ascontiguousarray(tile), f))
+                meta = None
+                if f == "nc":
+                    # the NetCDF container embeds real georeferencing —
+                    # coordinate vars must agree with the footprint columns
+                    # (footprint_cols_for_images) so a consumer reading the
+                    # blob's own lat/lon lands on the same grid
+                    meta = {
+                        "lon0": -180.0 + 0.25 * ((int(i) * 13) % 1440),
+                        "lat_top": 90.0 - 0.25 * ((int(i) * 7) % 720),
+                        "span_deg": 0.25,
+                        "date_days": int(i) % 366,
+                    }
+                blobs.append(codecs.encode_tile(np.ascontiguousarray(tile), f, meta))
             pdf = pdf.assign(bytes=pd.Series(blobs, index=pdf.index, dtype=object))
             yield pdf[out_cols]
 

@@ -1,0 +1,421 @@
+"""From-scratch NetCDF-3 "classic" (CDF-1) container codec — stdlib + numpy.
+
+NetCDF is the reference's second-most-common input container: the IMERG
+pipeline opens `.nc4` files (imerg_pipeline.py:78) and FloodScan opens the
+unzipped historical `.nc` archives (floodscan_pipeline.py:223,355), both
+via xarray. This module implements the PUBLIC Unidata classic file format
+(the `CDF\\x01` magic) directly, the same pattern as the from-scratch TIFF
+codec in tiff.py: no netCDF4/h5py dependency, just the wire format.
+
+Implemented (spec-complete for classic files):
+
+* CDF-1 (32-bit offsets) read+write, CDF-2 (64-bit offsets) read.
+* Fixed dimensions plus one UNLIMITED (record) dimension, including the
+  record-interleaved data layout and the spec's no-padding special case
+  for a single small-type record variable.
+* All six external types (NC_BYTE/CHAR/SHORT/INT/FLOAT/DOUBLE) for both
+  variables and attributes; big-endian storage; 4-byte header padding.
+* STREAMING numrecs sentinel (0xFFFFFFFF) — record count derived from the
+  file length.
+
+NOT implemented (raises with a clear message): NetCDF-4 (`\\x89HDF` — an
+HDF5 container, a different format entirely) and CDF-5.
+
+Layout summary (Unidata "classic format spec"):
+
+    magic('CDF' ver) numrecs dim_list gatt_list var_list data...
+    *_list  = ABSENT(0,0) | tag(0xA/0xC/0xB) count entries...
+    dim     = name fixed_size            (0 marks the record dim)
+    attr    = name nc_type nelems values(padded to 4)
+    var     = name rank dimids... vatt_list nc_type vsize begin
+    data    = fixed vars at their begin offsets, then records: per record,
+              each record var's slab (padded to 4) in definition order.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+NC_BYTE, NC_CHAR, NC_SHORT, NC_INT, NC_FLOAT, NC_DOUBLE = 1, 2, 3, 4, 5, 6
+
+_TAG_DIM, _TAG_VAR, _TAG_ATT = 0x0A, 0x0B, 0x0C
+_STREAMING = 0xFFFFFFFF
+
+# external type -> (big-endian numpy dtype, size in bytes)
+_DTYPE = {
+    NC_BYTE: (">i1", 1),
+    NC_CHAR: ("S1", 1),
+    NC_SHORT: (">i2", 2),
+    NC_INT: (">i4", 4),
+    NC_FLOAT: (">f4", 4),
+    NC_DOUBLE: (">f8", 8),
+}
+
+_KIND_TO_NC = {
+    ("i", 1): NC_BYTE,
+    ("u", 1): NC_BYTE,  # stored as signed byte, the classic convention
+    ("S", 1): NC_CHAR,
+    ("i", 2): NC_SHORT,
+    ("i", 4): NC_INT,
+    ("i", 8): NC_INT,  # classic has no 64-bit int; callers downcast
+    ("f", 4): NC_FLOAT,
+    ("f", 8): NC_DOUBLE,
+}
+
+
+def _nc_type_of(arr: np.ndarray) -> int:
+    key = (arr.dtype.kind, arr.dtype.itemsize)
+    if key not in _KIND_TO_NC:
+        raise ValueError(f"no classic NetCDF type for dtype {arr.dtype}")
+    return _KIND_TO_NC[key]
+
+
+def _pad4(n: int) -> int:
+    return (4 - n % 4) % 4
+
+
+class NcVar:
+    __slots__ = ("name", "dims", "attrs", "data")
+
+    def __init__(self, name: str, dims: tuple[str, ...], data: np.ndarray, attrs=None):
+        self.name = name
+        self.dims = tuple(dims)
+        self.data = data
+        self.attrs = dict(attrs or {})
+
+
+class NcFile:
+    """Decoded classic NetCDF: dims (name->size, record dim at its actual
+    record count), global attrs, and variables with native-order arrays."""
+
+    __slots__ = ("dims", "record_dim", "attrs", "variables")
+
+    def __init__(self, dims, record_dim, attrs, variables):
+        self.dims = dims
+        self.record_dim = record_dim
+        self.attrs = attrs
+        self.variables = variables
+
+
+# ------------------------------------------------------------- encoding ---
+
+
+def _enc_name(name: str) -> bytes:
+    b = name.encode()
+    return struct.pack(">i", len(b)) + b + b"\x00" * _pad4(len(b))
+
+
+def _attr_array(v) -> np.ndarray:
+    if isinstance(v, str):
+        return np.frombuffer(v.encode(), dtype="S1")
+    if isinstance(v, bytes):
+        return np.frombuffer(v, dtype="S1")
+    a = np.atleast_1d(np.asarray(v))
+    if a.dtype.kind == "i" and a.dtype.itemsize == 8:
+        a = a.astype(np.int32)
+    return a
+
+
+def _enc_attrs(attrs: dict) -> bytes:
+    if not attrs:
+        return struct.pack(">ii", 0, 0)
+    out = [struct.pack(">ii", _TAG_ATT, len(attrs))]
+    for name, v in attrs.items():
+        a = _attr_array(v)
+        t = _nc_type_of(a)
+        raw = a.astype(_DTYPE[t][0]).tobytes()
+        out.append(_enc_name(name) + struct.pack(">ii", t, a.size) + raw + b"\x00" * _pad4(len(raw)))
+    return b"".join(out)
+
+
+def encode_nc(
+    dims: dict[str, int],
+    variables: list[NcVar],
+    global_attrs: dict | None = None,
+    record_dim: str | None = None,
+) -> bytes:
+    """Serialize to classic CDF-1 bytes.
+
+    ``dims`` maps name -> size; for the record dim pass the record COUNT
+    (it is written as 0 per the spec, with numrecs in the file header).
+    Variable data must match its dims' shape; dtypes map to the classic
+    external types (uint8 is stored as NC_BYTE and reads back via
+    ``.view(np.uint8)`` / the decode helper below).
+    """
+    global_attrs = global_attrs or {}
+    dim_names = list(dims)
+    dim_ids = {n: k for k, n in enumerate(dim_names)}
+    if record_dim is not None and record_dim not in dims:
+        raise ValueError(f"record_dim {record_dim!r} not in dims")
+    numrecs = int(dims[record_dim]) if record_dim is not None else 0
+
+    fixed = [v for v in variables if record_dim is None or record_dim not in v.dims]
+    record = [v for v in variables if v not in fixed]
+    for v in record:
+        if v.dims[0] != record_dim:
+            raise ValueError(f"record dim must be outermost in {v.name!r}")
+
+    # per-variable element type + per-record/total slab sizes
+    meta = {}
+    for v in variables:
+        shape = tuple(int(dims[d]) for d in v.dims)
+        # asarray(order="C"), not ascontiguousarray: the latter promotes
+        # 0-d (scalar variable) arrays to shape (1,)
+        a = np.asarray(v.data, order="C")
+        if a.dtype.kind == "u" and a.dtype.itemsize == 1:
+            a = a.view(np.int8)
+        if a.shape != shape:
+            raise ValueError(f"{v.name}: data shape {a.shape} != dims shape {shape}")
+        t = _nc_type_of(a)
+        inner = shape[1:] if v in record else shape
+        n_inner = int(np.prod(inner, dtype=np.int64)) if inner else 1
+        slab = n_inner * _DTYPE[t][1]
+        meta[v.name] = (t, a, slab)
+
+    # spec special case: exactly one record variable of a small type packs
+    # its records back-to-back with no per-record padding
+    pack_tight = len(record) == 1 and meta[record[0].name][0] in (NC_BYTE, NC_CHAR, NC_SHORT)
+
+    def vsize_of(v: NcVar) -> int:
+        t, _, slab = meta[v.name]
+        return slab if pack_tight and v in record else slab + _pad4(slab)
+
+    # ---- header bytes (begin offsets need the header length: two-pass) --
+    def header(begins: dict[str, int]) -> bytes:
+        out = [b"CDF\x01", struct.pack(">I", numrecs)]
+        if dims:
+            out.append(struct.pack(">ii", _TAG_DIM, len(dim_names)))
+            for n in dim_names:
+                size = 0 if n == record_dim else int(dims[n])
+                out.append(_enc_name(n) + struct.pack(">i", size))
+        else:
+            out.append(struct.pack(">ii", 0, 0))
+        out.append(_enc_attrs(global_attrs))
+        if variables:
+            out.append(struct.pack(">ii", _TAG_VAR, len(variables)))
+            for v in variables:
+                t, _, _ = meta[v.name]
+                out.append(_enc_name(v.name))
+                out.append(struct.pack(">i", len(v.dims)))
+                out.extend(struct.pack(">i", dim_ids[d]) for d in v.dims)
+                out.append(_enc_attrs(v.attrs))
+                # vsize caps at 2^32-1 in the header; it is advisory (the
+                # decoder recomputes) but must round-trip for conformance
+                out.append(struct.pack(">iIi", t, min(vsize_of(v), 0xFFFFFFFF), begins.get(v.name, 0)))
+        else:
+            out.append(struct.pack(">ii", 0, 0))
+        return b"".join(out)
+
+    hdr_len = len(header({}))
+    begins, off = {}, hdr_len
+    for v in fixed:
+        begins[v.name] = off
+        off += vsize_of(v)
+    rec_start = off
+    rec_size = 0
+    for v in record:
+        begins[v.name] = rec_start + rec_size
+        rec_size += vsize_of(v)
+
+    body = [header(begins)]
+    for v in fixed:
+        t, a, slab = meta[v.name]
+        raw = a.astype(_DTYPE[t][0]).tobytes()
+        body.append(raw + b"\x00" * (vsize_of(v) - len(raw)))
+    for r in range(numrecs):
+        for v in record:
+            t, a, slab = meta[v.name]
+            # np.asarray: indexing a 1-d array yields a SCALAR, and numpy
+            # scalars silently ignore the byte order in .astype(">i4")
+            raw = np.asarray(a[r]).astype(_DTYPE[t][0]).tobytes()
+            body.append(raw + b"\x00" * (vsize_of(v) - len(raw)))
+    return b"".join(body)
+
+
+# ------------------------------------------------------------- decoding ---
+
+
+class _Reader:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def i4(self) -> int:
+        (v,) = struct.unpack_from(">i", self.buf, self.pos)
+        self.pos += 4
+        return v
+
+    def u4(self) -> int:
+        (v,) = struct.unpack_from(">I", self.buf, self.pos)
+        self.pos += 4
+        return v
+
+    def i8(self) -> int:
+        (v,) = struct.unpack_from(">q", self.buf, self.pos)
+        self.pos += 8
+        return v
+
+    def name(self) -> str:
+        n = self.i4()
+        s = self.buf[self.pos : self.pos + n].decode()
+        self.pos += n + _pad4(n)
+        return s
+
+    def attrs(self) -> dict:
+        tag, count = self.i4(), self.i4()
+        if tag == 0:
+            return {}
+        if tag != _TAG_ATT:
+            raise ValueError(f"bad attribute-list tag {tag:#x}")
+        out = {}
+        for _ in range(count):
+            nm = self.name()
+            t, nelems = self.i4(), self.i4()
+            dt, sz = _DTYPE[t]
+            raw = self.buf[self.pos : self.pos + nelems * sz]
+            self.pos += nelems * sz + _pad4(nelems * sz)
+            if t == NC_CHAR:
+                out[nm] = raw.decode(errors="replace")
+            else:
+                a = np.frombuffer(raw, dtype=dt).astype(dt[1:])  # native order
+                out[nm] = a.item() if a.size == 1 else a
+        return out
+
+
+def decode_nc(buf: bytes) -> NcFile:
+    if buf[:4] == b"\x89HDF":
+        raise NotImplementedError(
+            "NetCDF-4 (.nc4/HDF5 container) not supported by the classic codec"
+        )
+    if buf[:3] != b"CDF" or buf[3] not in (1, 2):
+        raise ValueError("not a classic NetCDF file (CDF-1/CDF-2 magic expected)")
+    wide = buf[3] == 2  # CDF-2: 64-bit begin offsets
+    r = _Reader(buf)
+    r.pos = 4
+    numrecs = r.u4()
+
+    tag, count = r.i4(), r.i4()
+    dim_names: list[str] = []
+    dim_sizes: list[int] = []
+    if tag == _TAG_DIM:
+        for _ in range(count):
+            dim_names.append(r.name())
+            dim_sizes.append(r.i4())
+    elif tag != 0:
+        raise ValueError(f"bad dimension-list tag {tag:#x}")
+    record_dim = dim_names[dim_sizes.index(0)] if 0 in dim_sizes else None
+
+    gattrs = r.attrs()
+
+    tag, count = r.i4(), r.i4()
+    if tag not in (0, _TAG_VAR):
+        raise ValueError(f"bad variable-list tag {tag:#x}")
+    raw_vars = []  # (name, dim_ids, attrs, nc_type, begin)
+    for _ in range(0 if tag == 0 else count):
+        nm = r.name()
+        rank = r.i4()
+        dids = [r.i4() for _ in range(rank)]
+        vattrs = r.attrs()
+        t = r.i4()
+        r.u4()  # vsize: advisory, recomputed below
+        begin = r.i8() if wide else r.u4()
+        raw_vars.append((nm, dids, vattrs, t, begin))
+
+    rec_vars = [v for v in raw_vars if v[1] and dim_sizes[v[1][0]] == 0]
+    pack_tight = len(rec_vars) == 1 and rec_vars[0][3] in (NC_BYTE, NC_CHAR, NC_SHORT)
+
+    def slab_bytes(dids, t, is_rec) -> int:
+        inner = dids[1:] if is_rec else dids
+        n = 1
+        for d in inner:
+            n *= dim_sizes[d]
+        return n * _DTYPE[t][1]
+
+    rec_size = sum(
+        s if pack_tight else s + _pad4(s)
+        for s in (slab_bytes(v[1], v[3], True) for v in rec_vars)
+    )
+    if numrecs == _STREAMING:  # record count from file length
+        first = min((v[4] for v in rec_vars), default=len(buf))
+        numrecs = (len(buf) - first) // rec_size if rec_size else 0
+
+    variables: dict[str, NcVar] = {}
+    for nm, dids, vattrs, t, begin in raw_vars:
+        is_rec = bool(dids) and dim_sizes[dids[0]] == 0
+        dnames = tuple(dim_names[d] for d in dids)
+        dt, sz = _DTYPE[t]
+        if is_rec:
+            inner_shape = tuple(dim_sizes[d] for d in dids[1:])
+            slab = slab_bytes(dids, t, True)
+            stride = rec_size
+            n_inner = slab // sz
+            out = np.empty((numrecs, n_inner), dtype=dt)
+            for rec in range(numrecs):
+                o = begin + rec * stride
+                out[rec] = np.frombuffer(buf, dtype=dt, count=n_inner, offset=o)
+            arr = out.reshape((numrecs, *inner_shape))
+        else:
+            shape = tuple(dim_sizes[d] for d in dids)
+            n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+            arr = np.frombuffer(buf, dtype=dt, count=n, offset=begin).reshape(shape)
+        if t != NC_CHAR:
+            arr = arr.astype(dt[1:])  # native byte order
+        variables[nm] = NcVar(nm, dnames, arr, vattrs)
+
+    dims = {
+        n: (numrecs if s == 0 else s) for n, s in zip(dim_names, dim_sizes)
+    }
+    return NcFile(dims, record_dim, gattrs, variables)
+
+
+# ----------------------------------------------------- tile convenience ---
+
+
+def encode_nc_tile(
+    pixels: np.ndarray,
+    lon0: float = 0.0,
+    lat_top: float = 0.0,
+    span_deg: float = 0.25,
+    date_days: int = 0,
+) -> bytes:
+    """One corpus tile as a CF-style classic NetCDF: dims (time=UNLIMITED,
+    lat, lon); float32 ``band_data`` (the reference rasters' dtype, V3)
+    plus real lat/lon coordinate vars (pixel centers, descending lat — the
+    reference's north-up orientation) and a single time record. Mirrors
+    the single-date files the IMERG pipeline ingests
+    (imerg_pipeline.py:78-90: one-date check, lat/lon/time dims)."""
+    px = np.ascontiguousarray(pixels)
+    h, w = px.shape
+    step = span_deg / w
+    lats = lat_top - (np.arange(h, dtype=np.float64) + 0.5) * (span_deg / h)
+    lons = lon0 + (np.arange(w, dtype=np.float64) + 0.5) * step
+    return encode_nc(
+        dims={"time": 1, "lat": h, "lon": w},
+        variables=[
+            NcVar("time", ("time",), np.array([date_days], dtype=np.int32),
+                  {"units": "days since 2024-01-01"}),
+            NcVar("lat", ("lat",), lats, {"units": "degrees_north"}),
+            NcVar("lon", ("lon",), lons, {"units": "degrees_east"}),
+            NcVar(
+                "band_data",
+                ("time", "lat", "lon"),
+                px.astype(np.float32)[None, :, :],
+                {"units": "1", "grid_mapping_epsg": np.int32(4326)},
+            ),
+        ],
+        global_attrs={"Conventions": "CF-1.6", "title": "synthetic corpus tile"},
+        record_dim="time",
+    )
+
+
+def decode_nc_tile(buf: bytes) -> np.ndarray:
+    """uint8 (h, w) pixels from a tile written by encode_nc_tile (or any
+    classic file with a (time, lat, lon) band_data variable)."""
+    f = decode_nc(buf)
+    v = f.variables["band_data"]
+    a = v.data
+    if a.ndim == 3:
+        a = a[0]
+    return a.astype(np.uint8)

@@ -49,7 +49,8 @@ _PRIORITY = [
     "grid_snap_join", "archive_member_explode", "epoch_branch_union",
     "grace_trim_expected", "json_fallback_projection", "lon_normalize_bands",
     "trivial_aggs", "update_latest_tick", "validation_filename_date",
-    "zonal_pixel_stats_tif", "cog_overview_zonal", "ann_ivf_topk",
+    "zonal_pixel_stats_tif", "cog_overview_zonal", "zonal_pixel_stats_nc",
+    "ann_ivf_topk",
     "multiband_cube_baseline", "phash_near_dup", "caption_propagation",
     # -- flagship / core set ---------------------------------------------
     "flagship_zonal_decode", "pip_zonal_bbox", "pip_zonal_raycast",
@@ -1576,6 +1577,24 @@ def zonal_pixel_stats_tif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     images = corpus.footprint_cols_for_images(
         spark.read.parquet(corpus.materialized_images_fmt(spark, sf_dir, "tif"))
+    )
+    return zonal_pixel_stats(images, corpus.admin_df(spark, offset=0.03), res=6)
+
+
+@register("zonal_pixel_stats_nc", _zps_oracle(offset=0.03, lossless=True))
+def zonal_pixel_stats_nc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-level zonal stats over a corpus stored as REAL classic
+    NetCDF-3 containers (netcdf.py, from-scratch CDF-1 codec — the
+    reference's .nc ingest path, imerg_pipeline.py:78,
+    floodscan_pipeline.py:223,355). Each blob is a CF-style single-record
+    file (time/lat/lon dims, float32 band_data, real coordinate vars);
+    the Arrow kernel parses the container per tile. Same shifted-admin
+    oracle as the tif twin: a header/record-layout bug in the NetCDF
+    decode becomes a value divergence, not just a crash."""
+    from .operators.raster import zonal_pixel_stats
+
+    images = corpus.footprint_cols_for_images(
+        spark.read.parquet(corpus.materialized_images_fmt(spark, sf_dir, "nc"))
     )
     return zonal_pixel_stats(images, corpus.admin_df(spark, offset=0.03), res=6)
 
