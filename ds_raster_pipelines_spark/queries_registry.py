@@ -46,7 +46,8 @@ _PRIORITY = [
     # -- no driver-green row yet / changed this round --------------------
     "request_pruned_scan", "asof_join_daily_ref", "sessionize_events",
     "embedding_near_dup", "salted_join_revenue", "pip_all_touched",
-    "grid_snap_join", "archive_member_explode", "epoch_branch_union",
+    "grid_snap_join", "archive_member_explode", "zip_member_explode_real",
+    "epoch_branch_union",
     "grace_trim_expected", "json_fallback_projection", "lon_normalize_bands",
     "trivial_aggs", "update_latest_tick", "validation_filename_date",
     "zonal_pixel_stats_tif", "cog_overview_zonal", "zonal_pixel_stats_nc",
@@ -2377,6 +2378,65 @@ SELECT archive, count(*) AS n_wanted
 FROM members JOIN wanted USING (member_date)
 GROUP BY archive ORDER BY archive
 """
+
+# Real-container variant: member payload = ISO date string x day-of-month
+# (sources/archives.py), so the decompressed size is 10 * day(member_date)
+# in closed form — a deflate/CRC/central-directory bug becomes a byte-count
+# divergence, not just a crash.
+_ZIP_REAL_ORACLE = """
+WITH months AS (
+  SELECT DISTINCT date_trunc('month', o_orderdate) AS m FROM orders
+),
+members AS (
+  SELECT strftime(m, '%Y-%m') AS archive,
+         cast(unnest(generate_series(m, m + interval 1 month - interval 1 day,
+                                     interval 1 day)) as date) AS member_date
+  FROM months
+),
+wanted AS (
+  SELECT DISTINCT cast(o_orderdate as date) AS member_date
+  FROM orders WHERE o_totalprice > 450000
+)
+SELECT archive,
+       count(*) AS n_wanted,
+       cast(sum(10 * day(member_date)) as bigint) AS wanted_bytes
+FROM members JOIN wanted USING (member_date)
+GROUP BY archive ORDER BY archive
+"""
+
+
+@register("zip_member_explode_real", _ZIP_REAL_ORACLE)
+def zip_member_explode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 over GENUINE zip bytes: per-month archives are synthesized as
+    real PKZIP containers (ziparchive.py — from-scratch central directory
+    + deflate writer), then exploded by the from-scratch reader with CRC
+    verification and payload↔filename date cross-checks
+    (floodscan_pipeline.py:184-218 unzips the 90-day FloodScan archives).
+    Member dates come from the compact filename grammar; the summed
+    decompressed byte counts are matched against the closed-form oracle."""
+    from .functions.scalars import date_from_filename
+    from .sources.archives import build_monthly_archives, explode_zip_members
+
+    o = _pq(spark, sf_dir, "orders")
+    months = o.select(F.date_trunc("month", "o_orderdate").alias("m")).distinct()
+    archives = build_monthly_archives(months)
+    members = explode_zip_members(archives, verify_payload_date=True)
+    date, _ = date_from_filename(F.col("member_name"))
+    members = members.withColumn("member_date", date)
+    wanted = (
+        o.where(F.col("o_totalprice") > 450000)
+        .select(F.to_date("o_orderdate").alias("member_date"))
+        .distinct()
+    )
+    return (
+        members.join(wanted, "member_date")
+        .groupBy("archive")
+        .agg(
+            F.count(F.lit(1)).alias("n_wanted"),
+            F.sum("member_size").alias("wanted_bytes"),
+        )
+        .orderBy("archive")
+    )
 
 
 @register("archive_member_explode", _ARCHIVE_ORACLE)
