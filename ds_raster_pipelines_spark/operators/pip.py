@@ -193,18 +193,40 @@ COVER_SCHEMA = (
 )
 
 
-def cover_local(spark, admin: DataFrame, res: int):
+# Above this many polygons the driver-side cover build refuses (the
+# collect + ring parse would silently funnel the whole geometry table
+# through the driver) and pip_join switches to the distributed plan.
+MAX_LOCAL_POLYGONS = 10_000
+
+
+class PolygonSetTooLarge(ValueError):
+    pass
+
+
+def cover_local(spark, admin: DataFrame, res: int, max_polygons: int | None = None):
     """Driver-side cover build for broadcast-small polygon tables: one
     collect, zero extra Spark jobs (the distributed polygon_cover_cells
     costs a python stage + broadcast per query — measurable serial time
     when the parallel part is seconds).
+
+    GUARDED: collects at most ``max_polygons``+1 rows and raises
+    PolygonSetTooLarge beyond that — a million-polygon admin table must
+    go through the distributed cover (polygon_cover_cells), never the
+    driver. pip_join auto-switches on this signal.
 
     Returns (adm_rows, rings, cover_df). The cover carries everything a
     downstream refine needs (geometry index + bbox bounds), so ONE
     broadcast serves the whole PIP join — every extra tiny broadcast is a
     full defaultParallelism-task job (~0.3 s on this box).
     The cover DataFrame is single-slice (tiny local relation)."""
-    rows = admin.select("adm_id", "geom_wkb").collect()
+    if max_polygons is None:
+        max_polygons = MAX_LOCAL_POLYGONS  # read at call time (testable)
+    rows = admin.select("adm_id", "geom_wkb").limit(max_polygons + 1).collect()
+    if len(rows) > max_polygons:
+        raise PolygonSetTooLarge(
+            f"admin table exceeds {max_polygons} polygons; use the "
+            "distributed cover (polygon_cover_cells / pip_join auto-switch)"
+        )
     rings = [parse_wkb_polygon(r["geom_wkb"]) for r in rows]
     recs = []
     for gi, (r, ring) in enumerate(zip(rows, rings)):
@@ -264,7 +286,12 @@ def pip_join(
     helper_cols = ["full", "_gi", "_mnx", "_mny", "_mxx", "_mxy"]
     pts = points.withColumn("cell_id", grid.encode_col(F.col(lon_col), F.col(lat_col), res))
     if cover is None or rings is None or adm_rows is None:
-        adm_rows, rings, cover = cover_local(points.sparkSession, admin, res)
+        try:
+            adm_rows, rings, cover = cover_local(points.sparkSession, admin, res)
+        except PolygonSetTooLarge:
+            # large-geometry regime: nothing may pass through the driver —
+            # switch to the fully distributed cover + per-row-WKB refine
+            return pip_join_distributed(points, admin, res, lon_col, lat_col)
     if refine == "auto":
         refine = "bbox" if all(_is_axis_rect(r) for r in rings) else "wkb"
     cand = pts.join(F.broadcast(cover) if broadcast_cover else cover, "cell_id")
@@ -287,3 +314,36 @@ def pip_join(
     refine_udf = contains_indexed_udf(rings)
     gi = F.when(F.col("full"), F.lit(-1)).otherwise(F.col("_gi"))
     return cand.where(refine_udf(F.col(lon_col), F.col(lat_col), gi)).drop(*helper_cols)
+
+
+def pip_join_distributed(
+    points: DataFrame,
+    admin: DataFrame,
+    res: int,
+    lon_col: str = "lon_c",
+    lat_col: str = "lat_c",
+) -> DataFrame:
+    """PIP join for LARGE polygon tables (beyond MAX_LOCAL_POLYGONS): no
+    driver collect, no geometry closure.
+
+    Plan: distributed cover (polygon_cover_cells, one Arrow stage over the
+    polygon table) → shuffle equi-join points⨝cover on cell_id → shuffle
+    join on adm_id to attach each candidate's own WKB → exact ray-cast
+    refine with contains_udf (batches factorized by geometry, so each ring
+    parses once per batch, and interior-cell candidates skip the geometry
+    entirely). Two shuffles + two Arrow stages — the shape that survives a
+    10^6-polygon admin table on 1000 executors, where the broadcast plan
+    cannot even build. Skew note: one giant polygon covering many cells
+    concentrates its candidates on one adm_id; AQE skew-join handles the
+    join side, and the refine is per-row so no single task must hold the
+    polygon's whole candidate set.
+
+    Semantics match pip_join(refine='wkb'): interior ('full') cells skip
+    the ray cast, edge cells get the exact even-odd test.
+    """
+    pts = points.withColumn("cell_id", grid.encode_col(F.col(lon_col), F.col(lat_col), res))
+    cover = polygon_cover_cells(admin, res)
+    cand = pts.join(cover, "cell_id")
+    withwkb = cand.join(admin.select("adm_id", "geom_wkb"), "adm_id")
+    keep = F.col("full") | contains_udf(F.col(lon_col), F.col(lat_col), F.col("geom_wkb"))
+    return withwkb.where(keep).drop("full", "geom_wkb")

@@ -70,7 +70,18 @@ def zonal_pixel_stats(
     if missing:
         raise ValueError(f"images needs footprint columns {sorted(missing)}")
     spark = images.sparkSession
-    rows = admin.select("adm_id", "geom_wkb").collect()
+    from .pip import MAX_LOCAL_POLYGONS, PolygonSetTooLarge
+
+    rows = admin.select("adm_id", "geom_wkb").limit(MAX_LOCAL_POLYGONS + 1).collect()
+    if len(rows) > MAX_LOCAL_POLYGONS:
+        # the per-pixel masked kernel ships the ring dictionary in its
+        # closure — refuse beyond the broadcast-small regime instead of
+        # silently funneling the geometry table through the driver
+        raise PolygonSetTooLarge(
+            f"zonal_pixel_stats supports <= {MAX_LOCAL_POLYGONS} polygons; "
+            "pre-partition the admin table (e.g. per region) and union the "
+            "per-partition results"
+        )
     rings = [parse_wkb_polygon(r["geom_wkb"]) for r in rows]
     adm_ids = [r["adm_id"] for r in rows]
     half = span_deg / 2.0

@@ -44,12 +44,17 @@ def flagship(
     the dominant cost, and the prune cuts it to the covered fraction.
     """
     from .. import grid
-    from ..operators.pip import cover_local
+    from ..operators.pip import PolygonSetTooLarge, cover_local
     from pyspark.sql import functions as F
 
     from ..operators.pip import cover_cells_driver
 
-    adm_rows, rings, cover_full = cover_local(images.sparkSession, admin, res)
+    try:
+        adm_rows, rings, cover_full = cover_local(images.sparkSession, admin, res)
+    except PolygonSetTooLarge:
+        # huge polygon set: no driver collect is allowed — the whole plan
+        # switches to distributed cover + join-based pruning
+        return _flagship_distributed(images, admin, res)
     cover_b = F.broadcast(cover_full)  # ONE broadcast, reused by both joins
     # Iceberg-layout partition pruning: restrict the scan to the corpus
     # partitions (parent cells) that intersect any polygon — pruned
@@ -83,3 +88,38 @@ def flagship_from_orders(spark: SparkSession, sf_dir: str, refine: str = "auto")
     BASELINE.json metric path)."""
     images = spark.read.parquet(corpus.materialized_images(spark, sf_dir))
     return flagship(images, corpus.admin_df(spark), refine=refine)
+
+
+def _flagship_distributed(images: DataFrame, admin: DataFrame, res: int) -> DataFrame:
+    """Flagship plan for polygon tables beyond MAX_LOCAL_POLYGONS: same
+    PRUNE → DECODE → JOIN → AGG stages with every driver-side geometry
+    structure replaced by a join against the distributed cover.
+
+    * partition prune: semi-join of pcell against the cover cells' parents
+      (a groupBy-distinct of the cover — tiny relative to the corpus)
+      instead of a driver-computed isin list;
+    * fine prune: semi-join on cover cell_ids (shuffle, not broadcast —
+      a 10^6-polygon cover may exceed broadcast limits);
+    * PIP join: pip_join_distributed (per-row WKB refine, no closure).
+    The wide exchanges are on cell_id/adm_id keys; nothing scales with
+    the polygon count on the driver."""
+    from pyspark.sql import functions as F
+
+    from .. import grid
+    from ..operators.pip import pip_join_distributed, polygon_cover_cells
+
+    cover = polygon_cover_cells(admin, res).persist()
+    if "pcell" in images.columns:
+        parents = cover.select(
+            grid.parent_col(F.col("cell_id"), corpus.PCELL_RES, res).alias("pcell")
+        ).distinct()
+        images = images.join(parents, "pcell", "left_semi").drop("pcell")
+    pts = corpus.centroid_cols_for_images(images, "i").withColumn(
+        "cell_id", grid.encode_col(F.col("lon_c"), F.col("lat_c"), res)
+    )
+    pruned = pts.join(cover.select("cell_id").distinct(), "cell_id", "left_semi").drop(
+        "cell_id", "lon_c", "lat_c"
+    )
+    tiles = corpus.centroid_cols_for_images(decode_stats(pruned), "i")
+    joined = pip_join_distributed(tiles, admin, res=res)
+    return zonal_stats(joined, "mean_value", fixed_scale=2)

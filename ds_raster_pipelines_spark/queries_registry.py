@@ -51,7 +51,7 @@ _PRIORITY = [
     "grace_trim_expected", "json_fallback_projection", "lon_normalize_bands",
     "trivial_aggs", "update_latest_tick", "validation_filename_date",
     "zonal_pixel_stats_tif", "cog_overview_zonal", "zonal_pixel_stats_nc",
-    "ann_ivf_topk",
+    "image_feature_buckets", "ann_ivf_topk",
     "multiband_cube_baseline", "phash_near_dup", "caption_propagation",
     # -- flagship / core set ---------------------------------------------
     "flagship_zonal_decode", "pip_zonal_bbox", "pip_zonal_raycast",
@@ -2403,6 +2403,63 @@ SELECT archive,
 FROM members JOIN wanted USING (member_date)
 GROUP BY archive ORDER BY archive
 """
+
+
+# Image-content ANN: decode -> 16-bin intensity histogram features ->
+# component-sign LSH buckets. Closed form: tile i's pixel values are
+# j + c (j=0..63 per row, c = i % 97, 64 rows), so bin b holds
+# 64 * overlap([16b, 16b+15], [c, c+63]) pixels; the centered sign is
+# hist_b - mean with mean = 4096/16 = 256 EXACTLY, i.e. overlap >= 4.
+# Signs are invariant under the kernel's L2 normalization, so the float32
+# embedding and the integer SQL agree bit-for-bit on every bucket.
+_IMG_FEATURE_ORACLE = f"""
+WITH img AS (
+  SELECT o_orderkey AS i, (o_orderkey % {corpus.C_MOD}) AS c FROM orders
+),
+bits AS (
+  SELECT i, c,
+         {" + ".join(
+             f"(CASE WHEN greatest(0, least({16 * b + 15}, c + 63) - greatest({16 * b}, c) + 1) >= 4"
+             f" THEN {1 << k} ELSE 0 END)"
+             for k, b in enumerate(range(8))
+         )} AS bucket
+  FROM img
+)
+SELECT bucket,
+       count(*) AS n_tiles,
+       count(DISTINCT c) AS n_classes
+FROM bits GROUP BY bucket ORDER BY bucket
+"""
+
+
+@register("image_feature_buckets", _IMG_FEATURE_ORACLE)
+def image_feature_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-CONTENT near-dup pipeline, graded end-to-end: decode real
+    tile bytes -> mean-centered L2-normalized histogram features
+    (sources/images.decode_features) -> component-sign LSH bucket
+    (operators/similarity.lsh_bucket) -> per-bucket census. The oracle
+    recomputes the buckets from the closed-form pixel algebra with pure
+    integer arithmetic, so a decode, binning, centering, or sign bug in
+    the feature kernel shifts tiles across buckets and breaks the match.
+    This is the scale path for image dedup-by-content: bucket equi-joins,
+    never all-pairs (same shape as embedding_near_dup)."""
+    from .operators.similarity import lsh_bucket
+    from .sources.images import decode_features
+
+    feats = decode_features(corpus.images_from_orders(spark, sf_dir), bins=16)
+    return (
+        feats.select(
+            "vec_id",
+            lsh_bucket(F.col("embedding"), dims=list(range(1, 9))).alias("bucket"),
+            (F.col("vec_id") % corpus.C_MOD).alias("c"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.countDistinct("c").alias("n_classes"),
+        )
+        .orderBy("bucket")
+    )
 
 
 @register("zip_member_explode_real", _ZIP_REAL_ORACLE)

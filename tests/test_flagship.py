@@ -132,3 +132,37 @@ def test_image_feature_ann_pipeline(spark):
     # only same-content pairs reach sim ~1 (histogram of c..c+63 differs
     # per c except at exact 97-shifts)
     assert all(b - a == 97 for a, b in got)
+
+
+def test_large_polygon_set_switches_to_distributed(spark, images, monkeypatch):
+    """VERDICT r3 guard: above MAX_LOCAL_POLYGONS nothing geometry-sized
+    may pass through the driver — cover_local must refuse, and both
+    pip_join and the flagship plan must auto-switch to the distributed
+    cover + per-row-WKB refine WITH IDENTICAL RESULTS."""
+    from ds_raster_pipelines_spark.operators import pip
+
+    adm = corpus.admin_df(spark, offset=0.07)  # fractional bounds
+    pts = corpus.centroid_cols_for_images(
+        spark.range(0, 3000).select(F.col("id").alias("i"))
+    )
+
+    # baseline: broadcast path (threshold untouched)
+    base_join = (
+        pip.pip_join(pts, adm, res=6, refine="wkb")
+        .select("i", "adm_id").orderBy("i", "adm_id").toPandas()
+    )
+    base_flag = _sorted(flagship(images, adm, refine="wkb").toPandas())
+
+    # guard raises on its own
+    with pytest.raises(pip.PolygonSetTooLarge):
+        pip.cover_local(spark, adm, 6, max_polygons=5)
+
+    # auto-switch: same results through the distributed plan
+    monkeypatch.setattr(pip, "MAX_LOCAL_POLYGONS", 5)
+    dist_join = (
+        pip.pip_join(pts, adm, res=6, refine="wkb")
+        .select("i", "adm_id").orderBy("i", "adm_id").toPandas()
+    )
+    assert base_join.equals(dist_join)
+    dist_flag = _sorted(flagship(images, adm, refine="wkb").toPandas())
+    assert base_flag.equals(dist_flag)
