@@ -75,10 +75,19 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
     n_tiles = spark.read.parquet(f"{sf_dir}/orders.parquet").count()  # corpus size
-    # warm the JVM/Python workers once with a cheap query + the flagship
+    # Warm-up: the flagship's rep times ramp DOWN monotonically for ~8
+    # executions of the plan (JVM C2 compilation of the codegen'd stages +
+    # python-worker reuse), measured 1.53 -> 0.71 s over 10 reps at sf0.1.
+    # One warm run + min-of-3 samples the middle of that ramp — the whole
+    # r2->r3 "flagship regression" (0.70 -> 1.08 s, BENCH_r03) was this
+    # warm-up artifact, not a plan change (late reps reproduce 0.70
+    # exactly; the 4M-tile corpus number was flat r2->r3). Five warm runs
+    # put the timed reps on the plateau.
     _materialize(qs["cell_encode_histogram"](spark, sf_dir))
-    _materialize(qs["flagship_zonal_decode"](spark, sf_dir))
+    for _ in range(5):
+        _materialize(qs["flagship_zonal_decode"](spark, sf_dir))
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    rep_times: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         qs[name](spark, sf_dir)  # one-time corpus materialization, cached
         best = float("inf")
@@ -97,7 +106,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
                 df = qs[name](spark, sf_dir)
                 t0 = time.time()
                 _materialize(df)
-            best = min(best, time.time() - t0)
+            rep_times.setdefault(name, []).append(round(time.time() - t0, 3))
+            best = min(best, rep_times[name][-1])
         timings[name] = round(best, 3)  # min-of-N: robust to noisy-VM outliers
     flagship_sec = timings["flagship_zonal_decode"]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -108,6 +118,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "tiles": n_tiles,
+        "rep_times": rep_times,  # full distributions: min-of-N hides ramps
         "tiles_per_sec": round(n_tiles / flagship_sec, 1),
         "cpus": cpus,
     }
