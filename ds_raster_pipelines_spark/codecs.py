@@ -23,7 +23,7 @@ import zlib
 import numpy as np
 
 LOSSLESS_FMTS = frozenset({"raw", "png", "tif", "cog", "nc"})
-LOSSY_FMTS = frozenset({"qnt"})
+LOSSY_FMTS = frozenset({"qnt", "dct"})
 ALL_FMTS = LOSSLESS_FMTS | LOSSY_FMTS
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -85,6 +85,107 @@ def encode_qnt(pixels: np.ndarray) -> bytes:
     return px.tobytes()
 
 
+# ------------------------------- DCT transform codec (JPEG-like, lossy) ---
+#
+# A REAL transform codec for the input_hint's lossy path: 8x8 orthonormal
+# DCT-II per block, JPEG-style quantization matrix scaled by quality, and
+# zlib over the zigzag-ordered int16 coefficients as the (deterministic,
+# lossless) entropy stage. The reference's imagery flows through GDAL/COG
+# compression (floodscan_pipeline.py:384 writes driver='COG'); this is the
+# lossy analog the PSNR>=40dB gate of BASELINE.json's input_hint measures.
+# Pure numpy matrix multiplies — no per-pixel Python, no imaging library.
+
+_DCT_MAGIC = b"DCT1"
+_DCT_N = 8
+
+# JPEG Annex K luminance table (the public baseline quantization matrix)
+_DCT_QTABLE = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.float64,
+)
+
+
+def _dct_matrix(n: int = _DCT_N) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix D (D @ D.T = I)."""
+    k = np.arange(n)[:, None]
+    j = np.arange(n)[None, :]
+    d = np.cos((2 * j + 1) * k * np.pi / (2 * n)) * np.sqrt(2.0 / n)
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+_DCT_D = _dct_matrix()
+
+
+def _zigzag_order(n: int = _DCT_N) -> np.ndarray:
+    idx = sorted(
+        ((y, x) for y in range(n) for x in range(n)),
+        key=lambda p: (p[0] + p[1], p[1] if (p[0] + p[1]) % 2 else p[0]),
+    )
+    return np.array([y * n + x for y, x in idx])
+
+
+_DCT_ZZ = _zigzag_order()
+
+
+def _dct_scaled_q(quality: int) -> np.ndarray:
+    """JPEG quality scaling (IJG formula) of the base table."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality in 1..100")
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = np.floor((_DCT_QTABLE * s + 50) / 100)
+    return np.clip(q, 1, 255)
+
+
+def _blocks(px: np.ndarray) -> np.ndarray:
+    """(h, w) -> (nby, nbx, 8, 8) view-reshape (dims must divide by 8)."""
+    h, w = px.shape
+    return px.reshape(h // _DCT_N, _DCT_N, w // _DCT_N, _DCT_N).swapaxes(1, 2)
+
+
+def encode_dct(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """8x8 block DCT -> quantize -> zigzag -> zlib. Dims must divide by 8
+    (pad upstream if not — tiles in this engine are 64x64)."""
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    if h % _DCT_N or w % _DCT_N:
+        raise ValueError(f"dct codec needs dims divisible by {_DCT_N}, got {h}x{w}")
+    q = _dct_scaled_q(quality)
+    b = _blocks(px).astype(np.float64) - 128.0
+    # C = D B D^T for every block in one einsum pair
+    coef = np.einsum("ij,abjk,lk->abil", _DCT_D, b, _DCT_D, optimize=True)
+    quant = np.round(coef / q).astype(np.int16)
+    zz = quant.reshape(-1, _DCT_N * _DCT_N)[:, _DCT_ZZ]
+    payload = zlib.compress(zz.astype("<i2").tobytes(), 6)
+    return _DCT_MAGIC + struct.pack("<HHB", w, h, quality) + payload
+
+
+def decode_dct(data: bytes) -> np.ndarray:
+    if data[:4] != _DCT_MAGIC:
+        raise ValueError("not a DCT blob")
+    w, h, quality = struct.unpack_from("<HHB", data, 4)
+    q = _dct_scaled_q(quality)
+    zz = np.frombuffer(zlib.decompress(data[9:]), dtype="<i2").astype(np.float64)
+    zz = zz.reshape(-1, _DCT_N * _DCT_N)
+    quant = np.empty_like(zz)
+    quant[:, _DCT_ZZ] = zz
+    nby, nbx = h // _DCT_N, w // _DCT_N
+    coef = quant.reshape(nby, nbx, _DCT_N, _DCT_N) * q
+    # B = D^T C D
+    b = np.einsum("ji,abjk,kl->abil", _DCT_D, coef, _DCT_D, optimize=True)
+    px = np.clip(np.round(b + 128.0), 0, 255).astype(np.uint8)
+    return px.swapaxes(1, 2).reshape(h, w)
+
+
 def encode_tile(pixels: np.ndarray, fmt: str, meta: dict | None = None) -> bytes:
     """``meta`` is consumed by container formats that embed georeferencing
     (currently 'nc': lon0/lat_top/span_deg/date_days); pixel-only formats
@@ -107,6 +208,8 @@ def encode_tile(pixels: np.ndarray, fmt: str, meta: dict | None = None) -> bytes
         from . import netcdf
 
         return netcdf.encode_nc_tile(pixels, **(meta or {}))
+    if fmt == "dct":  # JPEG-like lossy transform codec
+        return encode_dct(pixels)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -124,6 +227,8 @@ def decode_tile(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         from . import netcdf
 
         return netcdf.decode_nc_tile(data)
+    if fmt == "dct":
+        return decode_dct(data)
     if fmt in ("jpg", "jpeg", "webp"):
         # Real lossy codecs need an imaging lib absent from this container;
         # the 'qnt' format stands in for the lossy path (PSNR gate).

@@ -474,3 +474,71 @@ def vectorize_mask(images: DataFrame, threshold: int, span_deg: float = 0.25) ->
         kernel,
         schema="i bigint, min_lon double, min_lat double, max_lon double, max_lat double, n_px_masked bigint",
     )
+
+
+# ------------------------------------------------- bilinear resample ------
+
+
+def bilinear_resample(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Arbitrary-ratio bilinear resample (float64 output) — the kernel of
+    the reference's grid-alignment step (``reproject_match`` onto a
+    differently-spaced lat/lon grid, examples/mars_aws_seas5_grid.md:61-72)
+    for the axis-aligned EPSG:4326 case, where reprojection IS separable
+    per-axis interpolation.
+
+    Pixel-center convention (GDAL/rasterio): output center x maps to
+    source coordinate u = (x + 0.5) * (w / out_w) - 0.5, clamped to the
+    edge (replicate). Separable: one vectorized 1-D pass per axis — no
+    per-pixel Python, no scipy."""
+    h, w = px.shape
+    a = px.astype(np.float64)
+
+    def axis_interp(arr: np.ndarray, n_out: int, axis: int) -> np.ndarray:
+        n_in = arr.shape[axis]
+        u = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+        u = np.clip(u, 0.0, n_in - 1.0)
+        lo = np.floor(u).astype(np.int64)
+        hi = np.minimum(lo + 1, n_in - 1)
+        frac = u - lo
+        lo_v = np.take(arr, lo, axis=axis)
+        hi_v = np.take(arr, hi, axis=axis)
+        shape = [1, 1]
+        shape[axis] = n_out
+        return lo_v + (hi_v - lo_v) * frac.reshape(shape)
+
+    return axis_interp(axis_interp(a, out_h, 0), out_w, 1)
+
+
+def resample_bilinear_stats(
+    images: DataFrame, out_w: int, out_h: int, quant: int = 1_000_000
+) -> DataFrame:
+    """Decode each tile, bilinear-resample to (out_h, out_w), and emit the
+    resampled mean in integer ``quant`` units — (i, w2, h2, rs_mean_q).
+    One Arrow stage (decode + resample fused: resampled pixels never
+    materialize outside the kernel, same scan-pipelining story as the
+    zonal kernels). Exactness: means are rounded to integer units inside
+    the kernel, so downstream aggregation is order-independent."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        from ..codecs import decode_tile
+
+        for pdf in batches:
+            means = []
+            for blob, fmt, w, h in zip(pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]):
+                px = decode_tile(bytes(blob), fmt, int(w), int(h))
+                rs = bilinear_resample(px, out_h, out_w)
+                means.append(int(round(rs.mean() * quant)))
+            yield pd.DataFrame(
+                {
+                    "i": pdf["i"],
+                    "w2": np.full(len(pdf), out_w, dtype=np.int32),
+                    "h2": np.full(len(pdf), out_h, dtype=np.int32),
+                    "rs_mean_q": means,
+                }
+            )
+
+    return images.mapInPandas(
+        kernel, schema="i bigint, w2 int, h2 int, rs_mean_q bigint"
+    )

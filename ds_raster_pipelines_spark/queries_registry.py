@@ -51,7 +51,8 @@ _PRIORITY = [
     "grace_trim_expected", "json_fallback_projection", "lon_normalize_bands",
     "trivial_aggs", "update_latest_tick", "validation_filename_date",
     "zonal_pixel_stats_tif", "cog_overview_zonal", "zonal_pixel_stats_nc",
-    "image_feature_buckets", "ann_ivf_topk",
+    "zonal_pixel_stats_dct",
+    "image_feature_buckets", "bilinear_resample_means", "ann_ivf_topk",
     "multiband_cube_baseline", "phash_near_dup", "caption_propagation",
     # -- flagship / core set ---------------------------------------------
     "flagship_zonal_decode", "pip_zonal_bbox", "pip_zonal_raycast",
@@ -1582,6 +1583,24 @@ def zonal_pixel_stats_tif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal_pixel_stats(images, corpus.admin_df(spark, offset=0.03), res=6)
 
 
+@register("zonal_pixel_stats_dct", _zps_oracle(offset=0.05, lossless=True))
+def zonal_pixel_stats_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-level zonal stats over a corpus stored in the REAL lossy
+    transform codec (codecs.encode_dct: 8x8 orthonormal block DCT, JPEG
+    Annex-K quantization at q=90, zlib entropy stage — the from-scratch
+    JPEG-like path the input_hint's PSNR>=40dB gate refers to). The
+    corpus's smooth gradient tiles survive q=90 quantization BIT-EXACTLY
+    (verified exhaustively over all 97 pixel classes in pytest), so the
+    lossless closed-form oracle applies: any drift in the DCT/quant/
+    zigzag/entropy chain breaks the match."""
+    from .operators.raster import zonal_pixel_stats
+
+    images = corpus.footprint_cols_for_images(
+        spark.read.parquet(corpus.materialized_images_fmt(spark, sf_dir, "dct"))
+    )
+    return zonal_pixel_stats(images, corpus.admin_df(spark, offset=0.05), res=6)
+
+
 @register("zonal_pixel_stats_nc", _zps_oracle(offset=0.03, lossless=True))
 def zonal_pixel_stats_nc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pixel-level zonal stats over a corpus stored as REAL classic
@@ -2403,6 +2422,39 @@ SELECT archive,
 FROM members JOIN wanted USING (member_date)
 GROUP BY archive ORDER BY archive
 """
+
+
+# Bilinear resample-to-match (64x64 -> 48x48, a non-integer 4/3 ratio no
+# block mean can express). Closed form: tile pixels are row-constant
+# j + c, so the separable bilinear output at column x is
+# c + clamp((x+0.5)*64/48 - 0.5) = c + (8x+1)/6 (never clamped for
+# x=0..47), and the tile mean is c + (sum_x (8x+1)/6)/48 = c + 31.5
+# exactly. Kernel rounds to integer 1e-6 units inside the Arrow stage, so
+# the comparison is bit-exact despite float interpolation.
+_RESAMPLE_ORACLE = f"""
+SELECT o_orderkey AS i,
+       48 AS w2, 48 AS h2,
+       cast((o_orderkey % {corpus.C_MOD}) * 1000000 + 31500000
+            - (CASE WHEN o_orderkey % 16 = 0 THEN 500000 ELSE 0 END)
+            as bigint) AS rs_mean_q
+FROM orders ORDER BY i
+"""
+
+
+@register("bilinear_resample_means", _RESAMPLE_ORACLE)
+def bilinear_resample_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-ratio bilinear resample — the reference's grid-alignment
+    step (reproject_match onto a different grid spacing,
+    examples/mars_aws_seas5_grid.md:61-72) as a fused decode+resample
+    Arrow kernel (operators/raster.bilinear_resample). 64x64 -> 48x48 is
+    a 4/3 ratio integer block means cannot express; the oracle is the
+    closed-form interpolation algebra (qnt tiles sit 0.5 lower — the LSB
+    clear shifts every pixel's expectation by -0.5)."""
+    from .operators.raster import resample_bilinear_stats
+
+    return resample_bilinear_stats(
+        corpus.images_from_orders(spark, sf_dir), out_w=48, out_h=48
+    ).orderBy("i")
 
 
 # Image-content ANN: decode -> 16-bin intensity histogram features ->
