@@ -96,8 +96,33 @@ def _sim_pairs(queries: DataFrame, corpus: DataFrame, join_on: list[str] | None)
     )
 
 
-def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
-    """Exact brute-force top-k cosine neighbours (qid, nid, rank, sim)."""
+# cosine_topk is the ONE sanctioned cartesian in the engine (the exact
+# recall yardstick for the LSH/IVF scale paths). This cap bounds the query
+# side so it cannot be invoked at corpus scale by accident: 10k queries x
+# corpus is a measured-baseline job; corpus x corpus at 10^12 is not a job
+# at all. Raise explicitly (max_queries=None) only for labeled experiments.
+MAX_BRUTE_FORCE_QUERIES = 100_000
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    max_queries: int | None = MAX_BRUTE_FORCE_QUERIES,
+) -> DataFrame:
+    """Exact brute-force top-k cosine neighbours (qid, nid, rank, sim).
+
+    LABELED EXACT BASELINE — O(|queries| x |corpus|) by construction.
+    Guarded by ``max_queries`` (counts up to the cap + 1 only); use
+    lsh_topk / ivf_topk for unbounded query sets."""
+    if max_queries is not None:
+        n = queries.limit(max_queries + 1).count()
+        if n > max_queries:
+            raise ValueError(
+                f"cosine_topk is the exact cartesian baseline; query side "
+                f"exceeds max_queries={max_queries}. Use lsh_topk/ivf_topk, "
+                "or pass max_queries=None for a labeled experiment."
+            )
     return _ranked(_sim_pairs(queries, corpus, None), k)
 
 

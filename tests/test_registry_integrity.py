@@ -29,19 +29,24 @@ def test_priority_order_covers_graded_prefix():
     )  # drift: update _PRIORITY when registering a query
     graded = set(qs[:50])
     must_grade = {
-        # round-2 verdict gap list (no driver-green row before r3)
-        "request_pruned_scan", "asof_join_daily_ref", "sessionize_events",
-        "embedding_near_dup", "salted_join_revenue", "pip_all_touched",
-        "grid_snap_join", "archive_member_explode", "epoch_branch_union",
-        "grace_trim_expected", "json_fallback_projection",
-        "lon_normalize_bands", "trivial_aggs", "update_latest_tick",
-        "validation_filename_date",
-        # new / changed in round 3
-        "zonal_pixel_stats_tif", "cog_overview_zonal", "ann_ivf_topk",
-        "multiband_cube_baseline", "phash_near_dup", "caption_propagation",
-        # flagships
-        "flagship_zonal_decode", "zonal_pixel_stats", "minhash_lsh_md5",
-        "dedup_components",
+        # whose last driver row is CORRECTNESS_r02 (2 rounds stale at r4)
+        "ensemble_mean", "validation_metadata", "pixel_histogram",
+        "coarsen_resample", "validation_bounds", "filename_date_extraction",
+        "leadtime_arithmetic", "semi_join_suppliers", "quantile_summary",
+        "set_ops_nations", "pivot_priority_revenue", "rollup_pricing",
+        "near_dup_jaccard", "doc_fingerprint", "deterministic_sample",
+        "tfidf_top_terms", "token_stats_per_lang", "quality_scores",
+        "langid_confusion", "minhash_lsh_candidates",
+        # new in round 4
+        "zonal_pixel_stats_nc", "zonal_pixel_stats_dct",
+        "zip_member_explode_real", "image_feature_buckets",
+        "bilinear_resample_means",
+        # modules changed in round 4 (pip/raster/dedup/similarity)
+        "flagship_zonal_decode", "zonal_pixel_stats", "zonal_pixel_stats_tif",
+        "cog_overview_zonal", "pip_all_touched", "minhash_lsh_md5",
+        "minhash_dedup_verified", "dedup_components", "phash_near_dup",
+        "embedding_near_dup", "ann_cosine_topk", "ann_lsh_bucketed",
+        "ann_ivf_topk",
     }
     assert must_grade <= graded, must_grade - graded
 
