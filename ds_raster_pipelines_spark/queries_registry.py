@@ -61,7 +61,7 @@ _PRIORITY = [
     "minhash_lsh_candidates",
     # -- new in round 4 --------------------------------------------------
     "zonal_pixel_stats_nc", "zonal_pixel_stats_dct", "zip_member_explode_real",
-    "image_feature_buckets", "bilinear_resample_means",
+    "image_feature_buckets", "bilinear_resample_means", "grib_ensemble_mean",
     # -- modules changed in round 4 --------------------------------------
     "flagship_zonal_decode", "pip_zonal_bbox", "pip_zonal_raycast",
     "pip_all_touched", "zonal_pixel_stats", "zonal_pixel_stats_tif",
@@ -72,8 +72,9 @@ _PRIORITY = [
     "ann_lsh_bucketed", "ann_ivf_topk",
     # -- r3-green core rotation picks ------------------------------------
     "q1_pricing_summary", "join_customer_revenue", "knn_ring_halo",
-    "anti_join_coverage", "window_rolling_centered",
+    "anti_join_coverage",
     # -- tail: r3-green, code unchanged this round (rotates in next) -----
+    "window_rolling_centered",
     "cell_encode_histogram", "cell_parent_rollup", "coverage_pct",
     "doy_climatology", "band_merge_outer", "topk_per_group",
     "latest_wins_dedup", "validation_leadtime", "caption_propagation",
@@ -2432,6 +2433,66 @@ SELECT archive,
 FROM members JOIN wanted USING (member_date)
 GROUP BY archive ORDER BY archive
 """
+
+
+# GRIB2 ensemble ingest: per-order multi-message files (5 members x 2
+# forecast months, product template 4.1, plus decoy template-4.0 messages
+# of another parameter), key-filtered at the HEADER level, decoded, and
+# ensemble-meaned. Values are integers (simple packing D=E=0 -> exact);
+# grid sum per message = sum_g (i*7 + m*13 + t*29 + g*3) % 1000 over an
+# 8x8 grid; ensemble mean in e6 units = sum_m grid_sum * 200000 exactly.
+_GRIB_ORACLE = """
+WITH grids AS (
+  SELECT o.o_orderkey AS i, t.t AS fc_month, m.m AS member,
+         sum((o.o_orderkey * 7 + m.m * 13 + t.t * 29 + g.g * 3) % 1000) AS grid_sum
+  FROM orders o,
+       (SELECT unnest(generate_series(0, 4)) AS m) m,
+       (SELECT unnest(generate_series(1, 2)) AS t) t,
+       (SELECT unnest(generate_series(0, 63)) AS g) g
+  GROUP BY 1, 2, 3
+)
+SELECT i, fc_month,
+       count(*) AS n_members,
+       cast(sum(grid_sum) * 200000 as bigint) AS ens_mean_e6
+FROM grids GROUP BY i, fc_month ORDER BY i, fc_month
+"""
+
+
+@register("grib_ensemble_mean", _GRIB_ORACLE)
+def grib_ensemble_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/S1/S2 over GENUINE GRIB2 bytes (grib.py, from-scratch WMO FM 92
+    edition-2 codec): build SEAS5-shaped multi-message ensemble files,
+    select messages by header keys BEFORE decode (the cfgrib
+    filter_by_keys semantics, seas5_pipeline.py:112) — decoy messages of
+    the wrong parameter would poison every sum if the filter leaked —
+    then unpack the simple-packed grids and take the ensemble mean per
+    forecast month (seas5_pipeline.py:128 ds.mean(dim='number')), exact
+    in integer micro-units."""
+    from .sources.gribfiles import (
+        ENSEMBLE_PARAM,
+        N_ENS,
+        build_ensemble_files,
+        explode_grib_ensemble,
+    )
+
+    o = _pq(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("i"))
+    o = o.repartition(spark.sparkContext.defaultParallelism, "i")
+    files = build_ensemble_files(o)
+    rows = explode_grib_ensemble(
+        files,
+        filter_keys={
+            "parameterNumber": ENSEMBLE_PARAM,
+            "productDefinitionTemplateNumber": 1,
+        },
+    )
+    return (
+        rows.groupBy("i", "fc_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (F.sum("grid_sum") * F.lit(1_000_000 // N_ENS)).alias("ens_mean_e6"),
+        )
+        .orderBy("i", "fc_month")
+    )
 
 
 # Bilinear resample-to-match (64x64 -> 48x48, a non-integer 4/3 ratio no

@@ -1,0 +1,122 @@
+"""From-scratch GRIB2 codec tests — grib.py (the reference's primary
+ERA5/SEAS5 input container, opened via cfgrib with filter_by_keys)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ds_raster_pipelines_spark import grib
+
+
+def test_message_structure_conforms():
+    """Wire-format spot checks against the public FM 92 layout: magic,
+    edition octet, 64-bit total length, section numbering, terminator."""
+    g = np.arange(12, dtype=np.float64).reshape(3, 4)
+    b = grib.encode_message(g)
+    assert b[:4] == b"GRIB"
+    assert b[7] == 2  # edition 2
+    (total,) = struct.unpack_from(">Q", b, 8)
+    assert total == len(b)
+    assert b[-4:] == b"7777"
+    # first section after the indicator is section 1
+    slen, snum = struct.unpack_from(">IB", b, 16)
+    assert snum == 1
+
+
+def test_multi_message_scan_and_lazy_decode():
+    g1 = np.arange(64, dtype=np.float64).reshape(8, 8)
+    g2 = (np.arange(64, dtype=np.float64) * 2).reshape(8, 8)
+    buf = grib.encode_file(
+        [
+            grib.encode_message(g1, template=1, perturbation=3, n_ens=7, forecast_time=2),
+            grib.encode_message(g2, template=0, param_number=8),
+        ]
+    )
+    ms = grib.scan_messages(buf)
+    assert [m.template for m in ms] == [1, 0]
+    assert ms[0].perturbation == 3 and ms[0].n_ens == 7 and ms[0].forecast_time == 2
+    assert ms[1].param_number == 8 and ms[1].perturbation == 0
+    assert (ms[0].ni, ms[0].nj) == (8, 8)
+    assert ms[0].lat1_mdeg == 90_000_000 and ms[0].di_mdeg == 250_000
+    assert np.array_equal(grib.decode_values(buf, ms[0]), g1)
+    assert np.array_equal(grib.decode_values(buf, ms[1]), g2)
+
+
+def test_packing_scales():
+    rng = np.random.default_rng(5)
+    # binary scale: quarter-steps exact at E=-2
+    q = (rng.integers(0, 500, size=(6, 6)) * 0.25).astype(np.float64)
+    mb = grib.encode_message(q, binary_scale=-2)
+    assert np.array_equal(grib.decode_values(mb, grib.scan_messages(mb)[0]), q)
+    # decimal scale: tenths at D=1
+    d = rng.integers(0, 100, size=(4, 5)) / 10.0
+    md = grib.encode_message(d, decimal_scale=1)
+    assert np.allclose(grib.decode_values(md, grib.scan_messages(md)[0]), d, atol=1e-12)
+    # constant grid -> 1 bit per value
+    c = np.full((5, 5), 42.0)
+    mc = grib.encode_message(c)
+    m = grib.scan_messages(mc)[0]
+    assert m.bits_per_value == 1
+    assert np.array_equal(grib.decode_values(mc, m), c)
+
+
+def test_unsupported_rejected():
+    with pytest.raises(ValueError, match="GRIB"):
+        grib.scan_messages(b"not grib bytes")
+    g = np.zeros((2, 2))
+    b = bytearray(grib.encode_message(g))
+    b[7] = 1  # pretend GRIB1
+    with pytest.raises(NotImplementedError, match="edition 1"):
+        grib.scan_messages(bytes(b))
+    with pytest.raises(NotImplementedError, match="4.7"):
+        grib.encode_message(g, template=7)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    nj=st.integers(1, 10),
+    ni=st.integers(1, 10),
+    seed=st.integers(0, 2**31 - 1),
+    span=st.sampled_from([1, 2, 255, 1000, 65535]),
+)
+def test_roundtrip_property(nj, ni, seed, span):
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, span + 1, size=(nj, ni)).astype(np.float64)
+    b = grib.encode_message(g)
+    m = grib.scan_messages(b)[0]
+    assert np.array_equal(grib.decode_values(b, m), g)
+
+
+def test_spark_key_filter_drops_before_decode(spark):
+    """The S2 filter semantics end-to-end: decoys of the wrong parameter
+    are dropped at header level; surviving rows carry exact grid sums."""
+    from ds_raster_pipelines_spark.sources.gribfiles import (
+        ENSEMBLE_PARAM,
+        FC_MONTHS,
+        N_ENS,
+        build_ensemble_files,
+        explode_grib_ensemble,
+        message_values,
+    )
+    from pyspark.sql import functions as F
+
+    ids = spark.range(0, 20).select(F.col("id").alias("i"))
+    files = build_ensemble_files(ids)
+    out = explode_grib_ensemble(
+        files,
+        filter_keys={
+            "parameterNumber": ENSEMBLE_PARAM,
+            "productDefinitionTemplateNumber": 1,
+        },
+    ).toPandas()
+    assert len(out) == 20 * N_ENS * len(FC_MONTHS)  # decoys filtered
+    row = out[(out["i"] == 7) & (out["fc_month"] == 2) & (out["member"] == 3)]
+    assert row["grid_sum"].tolist() == [int(message_values(7, 3, 2).sum())]
+    # no filter -> decoys appear (2 extra messages per file)
+    all_rows = explode_grib_ensemble(files, filter_keys=None).toPandas()
+    assert len(all_rows) == 20 * (N_ENS * len(FC_MONTHS) + 2)
