@@ -2471,13 +2471,11 @@ def grib_ensemble_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.gribfiles import (
         ENSEMBLE_PARAM,
         N_ENS,
-        build_ensemble_files,
         explode_grib_ensemble,
+        materialized_ensemble_files,
     )
 
-    o = _pq(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("i"))
-    o = o.repartition(spark.sparkContext.defaultParallelism, "i")
-    files = build_ensemble_files(o)
+    files = spark.read.parquet(materialized_ensemble_files(spark, sf_dir))
     rows = explode_grib_ensemble(
         files,
         filter_keys={
@@ -2523,9 +2521,10 @@ def bilinear_resample_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     clear shifts every pixel's expectation by -0.5)."""
     from .operators.raster import resample_bilinear_stats
 
-    return resample_bilinear_stats(
-        corpus.images_from_orders(spark, sf_dir), out_w=48, out_h=48
-    ).orderBy("i")
+    images = spark.read.parquet(corpus.materialized_images(spark, sf_dir)).select(
+        "i", "bytes", "fmt", "w", "h"
+    )  # explicit projection: pruning cannot reach through mapInPandas
+    return resample_bilinear_stats(images, out_w=48, out_h=48).orderBy("i")
 
 
 # Image-content ANN: decode -> 16-bin intensity histogram features ->
@@ -2569,7 +2568,10 @@ def image_feature_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import lsh_bucket
     from .sources.images import decode_features
 
-    feats = decode_features(corpus.images_from_orders(spark, sf_dir), bins=16)
+    images = spark.read.parquet(corpus.materialized_images(spark, sf_dir)).select(
+        "i", "bytes", "fmt", "w", "h"
+    )
+    feats = decode_features(images, bins=16)
     return (
         feats.select(
             "vec_id",
@@ -2595,11 +2597,10 @@ def zip_member_explode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     Member dates come from the compact filename grammar; the summed
     decompressed byte counts are matched against the closed-form oracle."""
     from .functions.scalars import date_from_filename
-    from .sources.archives import build_monthly_archives, explode_zip_members
+    from .sources.archives import explode_zip_members, materialized_monthly_archives
 
     o = _pq(spark, sf_dir, "orders")
-    months = o.select(F.date_trunc("month", "o_orderdate").alias("m")).distinct()
-    archives = build_monthly_archives(months)
+    archives = spark.read.parquet(materialized_monthly_archives(spark, sf_dir))
     members = explode_zip_members(archives, verify_payload_date=True)
     date, _ = date_from_filename(F.col("member_name"))
     members = members.withColumn("member_date", date)

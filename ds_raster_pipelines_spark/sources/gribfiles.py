@@ -116,3 +116,28 @@ def explode_grib_ensemble(
     return files.mapInPandas(
         kernel, schema=f"{id_col} bigint, fc_month int, member int, grid_sum bigint"
     )
+
+
+def materialized_ensemble_files(
+    spark, sf_dir: str, cache_root: str = "/tmp/spark_graft_corpus"
+) -> str:
+    """Materialize the per-order GRIB file corpus for ``sf_dir`` once and
+    return its parquet path — GRIB downloads are stored blobs in
+    production, and scanning them keeps the consuming query at ONE Python
+    stage (the scan/filter/decode kernel)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .. import corpus as corpus_mod
+
+    key = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    path = f"{cache_root}/{corpus_mod.CORPUS_VERSION}/{key}_grib"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        ids = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select(F.col("o_orderkey").alias("i"))
+            .repartition(spark.sparkContext.defaultParallelism, "i")
+        )
+        build_ensemble_files(ids).write.mode("overwrite").parquet(path)
+    return path
