@@ -38,7 +38,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # blob-heavy parquet scans: the default 4096-row columnar batch
+        # over ~18 KB binary cells asks for ~73 MB CONTIGUOUS per task
+        # (OnHeapColumnVector.putByteArray) — x32 tasks that OOMed an 8g
+        # heap on the sf0.1 NetCDF corpus. 1024-row batches bound the
+        # per-task vector at ~18 MB; narrow tables lose nothing
+        # measurable. Same sizing rule at cluster scale: batch bytes =
+        # rows x widest-cell, keep it << executor heap / concurrent tasks.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
         .config("spark.ui.enabled", "false")
         # bucketed-table writes (co-located joins) go to /tmp, not the repo
         .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")

@@ -77,17 +77,35 @@ def build_ensemble_files(ids: DataFrame, id_col: str = "i") -> DataFrame:
     return ids.select(id_col).mapInPandas(kernel, schema="i bigint, grib_bytes binary")
 
 
+def request_filter_keys(spec) -> list[dict]:
+    """S7 compilation: a MARS-shaped RequestSpec (plans/requests.py)
+    lowered to GRIB header filters — the request's leadtime list becomes
+    per-message ``forecastTime`` alternatives and ``spec.extra`` carries
+    the parameter keys verbatim (the reference's request dict ships
+    'leadtime_month': [1..7] and param codes, seas5_pipeline.py:56-75).
+    Returns a LIST of key dicts: a message survives if it matches ANY
+    (OR over leadtimes, AND within a dict)."""
+    base = dict(spec.extra)
+    return [dict(base, forecastTime=int(lt)) for lt in spec.leadtimes]
+
+
 def explode_grib_ensemble(
     files: DataFrame,
-    filter_keys: dict | None = None,
+    filter_keys: dict | list[dict] | None = None,
     bytes_col: str = "grib_bytes",
     id_col: str = "i",
 ) -> DataFrame:
     """One row per SURVIVING message: (id, forecast_time, member,
-    grid_sum). ``filter_keys`` is matched against each message's header
-    keys (grib.GribMessage.key()) BEFORE the data section is unpacked —
-    the S2 filter_by_keys semantics; non-matching messages cost one header
-    parse and zero decode work."""
+    grid_sum). ``filter_keys`` (one dict, or a list of alternative dicts —
+    e.g. request_filter_keys output) is matched against each message's
+    header keys (grib.GribMessage.key()) BEFORE the data section is
+    unpacked — the S2 filter_by_keys semantics; non-matching messages
+    cost one header parse and zero decode work."""
+    alts = (
+        None
+        if not filter_keys
+        else ([filter_keys] if isinstance(filter_keys, dict) else list(filter_keys))
+    )
 
     def kernel(batches):
         for pdf in batches:
@@ -95,9 +113,12 @@ def explode_grib_ensemble(
             for i, blob in zip(pdf[id_col], pdf[bytes_col]):
                 buf = bytes(blob)
                 for m in grib.scan_messages(buf):
-                    if filter_keys:
+                    if alts is not None:
                         k = m.key()
-                        if any(k.get(kk) != vv for kk, vv in filter_keys.items()):
+                        if not any(
+                            all(k.get(kk) == vv for kk, vv in alt.items())
+                            for alt in alts
+                        ):
                             continue  # dropped pre-decode
                     vals = grib.decode_values(buf, m)
                     ids.append(int(i))

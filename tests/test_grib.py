@@ -120,3 +120,46 @@ def test_spark_key_filter_drops_before_decode(spark):
     # no filter -> decoys appear (2 extra messages per file)
     all_rows = explode_grib_ensemble(files, filter_keys=None).toPandas()
     assert len(all_rows) == 20 * (N_ENS * len(FC_MONTHS) + 2)
+
+
+def test_request_spec_compiles_to_grib_filter(spark):
+    """S7 x S2: a MARS-shaped RequestSpec lowers to GRIB header filters —
+    the request's leadtime list selects forecast months at the message
+    level, params ride through extra."""
+    from ds_raster_pipelines_spark.plans.requests import RequestSpec
+    from ds_raster_pipelines_spark.sources.gribfiles import (
+        ENSEMBLE_PARAM,
+        N_ENS,
+        build_ensemble_files,
+        explode_grib_ensemble,
+        request_filter_keys,
+    )
+    from pyspark.sql import functions as F
+
+    spec = RequestSpec(
+        date_start="2024-01-01",
+        date_end="2024-01-31",
+        leadtimes=(1,),  # month 2 messages must be dropped
+        extra={
+            "parameterNumber": ENSEMBLE_PARAM,
+            "productDefinitionTemplateNumber": 1,
+        },
+    )
+    keys = request_filter_keys(spec)
+    assert keys == [
+        {
+            "parameterNumber": ENSEMBLE_PARAM,
+            "productDefinitionTemplateNumber": 1,
+            "forecastTime": 1,
+        }
+    ]
+    ids = spark.range(0, 10).select(F.col("id").alias("i"))
+    out = explode_grib_ensemble(build_ensemble_files(ids), filter_keys=keys).toPandas()
+    assert set(out["fc_month"]) == {1}
+    assert len(out) == 10 * N_ENS
+    # multi-leadtime spec = OR over alternatives
+    spec2 = RequestSpec("2024-01-01", "2024-01-31", leadtimes=(1, 2), extra=spec.extra)
+    out2 = explode_grib_ensemble(
+        build_ensemble_files(ids), filter_keys=request_filter_keys(spec2)
+    ).toPandas()
+    assert set(out2["fc_month"]) == {1, 2} and len(out2) == 10 * N_ENS * 2
