@@ -62,6 +62,7 @@ _PRIORITY = [
     # -- new in round 4 --------------------------------------------------
     "zonal_pixel_stats_nc", "zonal_pixel_stats_dct", "zip_member_explode_real",
     "image_feature_buckets", "bilinear_resample_means", "grib_ensemble_mean",
+    "multiband_cube_nc_roundtrip",
     # -- modules changed in round 4 --------------------------------------
     "flagship_zonal_decode", "pip_zonal_bbox", "pip_zonal_raycast",
     "pip_all_touched", "zonal_pixel_stats", "zonal_pixel_stats_tif",
@@ -72,9 +73,8 @@ _PRIORITY = [
     "ann_lsh_bucketed", "ann_ivf_topk",
     # -- r3-green core rotation picks ------------------------------------
     "q1_pricing_summary", "join_customer_revenue", "knn_ring_halo",
-    "anti_join_coverage",
     # -- tail: r3-green, code unchanged this round (rotates in next) -----
-    "window_rolling_centered",
+    "anti_join_coverage", "window_rolling_centered",
     "cell_encode_histogram", "cell_parent_rollup", "coverage_pct",
     "doy_climatology", "band_merge_outer", "topk_per_group",
     "latest_wins_dedup", "validation_leadtime", "caption_propagation",
@@ -1804,6 +1804,47 @@ def multiband_cube_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ["user_id", "d"])
     return multiband_baseline(
         merged, ["click_cents", "view_cents"], key_col="user_id", date_col="d"
+    ).orderBy("doy", "user_id")
+
+
+@register("multiband_cube_nc_roundtrip", _CUBE_ORACLE)
+def multiband_cube_nc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 with the GENUINE NetCDF container THROUGH the gate: the same
+    multi-band climatology cube is persisted as one classic-NetCDF-3 blob
+    per doy (sinks.write_cube_nc — netcdf.py codec, int64 keys as hi/lo
+    NC_INT pairs, float64 bands bit-exact) and re-read with read_cube_nc;
+    the round-tripped table must match the SAME oracle as the in-memory
+    cube (floodscan_pipeline.py:405-410 persists and re-opens its baseline
+    NetCDF). Write happens once per corpus cache (construction executes
+    jobs — excluded from the pure-plan invariant like dedup_components)."""
+    import os
+
+    from .operators.climatology import band_merge, multiband_baseline
+    from .sinks import read_cube_nc, write_cube_nc
+
+    ev = _pq(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def band(etype: str, out: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == etype)
+            .groupBy("user_id", F.date_trunc("day", "ts").alias("d"))
+            .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(out))
+        )
+
+    merged = band_merge(band("click", "click_cents"), band("view", "view_cents"),
+                        ["user_id", "d"])
+    cube = multiband_baseline(
+        merged, ["click_cents", "view_cents"], key_col="user_id", date_col="d"
+    )
+    key = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    path = f"/tmp/spark_graft_corpus/{corpus.CORPUS_VERSION}/{key}_cubenc"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        write_cube_nc(cube, path, part_col="doy", key_col="user_id")
+    out = read_cube_nc(spark, path, key_col="user_id")
+    return out.select(
+        "doy", "user_id",
+        "click_cents_baseline", "click_cents_n",
+        "view_cents_baseline", "view_cents_n",
     ).orderBy("doy", "user_id")
 
 

@@ -25,7 +25,7 @@ import pytest
 SF = "/root/testdata/sf0.001"
 
 SANCTIONED_CARTESIAN = {"ann_cosine_topk"}
-CONSTRUCTION_EXECUTES = {"dedup_components"}
+CONSTRUCTION_EXECUTES = {"dedup_components", "multiband_cube_nc_roundtrip"}
 
 _PY_STAGE = re.compile(r"MapInArrow|MapInPandas|FlatMapGroupsInPandas|EvalPython")
 
