@@ -57,6 +57,13 @@ BENCH_QUERIES = [
     "cog_overview_zonal",
     "multiband_cube_baseline",
     "caption_propagation",
+    # round-4 real-container paths
+    "zonal_pixel_stats_nc",
+    "zonal_pixel_stats_dct",
+    "grib_ensemble_mean",
+    "zip_member_explode_real",
+    "bilinear_resample_means",
+    "image_feature_buckets",
 ]
 
 # plans whose driver loop executes jobs during query CONSTRUCTION

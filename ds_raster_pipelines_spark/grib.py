@@ -112,9 +112,10 @@ def encode_message(
 
     ``template`` 1 = individual ensemble forecast (4.1, carries
     perturbation number); 0 = deterministic analysis/forecast (4.0).
-    Values must be representable as X * 2**binary_scale * 10**-decimal_scale
-    + min — the encoder computes R = min(scaled) and verifies exactness
-    is within half a packing step."""
+    Simple packing is LOSSY in general: values quantize to the grid
+    R + X * 2**binary_scale (then / 10**decimal_scale), R = min. Choose
+    the scales so your data lands on that grid for a bit-exact
+    round-trip (integers at D=E=0, quarter-steps at E=-2, ...)."""
     grid = np.ascontiguousarray(values, dtype=np.float64)
     if grid.ndim != 2:
         raise ValueError("values must be 2-D (nj, ni)")

@@ -322,6 +322,7 @@ def pip_join_distributed(
     res: int,
     lon_col: str = "lon_c",
     lat_col: str = "lat_c",
+    cover: DataFrame | None = None,
 ) -> DataFrame:
     """PIP join for LARGE polygon tables (beyond MAX_LOCAL_POLYGONS): no
     driver collect, no geometry closure.
@@ -342,7 +343,8 @@ def pip_join_distributed(
     the ray cast, edge cells get the exact even-odd test.
     """
     pts = points.withColumn("cell_id", grid.encode_col(F.col(lon_col), F.col(lat_col), res))
-    cover = polygon_cover_cells(admin, res)
+    if cover is None:
+        cover = polygon_cover_cells(admin, res)
     cand = pts.join(cover, "cell_id")
     withwkb = cand.join(admin.select("adm_id", "geom_wkb"), "adm_id")
     keep = F.col("full") | contains_udf(F.col(lon_col), F.col(lat_col), F.col("geom_wkb"))

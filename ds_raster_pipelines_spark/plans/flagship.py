@@ -108,7 +108,13 @@ def _flagship_distributed(images: DataFrame, admin: DataFrame, res: int) -> Data
     from .. import grid
     from ..operators.pip import pip_join_distributed, polygon_cover_cells
 
-    cover = polygon_cover_cells(admin, res).persist()
+    # The cover feeds three consumers (pcell parents, fine prune, PIP
+    # join). No persist: an unbounded process-global cache is the pattern
+    # ADVICE r3 flagged in dedup; recomputing one Arrow pass over the
+    # polygon table (tiny vs the corpus scan) is the scale-correct trade.
+    # Spark's CacheManager would also only help if a caller persisted —
+    # exchange reuse still kicks in where plans align.
+    cover = polygon_cover_cells(admin, res)
     if "pcell" in images.columns:
         parents = cover.select(
             grid.parent_col(F.col("cell_id"), corpus.PCELL_RES, res).alias("pcell")
@@ -121,5 +127,5 @@ def _flagship_distributed(images: DataFrame, admin: DataFrame, res: int) -> Data
         "cell_id", "lon_c", "lat_c"
     )
     tiles = corpus.centroid_cols_for_images(decode_stats(pruned), "i")
-    joined = pip_join_distributed(tiles, admin, res=res)
+    joined = pip_join_distributed(tiles, admin, res=res, cover=cover)
     return zonal_stats(joined, "mean_value", fixed_scale=2)

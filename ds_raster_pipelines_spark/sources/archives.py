@@ -72,6 +72,8 @@ def explode_zip_members(
     instead of silently flowing on."""
 
     def kernel(batches):
+        import re
+
         for pdf in batches:
             ids, names, sizes = [], [], []
             for aid, blob in zip(pdf[id_col], pdf[bytes_col]):
@@ -79,8 +81,6 @@ def explode_zip_members(
                 for m in ziparchive.list_members(buf):
                     payload = ziparchive.read_member(buf, m)  # CRC check
                     if verify_payload_date:
-                        import re
-
                         g = re.search(r"(\d{8})", m.name)
                         iso = f"{g[1][:4]}-{g[1][4:6]}-{g[1][6:]}"
                         if not payload.startswith(iso.encode()):

@@ -58,7 +58,7 @@ def encode_zip(
     dt, dd = _dos_datetime(*stamp)
     out = bytearray()
     central = bytearray()
-    offsets = []
+    entries = []  # (name_bytes, method, crc, comp_len, raw_len, offset)
     for name, payload in members:
         raw = bytes(payload)
         crc = zlib.crc32(raw) & 0xFFFFFFFF
@@ -72,27 +72,16 @@ def encode_zip(
         nb = name.encode()
         if len(raw) > 0xFFFFFFFF or len(comp) > 0xFFFFFFFF:
             raise ValueError("zip64 not supported (member exceeds 4 GiB)")
-        offsets.append(len(out))
+        entries.append((nb, method, crc, len(comp), len(raw), len(out)))
         out += _LOCAL_SIG + struct.pack(
             "<HHHHHIIIHH", 20, 0, method, dt, dd, crc, len(comp), len(raw), len(nb), 0
         )
         out += nb + comp
     cdir_start = len(out)
-    for (name, payload), off in zip(members, offsets):
-        raw = bytes(payload)
-        nb = name.encode()
-        crc = zlib.crc32(raw) & 0xFFFFFFFF
-        # recompute method/sizes exactly as the local pass did
-        comp_len = len(raw)
-        method = STORE
-        if compress:
-            c = zlib.compressobj(6, zlib.DEFLATED, -15)
-            d = c.compress(raw) + c.flush()
-            if len(d) < len(raw):
-                comp_len, method = len(d), DEFLATE
+    for nb, method, crc, comp_len, raw_len, off in entries:
         central += _CDIR_SIG + struct.pack(
             "<HHHHHHIIIHHHHHII",
-            20, 20, 0, method, dt, dd, crc, comp_len, len(raw),
+            20, 20, 0, method, dt, dd, crc, comp_len, raw_len,
             len(nb), 0, 0, 0, 0, 0, off,
         )
         central += nb
