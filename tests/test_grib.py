@@ -163,3 +163,62 @@ def test_request_spec_compiles_to_grib_filter(spark):
         build_ensemble_files(ids), filter_keys=request_filter_keys(spec2)
     ).toPandas()
     assert set(out2["fc_month"]) == {1, 2} and len(out2) == 10 * N_ENS * 2
+
+
+def test_production_size_grid_roundtrip():
+    """A realistic ERA5-shaped message: the full 0.25-degree global grid
+    (721 x 1440 = 1,038,240 points) packs and round-trips exactly; the
+    per-message Python overhead measured on the 8x8 synthetic corpus
+    amortizes to nothing at this size (one message ~= one task's work)."""
+    lat = np.arange(721)[:, None]
+    lon = np.arange(1440)[None, :]
+    g = ((lat * 3 + lon * 7) % 4000).astype(np.float64)  # 12-bit span
+    b = grib.encode_message(g, lat1_deg=90.0, lon1_deg=0.0, d_deg=0.25)
+    m = grib.scan_messages(b)[0]
+    assert (m.nj, m.ni) == (721, 1440)
+    assert m.bits_per_value == 12
+    assert np.array_equal(grib.decode_values(b, m), g)
+    # packed size ~ n*12/8 bytes, far below float64
+    assert len(b) < 721 * 1440 * 2
+
+
+def test_incremental_grib_ingest_resume(spark, tmp_path):
+    """Composition: newly-arriving GRIB files ingest through the
+    checkpoint/lineage manifest (S14 x S1) — a killed run resumes exactly
+    the un-committed file batches, and the final table equals a clean
+    one-shot ingest."""
+    from ds_raster_pipelines_spark.sources.gribfiles import (
+        ENSEMBLE_PARAM,
+        build_ensemble_files,
+        explode_grib_ensemble,
+    )
+    from ds_raster_pipelines_spark.streaming.incremental import IncrementalRun
+    from pyspark.sql import functions as F
+
+    def batch(p):  # files 10*p .. 10*p+9 arrive as partition p
+        ids = spark.range(p * 10, p * 10 + 10).select(F.col("id").alias("i"))
+        rows = explode_grib_ensemble(
+            build_ensemble_files(ids),
+            filter_keys={"parameterNumber": ENSEMBLE_PARAM},
+        )
+        return rows.select(
+            (F.col("i") * 100 + F.col("fc_month") * 10 + F.col("member")).alias("cell_id"),
+            "grid_sum",
+        )
+
+    out = str(tmp_path / "grib_run")
+    run = IncrementalRun(spark, out)
+    planned = [0, 1, 2]
+    for p in [0]:  # first batch lands, then the job "dies"
+        run.commit_partition(p, batch(p), cell_col="cell_id")
+    run2 = IncrementalRun(spark, out)
+    assert run2.pending_partitions(planned) == [1, 2]
+    for p in run2.pending_partitions(planned):
+        run2.commit_partition(p, batch(p), cell_col="cell_id")
+    assert run2.verify(cell_col="cell_id").count() == 0
+    got = run2.read().orderBy("cell_id").toPandas()[["cell_id", "grid_sum"]]
+    want = (
+        batch(0).unionByName(batch(1)).unionByName(batch(2))
+        .orderBy("cell_id").toPandas()[["cell_id", "grid_sum"]]
+    )
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
