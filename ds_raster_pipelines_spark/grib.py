@@ -258,3 +258,4 @@ def decode_values(buf: bytes, m: GribMessage) -> np.ndarray:
         10.0 ** -m.decimal_scale
     )
     return v.reshape(m.nj, m.ni)
+
