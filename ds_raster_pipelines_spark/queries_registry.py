@@ -62,7 +62,7 @@ _PRIORITY = [
     # -- new in round 4 --------------------------------------------------
     "zonal_pixel_stats_nc", "zonal_pixel_stats_dct", "zip_member_explode_real",
     "image_feature_buckets", "bilinear_resample_means", "grib_ensemble_mean",
-    "multiband_cube_nc_roundtrip",
+    "multiband_cube_nc_roundtrip", "decode_verify_gate", "wav_audio_stats",
     # -- modules changed in round 4 --------------------------------------
     "flagship_zonal_decode", "pip_zonal_bbox", "pip_zonal_raycast",
     "pip_all_touched", "zonal_pixel_stats", "zonal_pixel_stats_tif",
@@ -72,9 +72,9 @@ _PRIORITY = [
     "phash_near_dup", "embedding_near_dup", "ann_cosine_topk",
     "ann_lsh_bucketed", "ann_ivf_topk",
     # -- r3-green core rotation picks ------------------------------------
-    "q1_pricing_summary", "join_customer_revenue", "knn_ring_halo",
+    "q1_pricing_summary",
     # -- tail: r3-green, code unchanged this round (rotates in next) -----
-    "anti_join_coverage", "window_rolling_centered",
+    "join_customer_revenue", "knn_ring_halo", "anti_join_coverage", "window_rolling_centered",
     "cell_encode_histogram", "cell_parent_rollup", "coverage_pct",
     "doy_climatology", "band_merge_outer", "topk_per_group",
     "latest_wins_dedup", "validation_leadtime", "caption_propagation",
@@ -2474,6 +2474,80 @@ SELECT archive,
 FROM members JOIN wanted USING (member_date)
 GROUP BY archive ORDER BY archive
 """
+
+
+# Audio modality over REAL RIFF/WAVE containers: per-file integer-exact
+# stats from the full chunk-walking PCM decode. Closed form: file i has
+# n = 100 + i % 50 samples with s_k = ((i*31 + k*17) % 2001) - 1000.
+_WAV_ORACLE = """
+WITH s AS (
+  SELECT o.o_orderkey AS i, k.k AS k,
+         ((o.o_orderkey * 31 + k.k * 17) % 2001) - 1000 AS v
+  FROM orders o, (SELECT unnest(generate_series(0, 149)) AS k) k
+  WHERE k.k < 100 + o.o_orderkey % 50
+)
+SELECT i,
+       cast(count(*) as bigint) AS n_samples,
+       cast(sum(v) as bigint) AS sum_pcm,
+       cast(max(abs(v)) as bigint) AS peak_pcm
+FROM s GROUP BY i ORDER BY i
+"""
+
+
+@register("wav_audio_stats", _WAV_ORACLE)
+def wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio THROUGH the driver gate: a real RIFF/WAVE corpus
+    (16-bit PCM plus a junk LIST chunk that forces genuine chunk
+    walking) decodes via the pure-numpy WAV parser
+    (sources/multimodal.decode_wav) into integer-exact per-file stats,
+    matched against the closed-form sample algebra. Upgrades the audio
+    modality from pytest-only to driver-graded."""
+    from .sources.multimodal import audio_stats_exact, materialized_wav_corpus
+
+    media = spark.read.parquet(materialized_wav_corpus(spark, sf_dir))
+    return audio_stats_exact(media).orderBy("i")
+
+
+# Input-hint per-row invariant (BASELINE.json): decoded pixels match the
+# analytic ground truth (allclose for lossless, PSNR>=40dB for lossy) and
+# captions propagate byte-exactly. Closed form: every corpus tile passes
+# (qnt's LSB-clear MSE is exactly 0.5 -> PSNR ~51.1 dB), lossless_exact
+# is true precisely for fmt != 'qnt' (i % 16 != 0).
+_VERIFY_ORACLE = """
+SELECT cast(count(*) as bigint) AS n_rows,
+       cast(count(*) as bigint) AS n_caption_ok,
+       cast(count(*) as bigint) AS n_psnr_ok,
+       cast(sum(CASE WHEN o_orderkey % 16 = 0 THEN 0 ELSE 1 END) as bigint)
+         AS n_lossless_exact,
+       cast(sum(CASE WHEN o_orderkey % 16 = 0 THEN 1 ELSE 0 END) as bigint)
+         AS n_lossy
+FROM orders
+"""
+
+
+@register("decode_verify_gate", _VERIFY_ORACLE)
+def decode_verify_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input_hint's per-row invariant THROUGH the driver gate: one
+    Arrow pass re-decodes every tile, compares against the analytic
+    ground truth (sources/images.decode_verify — PSNR vs pixels_for(i),
+    byte-exact caption check), and the corpus-wide pass counts must equal
+    the closed form. A decode regression in ANY codec (raw/png/qnt) or a
+    caption corruption shows up as a count divergence."""
+    from .sources.images import decode_verify
+
+    images = spark.read.parquet(corpus.materialized_images(spark, sf_dir)).select(
+        "i", "bytes", "fmt", "w", "h", "caption"
+    )
+    v = decode_verify(images)
+    return v.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("caption_ok").cast("long")).alias("n_caption_ok"),
+        F.sum((F.col("psnr") >= 40.0).cast("long")).alias("n_psnr_ok"),
+        F.sum(F.coalesce(F.col("lossless_exact").cast("long"), F.lit(0))).alias(
+            "n_lossless_exact"
+        ),
+        F.sum(F.col("lossless_exact").isNull().cast("long")).alias("n_lossy"),
+    )
 
 
 # GRIB2 ensemble ingest: per-order multi-message files (5 members x 2

@@ -148,3 +148,86 @@ def sample_frames(media: DataFrame, every_n: int = 10, use_fake_codec: bool = Fa
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_bytes": frames})
 
     return media.mapInPandas(kernel, schema=FRAME_SAMPLE_SCHEMA)
+
+
+# ------------------------------------------------ graded WAV audio path ---
+
+AUDIO_EXACT_SCHEMA = "i bigint, n_samples bigint, sum_pcm bigint, peak_pcm bigint"
+
+
+def wav_samples_for(i: int) -> np.ndarray:
+    """Deterministic int16 sample stream for corpus file i:
+    n = 100 + i % 50 samples, s_k = ((i*31 + k*17) % 2001) - 1000 —
+    integers, so every aggregate has a closed form in SQL."""
+    n = 100 + i % 50
+    k = np.arange(n, dtype=np.int64)
+    return (((i * 31 + k * 17) % 2001) - 1000).astype("<i2")
+
+
+def build_wav_corpus(ids: DataFrame, id_col: str = "i") -> DataFrame:
+    """One REAL RIFF/WAVE blob per id (16-bit PCM, 16 kHz), including a
+    junk LIST chunk before the data chunk so readers must actually
+    chunk-walk the container (decode_wav does)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+        junk = b"INFOsynthetic corpus file"  # LIST body (odd len: pad rule)
+        for pdf in batches:
+            blobs = []
+            for i in pdf[id_col].astype(int):
+                data = wav_samples_for(i).tobytes()
+                blob = (
+                    b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"LIST" + struct.pack("<I", len(junk)) + junk + b"\x00" * (len(junk) & 1)
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                blobs.append(b"RIFF" + struct.pack("<I", len(blob)) + blob)
+            yield pd.DataFrame({"i": pdf[id_col].astype(np.int64), "bytes": blobs})
+
+    return ids.select(id_col).mapInPandas(kernel, schema="i bigint, bytes binary")
+
+
+def audio_stats_exact(media: DataFrame) -> DataFrame:
+    """Integer-exact per-file audio stats over REAL WAV decode:
+    (i, n_samples, sum_pcm, peak_pcm) in raw int16 units. decode_wav
+    normalizes by 32768 (a power of two), so multiplying back is exact —
+    the full RIFF container walk stays on the decode path while the
+    outputs remain bit-comparable across engines."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"i": [], "n_samples": [], "sum_pcm": [], "peak_pcm": []}
+            for i, blob in zip(pdf["i"], pdf["bytes"]):
+                pcm = decode_wav(bytes(blob))
+                raw = np.rint(pcm * 32768.0).astype(np.int64)
+                out["i"].append(int(i))
+                out["n_samples"].append(len(raw))
+                out["sum_pcm"].append(int(raw.sum()))
+                out["peak_pcm"].append(int(np.abs(raw).max()) if len(raw) else 0)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=AUDIO_EXACT_SCHEMA)
+
+
+def materialized_wav_corpus(
+    spark, sf_dir: str, cache_root: str = "/tmp/spark_graft_corpus"
+) -> str:
+    """Materialize the per-order WAV corpus once (stored blobs — keeps the
+    consuming query at ONE Python stage, the decode kernel)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .. import corpus as corpus_mod
+
+    key = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    path = f"{cache_root}/{corpus_mod.CORPUS_VERSION}/{key}_wav"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        ids = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select(F.col("o_orderkey").alias("i"))
+            .repartition(spark.sparkContext.defaultParallelism, "i")
+        )
+        build_wav_corpus(ids).write.mode("overwrite").parquet(path)
+    return path
