@@ -450,3 +450,44 @@ def test_cube_netcdf_sink_roundtrip(spark, tmp_path):
     assert len(blobs) == 90  # one shard per doy
     f = nc_mod.decode_nc(bytes(blobs[0]["nc_bytes"]))
     assert f.attrs["bands"] == "sfed_baseline sfed_n mfed_baseline mfed_n"
+
+
+def test_streaming_container_decode_twin(spark, tmp_path):
+    """Container decode kernels are streaming-transparent: the same
+    audio_stats_exact Arrow kernel over a readStream of WAV blobs (files
+    arriving in two micro-batches) produces exactly the batch result —
+    the shape a continuously-arriving raster/audio feed runs at scale."""
+    import pandas as pd
+
+    from ds_raster_pipelines_spark.sources.multimodal import (
+        audio_stats_exact,
+        build_wav_corpus,
+    )
+
+    stage = str(tmp_path / "wav_stage")
+
+    def write(lo, hi):
+        ids = spark.range(lo, hi).select(F.col("id").alias("i"))
+        build_wav_corpus(ids).write.mode("append").parquet(stage)
+
+    write(0, 30)
+    batch_df = spark.read.parquet(stage)
+    schema = batch_df.schema
+    stream = spark.readStream.schema(schema).parquet(stage)
+    q = (
+        audio_stats_exact(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wav_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write(30, 50)  # second arrival
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM wav_stream").orderBy("i").toPandas()
+    want = audio_stats_exact(spark.read.parquet(stage)).orderBy("i").toPandas()
+    assert len(got) == 50
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want.reset_index(drop=True))
