@@ -119,3 +119,34 @@ def fetch_blobs(
             yield pd.DataFrame(out)
 
     return refs.mapInPandas(kernel, schema=FETCH_SCHEMA)
+
+
+# ------------------------------------------------------- ranged fetchers ---
+
+RangeFetcher = Callable[[str, int, int], bytes]
+
+
+def file_range_fetcher(ref: str, offset: int, length: int) -> bytes:
+    """Seek+read adapter — local files / any mounted store."""
+    path = ref[7:] if ref.startswith("file://") else ref
+    with open(path, "rb") as f:
+        f.seek(offset)
+        return f.read(length)
+
+
+def http_range_fetcher(ref: str, offset: int, length: int, timeout: float = 30.0) -> bytes:
+    """HTTP Range GET (bytes=offset-end) — the transport COGs are designed
+    for: a 206 returns exactly the requested window, so reading one
+    overview of a 100 GB remote raster moves kilobytes. Stdlib only; real
+    code, exercised where the cluster has egress (sandbox has none)."""
+    import urllib.request
+
+    req = urllib.request.Request(ref, headers={"Range": f"bytes={offset}-{offset + length - 1}"})
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.read()
+
+
+def ranged(fetch: RangeFetcher, ref: str):
+    """Bind a ref: (offset, length) -> bytes closure for the COG partial
+    reader (tiff.decode_tif_overview_ranged)."""
+    return lambda offset, length: fetch(ref, offset, length)

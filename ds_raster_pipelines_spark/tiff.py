@@ -365,3 +365,55 @@ def decode_tif_overview(data: bytes, level: int = 1) -> np.ndarray:
     if len(reduced) < level:
         raise ValueError(f"COG has {len(reduced)} overview levels, wanted {level}")
     return _decode_ifd(data, reduced[level - 1])
+
+
+# ------------------------------------------------- ranged (partial) read ---
+
+
+def decode_tif_overview_ranged(
+    fetch_range, level: int = 1, probe: int = 4096, max_probe: int = 1 << 22
+):
+    """COG PARTIAL read — the reason the COG layout exists: decode one
+    reduced-resolution page by fetching only (a) a small header prefix
+    (header-first layout: magic + IFD chain + tag/offset arrays all
+    precede pixel segments in build_tif) and (b) that page's own pixel
+    segments, never the full-resolution bytes. ``fetch_range(offset,
+    length) -> bytes`` abstracts the transport (HTTP Range / S3 ranged
+    GET / local seek — sources/remote.py adapters); the reference's
+    examples read SEAS5 COG windows the same way
+    (examples/read_seas5_cogs.md).
+
+    Returns (pixels, bytes_fetched). The header probe doubles until the
+    IFD chain parses (the standard COG client pattern)."""
+    prefix = fetch_range(0, probe)
+    while True:
+        try:
+            ifds = _read_ifds(prefix)
+            break
+        except (struct.error, ValueError) as e:
+            if isinstance(e, ValueError) and "not a little-endian" in str(e):
+                raise
+            if len(prefix) >= max_probe:
+                raise ValueError("IFD chain larger than max_probe") from e
+            prefix = prefix + fetch_range(len(prefix), 3 * len(prefix))
+    reduced = [t for t in ifds if t.get(T_NEW_SUBFILE, [0])[0] == 1]
+    if len(reduced) < level:
+        raise ValueError(f"COG has {len(reduced)} overview levels, wanted {level}")
+    tags = dict(reduced[level - 1])
+    off_tag = T_TILE_OFFSETS if T_TILE_OFFSETS in tags else T_STRIP_OFFSETS
+    cnt_tag = T_TILE_COUNTS if T_TILE_OFFSETS in tags else T_STRIP_COUNTS
+    offs, cnts = tags[off_tag], tags[cnt_tag]
+    # fetch ONLY this page's segments, remapping their offsets into a
+    # compact local buffer the ordinary decoder reads
+    buf = bytearray(prefix)
+    new_offs = []
+    fetched = len(prefix)
+    for o, c in zip(offs, cnts):
+        if o + c <= len(prefix):  # tiny overview already inside the probe
+            new_offs.append(o)
+            continue
+        new_offs.append(len(buf))
+        buf += fetch_range(o, c)
+        fetched += c
+    tags[off_tag] = new_offs
+    return _decode_ifd(bytes(buf), tags), fetched

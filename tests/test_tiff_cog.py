@@ -154,3 +154,41 @@ def test_overview_guard_rejects_non_cog(spark):
     )
     with pytest.raises(Exception, match="fmt='cog'"):
         out.collect()
+
+
+def test_cog_ranged_overview_read(tmp_path):
+    """The point of the COG layout: reading an overview fetches the header
+    prefix + that page's segments ONLY — a small fraction of the blob —
+    and decodes bit-identically to the full-blob path. Exercised both via
+    a counting in-memory fetcher and the real file:// range adapter."""
+    from ds_raster_pipelines_spark.sources.remote import file_range_fetcher, ranged
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, size=(256, 256), dtype=np.uint8)  # incompressible
+    blob = tiff.encode_cog(px, tile=64, overviews=2)
+
+    calls = {"bytes": 0, "n": 0}
+
+    def mem_fetch(offset, length):
+        calls["bytes"] += min(length, len(blob) - offset)
+        calls["n"] += 1
+        return blob[offset : offset + length]
+
+    got, fetched = tiff.decode_tif_overview_ranged(mem_fetch, level=2)
+    assert np.array_equal(got, tiff.decode_tif_overview(blob, 2))
+    # level-2 page is 64x64 of a 256x256 blob -> tiny fraction of bytes
+    assert fetched < len(blob) // 4, (fetched, len(blob))
+    assert calls["bytes"] <= fetched + 4096
+
+    # real file:// transport
+    p = tmp_path / "cog.tif"
+    p.write_bytes(blob)
+    got2, fetched2 = tiff.decode_tif_overview_ranged(
+        ranged(file_range_fetcher, f"file://{p}"), level=1
+    )
+    assert np.array_equal(got2, tiff.decode_tif_overview(blob, 1))
+    assert fetched2 < len(blob)  # level 1 = 1/4 the pixels
+
+    # non-COG bytes fail fast
+    with pytest.raises(ValueError, match="little-endian"):
+        tiff.decode_tif_overview_ranged(lambda o, l: b"not a tiff at all"[o : o + l])
