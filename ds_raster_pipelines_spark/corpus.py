@@ -365,7 +365,13 @@ def materialized_images_n(
         # emits ~2 GB (worker stuck in tcp_sendmsg / task thread in epoll
         # at 32M tiles x 64 tasks) — and at warehouse scale you'd stage a
         # 128 GB corpus as resumable chunked jobs anyway.
-        chunk = 4_000_000
+        # Per-task output volume must stay well under the python-runner
+        # socket envelope (~500 MB/task is the edge: a 128M-tile build at
+        # 4M-tile chunks put ~525 MB on each of 32 generator tasks and a
+        # worker crashed mid-write with a broken Arrow pipe — same failure
+        # family as the round-3 2 GB wedge). Halve the chunk beyond 64M
+        # tiles: ~260 MB/task, comfortably inside the envelope.
+        chunk = 4_000_000 if n <= 64_000_000 else 2_000_000
         tmp = f"{path}.__building__"
         if os.path.exists(tmp):
             import shutil
