@@ -146,3 +146,45 @@ def test_tile_roundtrip_property(h, w, seed):
     span = 0.25
     b = nc.encode_nc_tile(px, lon0=-10.0, lat_top=45.0, span_deg=span)
     assert np.array_equal(nc.decode_nc_tile(b), px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_fixed=st.integers(1, 3),
+    n_vars=st.integers(1, 4),
+    with_record=st.booleans(),
+)
+def test_encode_nc_roundtrip_property(seed, n_fixed, n_vars, with_record):
+    """Random schemas: arbitrary fixed dims, optional record dim, mixed
+    external types — encode_nc/decode_nc round-trip values, dims, and
+    attrs exactly."""
+    rng = np.random.default_rng(seed)
+    dims = {f"d{k}": int(rng.integers(1, 5)) for k in range(n_fixed)}
+    record = None
+    if with_record:
+        record = "t"
+        dims = {"t": int(rng.integers(1, 4)), **dims}
+    dtypes = [np.int8, np.int16, np.int32, np.float32, np.float64]
+    variables = []
+    for v in range(n_vars):
+        nd = int(rng.integers(0, min(2, len(dims)) + 1))
+        pool = [d for d in dims if d != record]
+        vdims = list(rng.choice(pool, size=min(nd, len(pool)), replace=False))
+        if record is not None and rng.random() < 0.5:
+            vdims = [record] + vdims
+        shape = tuple(dims[d] for d in vdims)
+        dt = dtypes[int(rng.integers(len(dtypes)))]
+        if np.issubdtype(dt, np.integer):
+            data = rng.integers(-100, 100, size=shape).astype(dt)
+        else:
+            data = (rng.integers(-800, 800, size=shape) / 4.0).astype(dt)
+        variables.append(nc.NcVar(f"v{v}", tuple(vdims), data, {"k": np.int32(v)}))
+    blob = nc.encode_nc(dims, variables, {"title": "prop"}, record_dim=record)
+    f = nc.decode_nc(blob)
+    assert f.dims == dims and f.record_dim == record
+    for var in variables:
+        got = f.variables[var.name]
+        assert got.dims == var.dims
+        assert np.array_equal(got.data, var.data), var.name
+        assert got.attrs == {"k": var.attrs["k"]}
