@@ -166,3 +166,44 @@ def test_large_polygon_set_switches_to_distributed(spark, images, monkeypatch):
     assert base_join.equals(dist_join)
     dist_flag = _sorted(flagship(images, adm, refine="wkb").toPandas())
     assert base_flag.equals(dist_flag)
+
+
+def test_pip_distributed_parity_non_rect(spark, monkeypatch):
+    """Distributed PIP == broadcast PIP on GENERIC (non-rectangular)
+    geometries too — triangles force the even-odd ray cast on both paths
+    (the bbox fast path cannot apply)."""
+    import struct
+
+    import pandas as pd
+
+    from ds_raster_pipelines_spark.operators import pip
+
+    def wkb_poly(pts):
+        out = struct.pack("<BII", 1, 3, 1) + struct.pack("<I", len(pts) + 1)
+        for x, y in list(pts) + [pts[0]]:
+            out += struct.pack("<dd", x, y)
+        return out
+
+    tris = []
+    for g in range(12):
+        x0, y0 = -30.0 + 7 * g, -20.0 + 3 * g
+        tris.append(
+            ("T%02d" % g, wkb_poly([(x0, y0), (x0 + 6.5, y0 + 1.2), (x0 + 2.3, y0 + 6.8)]))
+        )
+    adm = spark.createDataFrame(
+        pd.DataFrame({"adm_id": [t[0] for t in tris], "geom_wkb": [t[1] for t in tris]})
+    )
+    pts = corpus.centroid_cols_for_images(
+        spark.range(0, 4000).select(F.col("id").alias("i"))
+    )
+    base = (
+        pip.pip_join(pts, adm, res=6, refine="wkb")
+        .select("i", "adm_id").orderBy("i", "adm_id").toPandas()
+    )
+    assert len(base) > 0  # triangles actually catch tiles
+    monkeypatch.setattr(pip, "MAX_LOCAL_POLYGONS", 3)
+    dist = (
+        pip.pip_join(pts, adm, res=6, refine="wkb")
+        .select("i", "adm_id").orderBy("i", "adm_id").toPandas()
+    )
+    assert base.equals(dist)
