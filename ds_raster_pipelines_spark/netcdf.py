@@ -114,6 +114,8 @@ def _attr_array(v) -> np.ndarray:
         return np.frombuffer(v, dtype="S1")
     a = np.atleast_1d(np.asarray(v))
     if a.dtype.kind == "i" and a.dtype.itemsize == 8:
+        if a.size and int(np.abs(a).max()) > 0x7FFFFFFF:
+            raise ValueError("int64 attribute values exceed NC_INT range")
         a = a.astype(np.int32)
     return a
 
@@ -169,6 +171,9 @@ def encode_nc(
         if a.shape != shape:
             raise ValueError(f"{v.name}: data shape {a.shape} != dims shape {shape}")
         t = _nc_type_of(a)
+        if t == NC_INT and a.dtype.itemsize == 8 and a.size and int(np.abs(a).max()) > 0x7FFFFFFF:
+            # classic NetCDF has no 64-bit int; refuse a lossy wrap
+            raise ValueError(f"{v.name}: int64 values exceed NC_INT range")
         inner = shape[1:] if v in record else shape
         n_inner = int(np.prod(inner, dtype=np.int64)) if inner else 1
         slab = n_inner * _DTYPE[t][1]

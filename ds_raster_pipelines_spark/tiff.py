@@ -395,7 +395,13 @@ def decode_tif_overview_ranged(
                 raise
             if len(prefix) >= max_probe:
                 raise ValueError("IFD chain larger than max_probe") from e
-            prefix = prefix + fetch_range(len(prefix), 3 * len(prefix))
+            more = fetch_range(len(prefix), 3 * len(prefix))
+            if not more:
+                # fetch_range hit EOF without the IFD chain ever parsing:
+                # a truncated/corrupt COG. Without this guard the probe
+                # loop would spin forever on a 0-byte grow.
+                raise ValueError("truncated COG: header probe hit EOF") from e
+            prefix = prefix + more
     reduced = [t for t in ifds if t.get(T_NEW_SUBFILE, [0])[0] == 1]
     if len(reduced) < level:
         raise ValueError(f"COG has {len(reduced)} overview levels, wanted {level}")

@@ -115,7 +115,11 @@ def list_members(buf: bytes) -> list[ZipMember]:
         raise ValueError("not a zip archive (no end-of-central-directory)")
     eocd_pos = len(buf) - len(tail) + k
     _, _, n, n_total, cd_size, cd_off, _ = struct.unpack_from("<HHHHIIH", buf, eocd_pos + 4)
-    if n != n_total or n == 0xFFFF or cd_off == 0xFFFFFFFF:
+    # n == 0xFFFF is a LEGAL member count for a non-zip64 archive (this
+    # writer and stdlib zipfile both emit it); it means zip64 only when a
+    # zip64 EOCD *locator* record actually precedes the EOCD.
+    zip64_locator = eocd_pos >= 20 and buf[eocd_pos - 20 : eocd_pos - 16] == b"PK\x06\x07"
+    if n != n_total or cd_off == 0xFFFFFFFF or zip64_locator:
         raise NotImplementedError("zip64 / multi-disk archives not supported")
     pos = cd_off
     out = []

@@ -188,3 +188,16 @@ def test_encode_nc_roundtrip_property(seed, n_fixed, n_vars, with_record):
         assert got.dims == var.dims
         assert np.array_equal(got.data, var.data), var.name
         assert got.attrs == {"k": var.attrs["k"]}
+
+
+def test_encode_rejects_int64_overflow():
+    """int64 data/attrs that do not fit NC_INT must raise, not wrap
+    (ADVICE r4: direct encode_nc callers bypassed the sink's guard)."""
+    big = np.array([1, 2 ** 40], dtype=np.int64)
+    with pytest.raises(ValueError, match="NC_INT range"):
+        nc.encode_nc({"x": 2}, [nc.NcVar("v", ("x",), big)])
+    with pytest.raises(ValueError, match="NC_INT range"):
+        nc.encode_nc({"x": 1}, [nc.NcVar("v", ("x",), np.zeros(1, np.int64), {"a": np.int64(2 ** 40)})])
+    # in-range int64 still encodes (as NC_INT)
+    ok = nc.encode_nc({"x": 2}, [nc.NcVar("v", ("x",), np.array([1, 2], np.int64))])
+    assert np.array_equal(nc.decode_nc(ok).variables["v"].data, [1, 2])

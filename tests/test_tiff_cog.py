@@ -192,3 +192,16 @@ def test_cog_ranged_overview_read(tmp_path):
     # non-COG bytes fail fast
     with pytest.raises(ValueError, match="little-endian"):
         tiff.decode_tif_overview_ranged(lambda o, l: b"not a tiff at all"[o : o + l])
+
+
+def test_ranged_read_truncated_cog_fails_fast():
+    """A fetcher that runs out of bytes before the IFD chain parses must
+    raise, not spin (ADVICE r4: b'' growth stalled the probe loop)."""
+    blob = tiff.encode_cog(np.zeros((64, 64), dtype=np.uint8), tile=32, overviews=1)
+    short = blob[:6]  # magic parses, IFD offset points past EOF
+
+    def eof_fetch(offset, length):
+        return short[offset : offset + length]
+
+    with pytest.raises(ValueError, match="truncated COG"):
+        tiff.decode_tif_overview_ranged(eof_fetch, probe=4)

@@ -105,3 +105,22 @@ def test_spark_explode_members(spark):
     assert jan1["member_size"].tolist() == [10]
     feb29 = out[out["member_name"].str.contains("20240229")]
     assert feb29["member_size"].tolist() == [290]
+
+
+def test_maximal_non_zip64_member_count_parses():
+    # 0xFFFF members is legal WITHOUT zip64; only a zip64 EOCD locator
+    # before the EOCD means "count overflowed". ADVICE r4 boundary fix.
+    blob = za.encode_zip([(f"m{i:05d}", b"") for i in range(0xFFFF)], compress=False)
+    members = za.list_members(blob)
+    assert len(members) == 0xFFFF
+    # stdlib agrees the archive is valid
+    assert len(zipfile.ZipFile(io.BytesIO(blob)).namelist()) == 0xFFFF
+
+
+def test_zip64_locator_rejected():
+    blob = za.encode_zip(MEMBERS)
+    k = blob.rfind(b"PK\x05\x06")
+    # splice a fake zip64 EOCD locator immediately before the EOCD
+    fake = blob[:k] + b"PK\x06\x07" + b"\x00" * 16 + blob[k:]
+    with pytest.raises(NotImplementedError):
+        za.list_members(fake)
