@@ -23,11 +23,27 @@ implements the public WMO FM 92 GRIB edition-2 wire format directly
 * Simple packing decode/encode, vectorized bit-unpacking for any
   bits-per-value 1..32 (np.unpackbits over the packed stream):
   ``value = (R + X * 2**E) * 10**-D``.
+* Complex packing **template 5.2** (general group splitting: per-group
+  reference values + widths + scaled lengths, byte-aligned streams) and
+  **template 5.3** (complex packing + 1st/2nd-order spatial
+  differencing: sign-magnitude extra descriptors g1[, g2], gmin at the
+  head of section 7) — the packings real ERA5/SEAS5 GRIBs ship with and
+  that the reference reads transparently via cfgrib
+  (era5_pipeline.py:59-66).
+* Section 6 **bitmaps** (indicator 0): NaN cells are encoded as absent
+  points; decode scatters present values back onto the full grid.
 
-Not implemented (raises): GRIB1 (edition byte 1), templates beyond
-3.0/4.0/4.1/5.0, bitmaps (section 6 indicator != 255), jpeg/ccsds
-packing. These cover the reference's lat/lon ensemble corpus shape; the
-errors are explicit so unsupported real-world files fail loudly.
+Sections 3 and 4 follow the exact WMO octet layouts (template 3.0 is a
+72-octet section: basic angle + subdivisions as two uint32 at octets
+39-46; template 4.1 is 37 octets: both 6-byte fixed-surface blocks, so
+perturbationNumber sits at octet 36) — verified by offset asserts in
+tests/test_grib.py.
+
+Not implemented (raises): GRIB1 (edition byte 1), grid templates beyond
+3.0, product templates beyond 4.0/4.1, packing templates beyond
+5.0/5.2/5.3 (jpeg/ccsds/png), section-6 indicator 254 (re-use of a
+previously defined bitmap). The errors are explicit so unsupported
+real-world files fail loudly.
 """
 
 from __future__ import annotations
@@ -47,7 +63,8 @@ class GribMessage:
         "template", "forecast_time", "perturbation", "n_ens", "ni", "nj",
         "lat1_mdeg", "lon1_mdeg", "di_mdeg", "dj_mdeg",
         "ref_value", "binary_scale", "decimal_scale", "bits_per_value",
-        "n_points", "_data_offset", "_data_len",
+        "n_points", "packing_template", "_s5_offset", "_bitmap_offset",
+        "_data_offset", "_data_len",
     )
 
     def key(self) -> dict:
@@ -71,11 +88,11 @@ def _pack_bits(x: np.ndarray, nbits: int) -> bytes:
     if nbits < 1 or nbits > 32:
         raise ValueError("bits_per_value in 1..32")
     n = len(x)
-    bits = np.zeros((n, nbits), dtype=np.uint8)
-    v = x.astype(np.uint64)
-    for b in range(nbits):
-        bits[:, nbits - 1 - b] = (v >> np.uint64(b)) & np.uint64(1)
-    flat = bits.reshape(-1)
+    # byte-wise: big-endian byte image -> unpackbits -> keep low nbits
+    allbits = np.unpackbits(
+        x.astype(">u8").view(np.uint8).reshape(n, 8), axis=1
+    )
+    flat = allbits[:, 64 - nbits :].reshape(-1)
     pad = (-len(flat)) % 8
     if pad:
         flat = np.concatenate([flat, np.zeros(pad, dtype=np.uint8)])
@@ -84,10 +101,210 @@ def _pack_bits(x: np.ndarray, nbits: int) -> bytes:
 
 def _unpack_bits(buf: bytes, n: int, nbits: int) -> np.ndarray:
     bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))[: n * nbits]
-    bits = bits.reshape(n, nbits).astype(np.uint64)
+    bits = bits.reshape(n, nbits)
+    pad = (-nbits) % 8
+    if pad:
+        bits = np.concatenate([np.zeros((n, pad), np.uint8), bits], axis=1)
+    packed = np.packbits(bits, axis=1)  # (n, <=4 byte columns)
     out = np.zeros(n, dtype=np.uint64)
-    for b in range(nbits):
-        out = (out << np.uint64(1)) | bits[:, b]
+    for k in range(packed.shape[1]):
+        out = (out << np.uint64(8)) | packed[:, k]
+    return out
+
+
+# --------------------------- complex packing (templates 5.2 / 5.3) ---------
+
+_GROUP_LEN = 32  # encoder's fixed group size (general group splitting)
+_SD_OCTETS = 4  # octets per extra spatial-differencing descriptor
+
+
+def _sm_bytes(v: int, ww: int = _SD_OCTETS) -> bytes:
+    """Sign-magnitude integer, ``ww`` octets, MSB = sign (GRIB2 regs 92.1.5)."""
+    mag = abs(int(v))
+    if mag >= 1 << (8 * ww - 1):
+        raise ValueError(f"descriptor {v} does not fit {ww} sign-magnitude octets")
+    if v < 0:
+        mag |= 1 << (8 * ww - 1)
+    return mag.to_bytes(ww, "big")
+
+
+def _sm_read(buf: bytes, pos: int, ww: int) -> int:
+    u = int.from_bytes(buf[pos : pos + ww], "big")
+    sign = u >> (8 * ww - 1)
+    mag = u & ((1 << (8 * ww - 1)) - 1)
+    return -mag if sign else mag
+
+
+def _bit_rows(v: np.ndarray, w: int) -> np.ndarray:
+    """MSB-first bit expansion: (n,) uints at width w -> (n*w,) 0/1 bytes."""
+    allb = np.unpackbits(v.astype(">u8").view(np.uint8).reshape(v.size, 8), axis=1)
+    return allb[:, 64 - w :].reshape(-1)
+
+
+def _encode_complex(x: np.ndarray, packing: int, order: int):
+    """Pack non-negative ints with general group splitting (template 5.2)
+    or group splitting after 1st/2nd-order spatial differencing (5.3).
+
+    Returns (bits_for_group_references, section-5 octets 22..47[,48-49],
+    section-7 bytes). Stream layout per the spec and the NCEP g2lib
+    reading convention: [extra descriptors g1[, g2], gmin — 5.3 only,
+    sign-magnitude] then group references, group widths, scaled group
+    lengths — each stream padded to a byte boundary — then the group
+    values bit-contiguously, padded at the end."""
+    n = x.size
+    d = x.astype(np.int64)
+    head = b""
+    if packing == 3:
+        if order not in (1, 2):
+            raise NotImplementedError(f"spatial differencing order {order}")
+        if n <= order:
+            raise ValueError("too few points for spatial differencing")
+        ivals = [int(d[i]) for i in range(order)]
+        diff = np.empty(n, np.int64)
+        diff[:order] = 0
+        if order == 1:
+            diff[1:] = d[1:] - d[:-1]
+        else:
+            diff[2:] = d[2:] - 2 * d[1:-1] + d[:-2]
+        gmin = int(diff[order:].min())
+        diff[order:] -= gmin
+        d = diff
+        head = b"".join(_sm_bytes(v) for v in ivals) + _sm_bytes(gmin)
+
+    # fixed-size groups, vectorized: pad the tail with a value already in
+    # the last group (cannot change its min/width); the padded cells pack
+    # as trailing bits the decoder never reads (it uses the true last
+    # length from section-5 octets 43-46)
+    L = _GROUP_LEN
+    ng = max(1, (n + L - 1) // L)
+    dp = np.concatenate([d, np.full(ng * L - n, d[-1] if n else 0, np.int64)])
+    dg = dp.reshape(ng, L)
+    refs = dg.min(axis=1)
+    offs = (dg - refs[:, None]).astype(np.uint64)
+    maxs = offs.max(axis=1)
+    # exact bit_length for ints < 2**53 via frexp on the float image
+    widths = np.where(maxs > 0, np.frexp(maxs.astype(np.float64))[1], 0).astype(np.int64)
+    lens = np.full(ng, L, np.int64)
+    lens[-1] = n - (ng - 1) * L if n else 0
+    wmax = int(widths.max())
+    if wmax:
+        # one bit-expansion at the max width, then per-group column mask
+        # (keep the LOW w_i bits = last w_i columns); boolean indexing in
+        # C order yields exactly the group-ordered value stream
+        allb = _bit_rows(offs.reshape(-1), wmax).reshape(ng, L, wmax)
+        colmask = np.arange(wmax)[None, None, :] >= (wmax - widths)[:, None, None]
+        val_bits = [allb[np.broadcast_to(colmask, allb.shape)]]
+    else:
+        val_bits = []
+
+    nbits_ref = max(1, int(refs.max()).bit_length()) if refs.max() > 0 else 1
+    wref = int(widths.min())
+    wspan = int((widths - wref).max())
+    wbits = max(1, wspan.bit_length())
+    lbits = max(1, int(lens.max()).bit_length())
+    last_len = int(lens[-1])
+
+    tail = struct.pack(
+        ">BBIIIBBIBIB",
+        1,  # octet 22: group splitting method = general
+        0,  # octet 23: missing value management = none
+        0, 0,  # octets 24-31: primary/secondary missing value substitutes
+        ng,  # octets 32-35
+        wref, wbits,  # octets 36-37
+        0,  # octets 38-41: reference for group lengths
+        1,  # octet 42: length increment
+        last_len,  # octets 43-46: true length of last group
+        lbits,  # octet 47
+    )
+    if packing == 3:
+        tail += struct.pack(">BB", order, _SD_OCTETS)  # octets 48-49
+
+    stream = bytearray(head)
+    stream += _pack_bits(refs.astype(np.uint64), nbits_ref)
+    stream += _pack_bits((widths - wref).astype(np.uint64), wbits)
+    stream += _pack_bits(lens.astype(np.uint64), lbits)
+    if val_bits:
+        allbits = np.concatenate(val_bits)
+        pad = (-len(allbits)) % 8
+        if pad:
+            allbits = np.concatenate([allbits, np.zeros(pad, np.uint8)])
+        stream += np.packbits(allbits).tobytes()
+    return nbits_ref, tail, bytes(stream)
+
+
+def _decode_complex(buf: bytes, m: "GribMessage") -> np.ndarray:
+    """Reverse of _encode_complex for any conformant 5.2/5.3 stream
+    (group geometry read from the wire, not assumed)."""
+    b = m._s5_offset  # offset of section-5 octet 6
+
+    def o(k: int) -> int:  # spec octet number -> buffer offset
+        return b + (k - 6)
+
+    if buf[o(23)] != 0:
+        raise NotImplementedError("GRIB missing-value management not supported")
+    (ng,) = struct.unpack_from(">I", buf, o(32))
+    wref, wbits = buf[o(36)], buf[o(37)]
+    (lref,) = struct.unpack_from(">I", buf, o(38))
+    linc = buf[o(42)]
+    (last_len,) = struct.unpack_from(">I", buf, o(43))
+    lbits = buf[o(47)]
+    nbits = m.bits_per_value
+    n = m.n_points
+
+    pos = m._data_offset
+    if m.packing_template == 3:
+        sd_order, ww = buf[o(48)], buf[o(49)]
+        ivals = [_sm_read(buf, pos + i * ww, ww) for i in range(sd_order)]
+        gmin = _sm_read(buf, pos + sd_order * ww, ww)
+        pos += (sd_order + 1) * ww
+
+    def stream(count: int, width: int) -> np.ndarray:
+        nonlocal pos
+        if width == 0:
+            return np.zeros(count, np.int64)
+        nbytes = (count * width + 7) // 8
+        out = _unpack_bits(buf[pos : pos + nbytes], count, width).astype(np.int64)
+        pos += nbytes
+        return out
+
+    refs = stream(ng, nbits)
+    widths = wref + stream(ng, wbits)
+    lens = lref + linc * stream(ng, lbits)
+    if ng:
+        lens[-1] = last_len
+    if int(lens.sum()) != n:
+        raise ValueError(f"group lengths sum {int(lens.sum())} != n_points {n}")
+
+    total_bits = int((lens * widths).sum())
+    bits = np.unpackbits(
+        np.frombuffer(buf[pos : pos + (total_bits + 7) // 8], dtype=np.uint8)
+    ).astype(np.int64)
+    # vectorized ragged unpack: each value v in group g occupies
+    # widths[g] bits at a contiguous start offset; peel one bit position
+    # per pass (<= 32 passes of whole-array ops, no per-group loop)
+    gid = np.repeat(np.arange(ng), lens)
+    wv = widths[gid]
+    vstart = np.concatenate([[0], np.cumsum(wv)[:-1]])
+    vals = np.zeros(n, np.int64)
+    wmax = int(widths.max()) if ng else 0
+    for k in range(wmax):
+        sel = wv > k
+        vals[sel] = (vals[sel] << 1) | bits[vstart[sel] + k]
+    out = refs[gid] + vals
+
+    if m.packing_template == 3:
+        out[sd_order:] += gmin
+        if sd_order == 1:
+            out[0] = ivals[0]
+            out = np.cumsum(out)
+        else:
+            z = np.empty(n, np.int64)
+            z[0] = 0
+            z[1] = ivals[1] - ivals[0]
+            z[2:] = out[2:]
+            z[1:] = np.cumsum(z[1:])
+            out = ivals[0] + np.cumsum(z)
+            out[0] = ivals[0]
     return out
 
 
@@ -107,28 +324,52 @@ def encode_message(
     decimal_scale: int = 0,
     binary_scale: int = 0,
     ref_date: tuple[int, int, int] = (2024, 1, 1),
+    packing: int = 0,
+    spatial_order: int = 2,
 ) -> bytes:
-    """One GRIB2 message for a (nj, ni) lat/lon grid, simple packing.
+    """One GRIB2 message for a (nj, ni) lat/lon grid.
 
     ``template`` 1 = individual ensemble forecast (4.1, carries
     perturbation number); 0 = deterministic analysis/forecast (4.0).
-    Simple packing is LOSSY in general: values quantize to the grid
-    R + X * 2**binary_scale (then / 10**decimal_scale), R = min. Choose
-    the scales so your data lands on that grid for a bit-exact
-    round-trip (integers at D=E=0, quarter-steps at E=-2, ...)."""
+    ``packing`` selects the data-representation template: 0 = simple
+    (5.0), 2 = complex/group splitting (5.2), 3 = complex + spatial
+    differencing of ``spatial_order`` 1 or 2 (5.3). NaN cells become a
+    section-6 bitmap (absent points) under any packing. Packing is LOSSY
+    in general: values quantize to the grid R + X * 2**binary_scale
+    (then / 10**decimal_scale), R = min. Choose the scales so your data
+    lands on that grid for a bit-exact round-trip (integers at D=E=0,
+    quarter-steps at E=-2, ...)."""
     grid = np.ascontiguousarray(values, dtype=np.float64)
     if grid.ndim != 2:
         raise ValueError("values must be 2-D (nj, ni)")
     nj, ni = grid.shape
     npts = ni * nj
 
+    flat = grid.reshape(-1)
+    nan_mask = np.isnan(flat)
+    if nan_mask.any():
+        bitmap = (~nan_mask).astype(np.uint8)
+        flat = flat[~nan_mask]
+    else:
+        bitmap = None
+    n_present = flat.size
+
     dec = 10.0 ** decimal_scale
     binf = 2.0 ** binary_scale
-    scaled = grid * dec
-    r = float(scaled.min())
-    x = np.round((scaled - r) / binf).astype(np.uint64)
-    span = int(x.max()) if npts else 0
-    nbits = max(1, span.bit_length())
+    scaled = flat * dec
+    # reference value is stored as IEEE float32: round it DOWN so every
+    # (scaled - r) stays non-negative after the narrowing
+    r = float(np.float32(scaled.min())) if n_present else 0.0
+    if n_present and r > scaled.min():
+        r = float(np.nextafter(np.float32(r), np.float32(-np.inf)))
+    x = np.maximum(np.round((scaled - r) / binf), 0).astype(np.uint64)
+    span = int(x.max()) if n_present else 0
+    if packing == 0:
+        nbits = max(1, span.bit_length())
+    elif packing in (2, 3):
+        nbits, s5_tail, s7_complex = _encode_complex(x, packing, spatial_order)
+    else:
+        raise NotImplementedError(f"packing template 5.{packing} not supported")
 
     s1 = struct.pack(
         ">HHBBBHBBBBBBB", 74, 0, 2, 1, 1,
@@ -142,29 +383,40 @@ def encode_message(
     lon2 = (lon1 + (ni - 1) * d_m) % 360_000_000
     s3 = (
         struct.pack(">BIBBH", 0, npts, 0, 0, 0)  # source, npts, 0, 0, template 3.0
-        + struct.pack(">BBIBIBI", 6, 0, 0, 0, 0, 0, 0)  # earth shape octets
-        + struct.pack(">II", ni, nj)
-        + struct.pack(">IB", 0, 0)  # basic angle, subdivisions marker
-        + struct.pack(">iI", lat1, lon1)
-        + struct.pack(">B", 0x30)  # resolution/component flags
-        + struct.pack(">iI", lat2, lon2)
-        + struct.pack(">II", d_m, d_m)
-        + struct.pack(">B", 0x00)  # scanning mode: +i, -j (north to south)
+        + struct.pack(">BBIBIBI", 6, 0, 0, 0, 0, 0, 0)  # earth shape, octets 15-30
+        + struct.pack(">II", ni, nj)  # octets 31-38
+        + struct.pack(">II", 0, 0)  # basic angle + subdivisions, octets 39-46
+        + struct.pack(">iI", lat1, lon1)  # octets 47-54
+        + struct.pack(">B", 0x30)  # resolution/component flags, octet 55
+        + struct.pack(">iI", lat2, lon2)  # octets 56-63
+        + struct.pack(">II", d_m, d_m)  # Di/Dj, octets 64-71
+        + struct.pack(">B", 0x00)  # octet 72, scanning mode: +i, -j
     )
-    # product definition template 4.0 / 4.1
+    # product definition template 4.0 / 4.1 (octets 10-22: parameter +
+    # generating process + cutoff + time unit (1=hour) + forecast time;
+    # octets 23-34: BOTH 6-byte fixed surfaces, second = 255 missing)
     pdt = struct.pack(
-        ">BBBBBHBBI", param_category, param_number, 2, 0, 0, 0, 1, 0, forecast_time
-    ) + struct.pack(">BBB", 1, 0, 0)  # fixed surface type/scale/value
+        ">BBBBBHBBI", param_category, param_number, 2, 0, 0, 0, 0, 1, forecast_time
+    ) + struct.pack(">BBIBBI", 1, 0, 0, 255, 0, 0)
     if template == 1:
-        pdt += struct.pack(">BBB", 1, perturbation, n_ens)
+        pdt += struct.pack(">BBB", 1, perturbation, n_ens)  # octets 35-37
     elif template != 0:
         raise NotImplementedError(f"product template 4.{template} not supported")
     s4 = struct.pack(">HH", 0, template) + pdt
-    s5 = struct.pack(
-        ">IHfhhBB", npts, 0, np.float32(r), binary_scale, decimal_scale, nbits, 0
+    s5_common = struct.pack(
+        ">IHfhhBB", n_present, packing, np.float32(r), binary_scale, decimal_scale,
+        nbits, 0,
     )
-    s6 = struct.pack(">B", 255)  # no bitmap
-    s7 = _pack_bits(x.reshape(-1), nbits)
+    if packing == 0:
+        s5 = s5_common
+        s7 = _pack_bits(x, nbits)
+    else:
+        s5 = s5_common + s5_tail
+        s7 = s7_complex
+    if bitmap is None:
+        s6 = struct.pack(">B", 255)  # no bitmap
+    else:
+        s6 = struct.pack(">B", 0) + np.packbits(bitmap).tobytes()
 
     body = (
         _sect(1, s1) + _sect(3, s3) + _sect(4, s4) + _sect(5, s5)
@@ -196,6 +448,8 @@ def scan_messages(buf: bytes) -> list[GribMessage]:
         if edition != 2:
             raise NotImplementedError(f"GRIB edition {edition} not supported")
         m = GribMessage()
+        m._bitmap_offset = -1  # no section 6 seen yet
+        m.packing_template = 0
         m.offset = pos
         m.discipline = buf[pos + 6]
         (m.length,) = struct.unpack_from(">Q", buf, pos + 8)
@@ -208,11 +462,11 @@ def scan_messages(buf: bytes) -> list[GribMessage]:
                 (tmpl,) = struct.unpack_from(">H", buf, body + 7)
                 if tmpl != 0:
                     raise NotImplementedError(f"grid template 3.{tmpl} not supported")
-                g = body + 9 + 16  # skip earth-shape octets
+                g = body + 9 + 16  # skip earth-shape octets 15-30
                 m.ni, m.nj = struct.unpack_from(">II", buf, g)
-                g += 8 + 5
+                g += 8 + 8  # past Ni/Nj + basic angle/subdivision uint32 pair
                 m.lat1_mdeg, m.lon1_mdeg = struct.unpack_from(">iI", buf, g)
-                g += 8 + 1 + 8
+                g += 8 + 1 + 8  # past La1/Lo1, resolution flags, La2/Lo2
                 m.di_mdeg, m.dj_mdeg = struct.unpack_from(">II", buf, g)
             elif snum == 4:
                 (m.template,) = struct.unpack_from(">H", buf, body + 2)
@@ -224,20 +478,30 @@ def scan_messages(buf: bytes) -> list[GribMessage]:
                 m.param_category, m.param_number = struct.unpack_from(">BB", buf, t)
                 (m.forecast_time,) = struct.unpack_from(">I", buf, t + 9)
                 if m.template == 1:
-                    m.perturbation, m.n_ens = struct.unpack_from(">BB", buf, t + 17)
+                    # octet 36 = perturbationNumber, 37 = numberOfForecastsInEnsemble
+                    m.perturbation, m.n_ens = struct.unpack_from(">BB", buf, t + 26)
                 else:
                     m.perturbation, m.n_ens = 0, 1
             elif snum == 5:
                 m.n_points, tmpl = struct.unpack_from(">IH", buf, body)
-                if tmpl != 0:
+                if tmpl not in (0, 2, 3):
                     raise NotImplementedError(f"packing template 5.{tmpl} not supported")
+                m.packing_template = tmpl
+                m._s5_offset = body
                 (rv,) = struct.unpack_from(">f", buf, body + 6)
                 m.ref_value = float(rv)
                 m.binary_scale, m.decimal_scale = struct.unpack_from(">hh", buf, body + 10)
                 m.bits_per_value = buf[body + 14]
             elif snum == 6:
-                if buf[body] != 255:
-                    raise NotImplementedError("bitmapped GRIB data not supported")
+                ind = buf[body]
+                if ind == 255:
+                    m._bitmap_offset = -1
+                elif ind == 0:
+                    m._bitmap_offset = body + 1
+                else:
+                    raise NotImplementedError(
+                        f"bitmap indicator {ind} (pre-defined/re-used bitmap) not supported"
+                    )
             elif snum == 7:
                 m._data_offset = body
                 m._data_len = slen - 5
@@ -250,12 +514,30 @@ def scan_messages(buf: bytes) -> list[GribMessage]:
 
 
 def decode_values(buf: bytes, m: GribMessage) -> np.ndarray:
-    """Unpack one scanned message's grid: (nj, ni) float64."""
-    x = _unpack_bits(
-        buf[m._data_offset : m._data_offset + m._data_len], m.n_points, m.bits_per_value
-    )
+    """Unpack one scanned message's grid: (nj, ni) float64 (NaN where a
+    section-6 bitmap marks points absent)."""
+    if m.packing_template == 0:
+        x = _unpack_bits(
+            buf[m._data_offset : m._data_offset + m._data_len],
+            m.n_points, m.bits_per_value,
+        ).astype(np.int64)
+    else:
+        x = _decode_complex(buf, m)
     v = (m.ref_value + x.astype(np.float64) * 2.0 ** m.binary_scale) * (
         10.0 ** -m.decimal_scale
     )
+    if m._bitmap_offset >= 0:
+        npts = m.ni * m.nj
+        present = np.unpackbits(
+            np.frombuffer(
+                buf[m._bitmap_offset : m._bitmap_offset + (npts + 7) // 8],
+                dtype=np.uint8,
+            )
+        )[:npts].astype(bool)
+        if int(present.sum()) != m.n_points:
+            raise ValueError("bitmap population != section-5 point count")
+        full = np.full(npts, np.nan)
+        full[present] = v
+        v = full
     return v.reshape(m.nj, m.ni)
 
