@@ -39,11 +39,22 @@ def message_values(i: int, member: int, fc_month: int) -> np.ndarray:
     ).reshape(GRID_N, GRID_N)
 
 
-def build_ensemble_files(ids: DataFrame, id_col: str = "i") -> DataFrame:
+NAN_MOD = 11  # bitmap variant: cell g of file i is absent iff (g+i) % NAN_MOD == 0
+
+
+def build_ensemble_files(
+    ids: DataFrame, id_col: str = "i", packing: int = 0, with_bitmap: bool = False
+) -> DataFrame:
     """One GRIB2 file per id: N_ENS members x FC_MONTHS ensemble messages
     (product template 4.1) plus two DECOY messages (template 4.0, a
     different parameter) whose values would poison every downstream sum if
-    the key filter ever leaked them through."""
+    the key filter ever leaked them through. ``packing`` selects the data
+    representation (0 simple / 2 complex / 3 complex+spatial-diff);
+    ``with_bitmap`` blanks cells (g+i) % NAN_MOD == 0 to NaN, which the
+    encoder turns into a section-6 bitmap — the ERA5-land ocean-mask
+    shape (real ERA5/SEAS5 GRIBs ship complex-packed and bitmapped;
+    the reference reads them transparently via cfgrib,
+    era5_pipeline.py:59-66)."""
 
     def kernel(batches):
         for pdf in batches:
@@ -52,14 +63,19 @@ def build_ensemble_files(ids: DataFrame, id_col: str = "i") -> DataFrame:
                 msgs = []
                 for t in FC_MONTHS:
                     for m in range(N_ENS):
+                        vals = message_values(i, m, t)
+                        if with_bitmap:
+                            g = np.arange(GRID_N * GRID_N).reshape(GRID_N, GRID_N)
+                            vals = np.where((g + i) % NAN_MOD == 0, np.nan, vals)
                         msgs.append(
                             grib.encode_message(
-                                message_values(i, m, t),
+                                vals,
                                 template=1,
                                 param_number=ENSEMBLE_PARAM,
                                 forecast_time=t,
                                 perturbation=m,
                                 n_ens=N_ENS,
+                                packing=packing,
                             )
                         )
                     # decoy: deterministic field of the wrong parameter
@@ -109,7 +125,7 @@ def explode_grib_ensemble(
 
     def kernel(batches):
         for pdf in batches:
-            ids, fts, mems, sums = [], [], [], []
+            ids, fts, mems, sums, pres = [], [], [], [], []
             for i, blob in zip(pdf[id_col], pdf[bytes_col]):
                 buf = bytes(blob)
                 for m in grib.scan_messages(buf):
@@ -129,18 +145,23 @@ def explode_grib_ensemble(
                     # matrix costs more memory traffic than 10k tiny
                     # cache-resident decodes; at production grid sizes
                     # one message is already a full vector op)
-                    sums.append(int(grib.decode_values(buf, m).sum()))
+                    v = grib.decode_values(buf, m)
+                    fin = np.isfinite(v)
+                    sums.append(int(v[fin].sum()))
+                    pres.append(int(fin.sum()))
             yield pd.DataFrame(
                 {
                     id_col: np.array(ids, dtype=np.int64),
                     "fc_month": np.array(fts, dtype=np.int32),
                     "member": np.array(mems, dtype=np.int32),
                     "grid_sum": np.array(sums, dtype=np.int64),
+                    "n_present": np.array(pres, dtype=np.int64),
                 }
             )
 
     return files.mapInPandas(
-        kernel, schema=f"{id_col} bigint, fc_month int, member int, grid_sum bigint"
+        kernel,
+        schema=f"{id_col} bigint, fc_month int, member int, grid_sum bigint, n_present bigint",
     )
 
 
@@ -166,4 +187,96 @@ def materialized_ensemble_files(
             .repartition(spark.sparkContext.defaultParallelism, "i")
         )
         build_ensemble_files(ids).write.mode("overwrite").parquet(path)
+    return path
+
+
+def materialized_complex_files(
+    spark, sf_dir: str, cache_root: str = "/tmp/spark_graft_corpus"
+) -> str:
+    """The complex-packed (template 5.3) + bitmapped variant of the
+    ensemble corpus — the wire shape real ERA5/SEAS5 downloads use."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .. import corpus as corpus_mod
+
+    key = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    path = f"{cache_root}/{corpus_mod.CORPUS_VERSION}/{key}_grib_cx"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        ids = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select(F.col("o_orderkey").alias("i"))
+            .repartition(spark.sparkContext.defaultParallelism, "i")
+        )
+        build_ensemble_files(ids, packing=3, with_bitmap=True).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+# ------------------------- production-shaped corpus (big messages) ---------
+
+PROD_NI, PROD_NJ = 360, 181  # 1-degree global grid, 65 160 points/message
+PROD_N_ENS = 51  # the real SEAS5 ensemble size
+PROD_FILES = 16
+
+
+def prod_message_values(i: int, member: int) -> np.ndarray:
+    """(i*7 + member*13 + g*3) % 1000 over the 1-degree grid — integers,
+    exact under any packing at D=E=0, closed-form aggregable."""
+    g = np.arange(PROD_NI * PROD_NJ, dtype=np.int64)
+    return ((i * 7 + member * 13 + g * 3) % 1000).astype(np.float64).reshape(
+        PROD_NJ, PROD_NI
+    )
+
+
+def build_production_files(ids: DataFrame, id_col: str = "i") -> DataFrame:
+    """SEAS5-download-shaped files: FEW files, each 51 complex-packed
+    (5.3) messages over a production-size grid — the amortization regime
+    the synthetic 8x8 corpus cannot exercise (per-message overhead is
+    noise here; throughput is the bit-plane kernels)."""
+
+    def kernel(batches):
+        for pdf in batches:
+            blobs = []
+            for i in pdf[id_col].astype(int):
+                msgs = [
+                    grib.encode_message(
+                        prod_message_values(i, m),
+                        template=1,
+                        param_number=ENSEMBLE_PARAM,
+                        forecast_time=1,
+                        perturbation=m,
+                        n_ens=PROD_N_ENS,
+                        packing=3,
+                    )
+                    for m in range(PROD_N_ENS)
+                ]
+                blobs.append(grib.encode_file(msgs))
+            yield pd.DataFrame({"i": pdf[id_col].astype(np.int64), "grib_bytes": blobs})
+
+    return ids.select(id_col).mapInPandas(kernel, schema="i bigint, grib_bytes binary")
+
+
+def materialized_production_files(
+    spark, sf_dir: str, cache_root: str = "/tmp/spark_graft_corpus"
+) -> str:
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .. import corpus as corpus_mod
+
+    key = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    path = f"{cache_root}/{corpus_mod.CORPUS_VERSION}/{key}_grib_prod"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        ids = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select(F.col("o_orderkey").alias("i"))
+            .orderBy("i")
+            .limit(PROD_FILES)
+            .repartition(PROD_FILES, "i")
+        )
+        build_production_files(ids).write.mode("overwrite").parquet(path)
     return path
