@@ -22,7 +22,7 @@ import zlib
 
 import numpy as np
 
-LOSSLESS_FMTS = frozenset({"raw", "png", "tif", "cog", "nc"})
+LOSSLESS_FMTS = frozenset({"raw", "png", "tif", "cog", "nc", "nc4"})
 LOSSY_FMTS = frozenset({"qnt", "dct"})
 ALL_FMTS = LOSSLESS_FMTS | LOSSY_FMTS
 
@@ -208,6 +208,10 @@ def encode_tile(pixels: np.ndarray, fmt: str, meta: dict | None = None) -> bytes
         from . import netcdf
 
         return netcdf.encode_nc_tile(pixels, **(meta or {}))
+    if fmt == "nc4":  # NetCDF-4 / HDF5 container (hdf5.py, from scratch)
+        from . import hdf5
+
+        return hdf5.encode_nc4_tile(pixels, **(meta or {}))
     if fmt == "dct":  # JPEG-like lossy transform codec
         return encode_dct(pixels)
     raise ValueError(f"unknown fmt {fmt!r}")
@@ -227,6 +231,10 @@ def decode_tile(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         from . import netcdf
 
         return netcdf.decode_nc_tile(data)
+    if fmt == "nc4":  # NetCDF-4 / HDF5: the IMERG .nc4 shape
+        from . import hdf5
+
+        return hdf5.decode_nc4_tile(data)
     if fmt == "dct":
         return decode_dct(data)
     if fmt in ("jpg", "jpeg", "webp"):

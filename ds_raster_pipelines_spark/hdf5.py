@@ -1,0 +1,666 @@
+"""From-scratch minimal HDF5 codec — the NetCDF-4 container.
+
+The reference's IMERG input is HDF5-based NetCDF-4: ``imerg_pipeline.py:78``
+opens ``.nc4`` blobs (config ``imerg_config.yml``), which the classic
+codec (netcdf.py) explicitly rejects. This module implements the subset
+of the public HDF5 file format ("HDF5 File Format Specification
+Version 3.0", the same public spec h5py/libhdf5 implement) that CF-style
+NetCDF-4 raster files use — written the same from-scratch way as
+tiff.py / grib.py / ziparchive.py, stdlib ``struct`` + ``zlib`` + numpy:
+
+Writer (one flavor, the "earliest libver" layout libhdf5 emits by default):
+* superblock version 0, v1 object headers,
+* old-style root group: symbol-table message -> v1 group B-tree ->
+  SNOD symbol nodes -> local heap,
+* per-dataset v1 object headers with dataspace / datatype (fixed-point
+  and IEEE-float classes) / fill-value / layout messages,
+* contiguous layout, or chunked layout (v1 chunk B-tree, edge chunks
+  stored full-size per spec) with the deflate (id 1) and shuffle (id 2)
+  filters — the combination real IMERG .nc4 files ship with,
+* v1 attribute messages (scalar / 1-D numeric and fixed strings),
+  NetCDF-4-style ``CLASS="DIMENSION_SCALE"`` tagging on coordinate vars.
+
+Reader (wider than the writer, to cover real-world .nc4 shapes):
+* superblock versions 0, 2 and 3; object headers v1 AND v2 ("OHDR",
+  the netcdf-c/h5py-default since 1.10 for new-style groups),
+* groups via symbol-table B-trees OR compact Link messages (0x0006),
+* object-header continuation blocks, multi-level v1 B-trees,
+* dataspace v1/v2, attribute v1/v3, filter-pipeline v1/v2.
+
+Not implemented (raises loudly): fractal-heap "dense" link/attribute
+storage, v2 B-trees, virtual/compact dataset layouts, layout message
+v4, variable-length and reference datatypes (so no DIMENSION_LIST
+parsing — the nc4 tile decoder maps coordinate variables by their CF
+names instead), szip/fletcher32/nbit filters, user-block offsets.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89HDF\r\n\x1a\n"
+_UNDEF = 0xFFFFFFFFFFFFFFFF
+
+
+# ------------------------------------------------------------ datatypes ---
+
+def _dt_message(dtype: np.dtype) -> bytes:
+    """Datatype message body for a little-endian numpy dtype."""
+    dtype = np.dtype(dtype)
+    if dtype.kind in ("i", "u"):
+        size = dtype.itemsize
+        bits0 = 0x08 if dtype.kind == "i" else 0x00  # bit 3: signed
+        return struct.pack(
+            "<BBBBI", 0x10, bits0, 0, 0, size
+        ) + struct.pack("<HH", 0, size * 8)
+    if dtype.kind == "f":
+        size = dtype.itemsize
+        if size == 4:
+            sign, exp_loc, exp_sz, man_sz, bias = 31, 23, 8, 23, 127
+        elif size == 8:
+            sign, exp_loc, exp_sz, man_sz, bias = 63, 52, 11, 52, 1023
+        else:
+            raise NotImplementedError(f"float{size * 8} datatype")
+        return struct.pack(
+            "<BBBBI", 0x11, 0x20, sign, 0, size
+        ) + struct.pack("<HHBBBBI", 0, size * 8, exp_loc, exp_sz, 0, man_sz, bias)
+    if dtype.kind == "S":
+        # fixed-length string, null-padded, ASCII
+        return struct.pack("<BBBBI", 0x13, 0x00, 0, 0, dtype.itemsize)
+    raise NotImplementedError(f"no HDF5 datatype for numpy dtype {dtype}")
+
+
+def _parse_dt(body: bytes):
+    """Datatype message -> (numpy dtype, class). Fixed/float/string only."""
+    cls = body[0] & 0x0F
+    bits0 = body[1]
+    (size,) = struct.unpack_from("<I", body, 4)
+    bo = ">" if (bits0 & 1) else "<"
+    if cls == 0:
+        kind = "i" if (bits0 & 0x08) else "u"
+        return np.dtype(f"{bo}{kind}{size}"), cls
+    if cls == 1:
+        return np.dtype(f"{bo}f{size}"), cls
+    if cls == 3:
+        return np.dtype(f"S{size}"), cls
+    raise NotImplementedError(f"HDF5 datatype class {cls} not supported")
+
+
+def _ds_message(shape: tuple[int, ...]) -> bytes:
+    """Dataspace message body, version 1, no max-dims."""
+    return struct.pack("<BBBB4x", 1, len(shape), 0, 0) + b"".join(
+        struct.pack("<Q", d) for d in shape
+    )
+
+
+def _parse_ds(body: bytes) -> tuple[int, ...]:
+    ver = body[0]
+    rank = body[1]
+    if ver == 1:
+        off = 8
+    elif ver == 2:
+        off = 4
+    else:
+        raise NotImplementedError(f"dataspace message version {ver}")
+    return struct.unpack_from(f"<{rank}Q", body, off) if rank else ()
+
+
+# ----------------------------------------------------------------- writer ---
+
+def _pad8(b: bytes) -> bytes:
+    return b + b"\x00" * ((-len(b)) % 8)
+
+
+def _attr_message(name: str, value) -> bytes:
+    """Attribute message body, version 1 (name/datatype/dataspace blocks
+    each padded to 8 bytes)."""
+    if isinstance(value, str):
+        a = np.array(value.encode(), dtype=f"S{max(1, len(value.encode()))}")
+    elif isinstance(value, bytes):
+        a = np.array(value, dtype=f"S{max(1, len(value))}")
+    else:
+        a = np.asarray(value)
+        if a.dtype == np.float16:
+            a = a.astype(np.float32)
+    shape = () if a.ndim == 0 else a.shape
+    dt = _dt_message(a.dtype)
+    ds = _ds_message(shape)
+    nm = name.encode() + b"\x00"
+    head = struct.pack("<BxHHH", 1, len(nm), len(dt), len(ds))
+    return head + _pad8(nm) + _pad8(dt) + _pad8(ds) + a.tobytes()
+
+
+class _Writer:
+    def __init__(self):
+        self.buf = bytearray(96)  # superblock reserved up front
+
+    def alloc(self, data: bytes) -> int:
+        # 8-byte-align every allocation (matches libhdf5 behavior and
+        # keeps frombuffer views on aligned offsets)
+        pad = (-len(self.buf)) % 8
+        self.buf += b"\x00" * pad
+        addr = len(self.buf)
+        self.buf += data
+        return addr
+
+    def object_header(self, messages: list[tuple[int, bytes]]) -> int:
+        """v1 object header; messages is [(type, body), ...]."""
+        blocks = []
+        for t, body in messages:
+            body = _pad8(body)
+            blocks.append(struct.pack("<HHB3x", t, len(body), 0) + body)
+        blob = b"".join(blocks)
+        head = struct.pack("<BxHII4x", 1, len(messages), 1, len(blob))
+        return self.alloc(head + blob)
+
+
+def _filter_pipeline_msg(deflate: int | None, shuffle_itemsize: int | None) -> bytes:
+    filters = []
+    if shuffle_itemsize:  # shuffle must run BEFORE deflate on write
+        filters.append((2, [shuffle_itemsize]))
+    if deflate is not None:
+        filters.append((1, [deflate]))
+    out = [struct.pack("<BB2x4x", 1, len(filters))]
+    for fid, vals in filters:
+        out.append(struct.pack("<HHHH", fid, 0, 1, len(vals)))
+        out.extend(struct.pack("<I", v) for v in vals)
+        if len(vals) % 2:
+            out.append(b"\x00" * 4)
+    return b"".join(out)
+
+
+def encode_hdf5(
+    datasets: dict[str, np.ndarray],
+    attrs: dict[str, dict] | None = None,
+    global_attrs: dict | None = None,
+    chunks: dict[str, tuple[int, ...]] | None = None,
+    deflate: int | None = None,
+    shuffle: bool = False,
+) -> bytes:
+    """Serialize named arrays (+ attributes) into a valid HDF5 file.
+
+    ``chunks[name]`` switches that dataset to chunked layout (edge chunks
+    stored full-size, as the spec requires); ``deflate``/``shuffle``
+    apply to every chunked dataset. Flat namespace (the root group only —
+    the netCDF-4 classic-model shape)."""
+    attrs = attrs or {}
+    global_attrs = global_attrs or {}
+    chunks = chunks or {}
+    w = _Writer()
+
+    entries = []  # (name, object header address)
+    for name in datasets:
+        a = np.ascontiguousarray(datasets[name])
+        if a.dtype.byteorder == ">":
+            a = a.astype(a.dtype.newbyteorder("<"))
+        msgs = [(0x0001, _ds_message(a.shape)), (0x0003, _dt_message(a.dtype))]
+        msgs.append((0x0005, struct.pack("<BBBB", 2, 2, 0, 0)))  # fill: undefined
+        if name in chunks:
+            cshape = tuple(chunks[name])
+            if len(cshape) != a.ndim:
+                raise ValueError(f"{name}: chunk rank != dataset rank")
+            grid = [range(0, d, c) for d, c in zip(a.shape, cshape)]
+            import itertools
+
+            cells = list(itertools.product(*grid))
+            if len(cells) > 4096:
+                raise NotImplementedError(
+                    "writer emits a single-leaf chunk B-tree (<=4096 chunks)"
+                )
+            keys, children = [], []
+            for origin in cells:
+                sl = tuple(
+                    slice(o, min(o + c, d))
+                    for o, c, d in zip(origin, cshape, a.shape)
+                )
+                block = np.zeros(cshape, a.dtype)  # edge chunks full-size
+                block[tuple(slice(0, s.stop - s.start) for s in sl)] = a[sl]
+                raw = block.tobytes()
+                if shuffle:
+                    raw = (
+                        np.frombuffer(raw, np.uint8)
+                        .reshape(-1, a.dtype.itemsize)
+                        .T.tobytes()
+                    )
+                if deflate is not None:
+                    raw = zlib.compress(raw, deflate)
+                addr = w.alloc(raw)
+                keys.append((len(raw), 0, origin))
+                children.append(addr)
+            # v1 B-tree leaf, node type 1 (raw data chunks), k+1 keys
+            key_b = []
+            for (sz, mask, origin) in keys:
+                key_b.append(
+                    struct.pack("<II", sz, mask)
+                    + b"".join(struct.pack("<Q", o) for o in origin)
+                    + struct.pack("<Q", 0)
+                )
+            # the (k+1)-th key: one past the last chunk in each dim
+            key_b.append(
+                struct.pack("<II", 0, 0)
+                + b"".join(
+                    struct.pack("<Q", ((d + c - 1) // c) * c)
+                    for d, c in zip(a.shape, cshape)
+                )
+                + struct.pack("<Q", 0)
+            )
+            node = [struct.pack("<4sBBHQQ", b"TREE", 1, 0, len(cells), _UNDEF, _UNDEF)]
+            for i, ch in enumerate(children):
+                node.append(key_b[i] + struct.pack("<Q", ch))
+            node.append(key_b[-1])
+            btree_addr = w.alloc(b"".join(node))
+            layout = struct.pack(
+                "<BBBQ", 3, 2, a.ndim + 1, btree_addr
+            ) + b"".join(struct.pack("<I", c) for c in cshape) + struct.pack(
+                "<I", a.dtype.itemsize
+            )
+            msgs.append((0x0008, layout))
+            if deflate is not None or shuffle:
+                msgs.append(
+                    (
+                        0x000B,
+                        _filter_pipeline_msg(
+                            deflate, a.dtype.itemsize if shuffle else None
+                        ),
+                    )
+                )
+        else:
+            addr = w.alloc(a.tobytes())
+            msgs.append((0x0008, struct.pack("<BBQQ", 3, 1, addr, a.nbytes)))
+        for an, av in attrs.get(name, {}).items():
+            msgs.append((0x000C, _attr_message(an, av)))
+        entries.append((name, w.object_header(msgs)))
+
+    # local heap: offset 0 = empty string (the root entry's name)
+    heap_data = bytearray(b"\x00" * 8)
+    name_off = {}
+    for name, _ in entries:
+        name_off[name] = len(heap_data)
+        nb = name.encode() + b"\x00"
+        heap_data += nb + b"\x00" * ((-len(nb)) % 8)
+    heap_seg_addr = w.alloc(bytes(heap_data))
+    heap_addr = w.alloc(
+        struct.pack("<4sB3xQQQ", b"HEAP", 0, len(heap_data), _UNDEF, heap_seg_addr)
+    )
+
+    # one SNOD with every entry, name-sorted (B-tree key invariant)
+    order = sorted(entries, key=lambda e: e[0])
+    snod = [struct.pack("<4sBxH", b"SNOD", 1, len(order))]
+    for name, hdr in order:
+        snod.append(struct.pack("<QQI4x16x", name_off[name], hdr, 0))
+    snod_addr = w.alloc(b"".join(snod))
+
+    # group B-tree: one leaf, one child (the SNOD); keys are heap offsets
+    last_key = name_off[order[-1][0]] if order else 0
+    btree = struct.pack(
+        "<4sBBHQQQQQ", b"TREE", 0, 0, 1, _UNDEF, _UNDEF, 0, snod_addr, last_key
+    )
+    btree_addr = w.alloc(btree)
+
+    root_msgs = [(0x0011, struct.pack("<QQ", btree_addr, heap_addr))]
+    for an, av in global_attrs.items():
+        root_msgs.append((0x000C, _attr_message(an, av)))
+    root_hdr = w.object_header(root_msgs)
+
+    eof = len(w.buf)
+    sb = (
+        _SIG
+        + struct.pack("<BBBBBBBB", 0, 0, 0, 0, 0, 8, 8, 0)
+        + struct.pack("<HHI", 4, 16, 0)
+        + struct.pack("<QQQQ", 0, _UNDEF, eof, _UNDEF)
+        + struct.pack("<QQI4x16x", 0, root_hdr, 0)
+    )
+    w.buf[: len(sb)] = sb
+    return bytes(w.buf)
+
+
+# ----------------------------------------------------------------- reader ---
+
+class H5Dataset:
+    __slots__ = ("name", "shape", "dtype", "attrs", "data")
+
+    def __init__(self, name, shape, dtype, attrs, data):
+        self.name = name
+        self.shape = shape
+        self.dtype = dtype
+        self.attrs = attrs
+        self.data = data
+
+
+class H5File:
+    __slots__ = ("datasets", "attrs")
+
+    def __init__(self, datasets, attrs):
+        self.datasets = datasets
+        self.attrs = attrs
+
+
+def _parse_attr(body: bytes):
+    ver = body[0]
+    if ver == 1:
+        name_sz, dt_sz, ds_sz = struct.unpack_from("<HHH", body, 2)
+        p = 8
+        name = body[p : p + name_sz].split(b"\x00")[0].decode()
+        p += name_sz + ((-name_sz) % 8)
+        dt_body = body[p : p + dt_sz]
+        p += dt_sz + ((-dt_sz) % 8)
+        ds_body = body[p : p + ds_sz]
+        p += ds_sz + ((-ds_sz) % 8)
+    elif ver == 3:
+        name_sz, dt_sz, ds_sz = struct.unpack_from("<HHH", body, 2)
+        p = 9  # version, flags, sizes, encoding
+        name = body[p : p + name_sz].split(b"\x00")[0].decode()
+        p += name_sz
+        dt_body = body[p : p + dt_sz]
+        p += dt_sz
+        ds_body = body[p : p + ds_sz]
+        p += ds_sz
+    else:
+        raise NotImplementedError(f"attribute message version {ver}")
+    dtype, cls = _parse_dt(dt_body)
+    shape = _parse_ds(ds_body)
+    n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+    raw = body[p : p + n * dtype.itemsize]
+    if cls == 3:
+        s = raw[: dtype.itemsize].split(b"\x00")[0].decode()
+        return name, s
+    a = np.frombuffer(raw, dtype=dtype, count=n)
+    if shape:
+        return name, a.reshape(shape)
+    return name, a[0]
+
+
+def _walk_messages(buf: bytes, addr: int):
+    """Yield (type, body) for a v1 or v2 object header, following
+    continuation blocks."""
+    if buf[addr : addr + 4] == b"OHDR":
+        yield from _walk_v2(buf, addr)
+        return
+    ver = buf[addr]
+    if ver != 1:
+        raise NotImplementedError(f"object header version {ver}")
+    (nmsg,) = struct.unpack_from("<H", buf, addr + 2)
+    (blk_size,) = struct.unpack_from("<I", buf, addr + 8)
+    blocks = [(addr + 16, blk_size)]
+    got = 0
+    while blocks and got < nmsg:
+        p, size = blocks.pop(0)
+        end = p + size
+        while p + 8 <= end and got < nmsg:
+            t, sz = struct.unpack_from("<HH", buf, p)
+            body = buf[p + 8 : p + 8 + sz]
+            p += 8 + sz
+            got += 1
+            if t == 0x0010:  # continuation
+                off, length = struct.unpack_from("<QQ", body, 0)
+                blocks.append((off, length))
+            else:
+                yield t, body
+
+
+def _walk_v2(buf: bytes, addr: int):
+    """Version-2 ('OHDR') object header walk, incl. continuations."""
+    flags = buf[addr + 5]
+    p = addr + 6
+    if flags & 0x20:
+        p += 16  # access/mod/change/birth times (4 x uint32)
+    if flags & 0x10:
+        p += 4  # max compact / min dense attributes
+    size_bytes = 1 << (flags & 0x03)
+    chunk0 = int.from_bytes(buf[p : p + size_bytes], "little")
+    p += size_bytes
+    track_order = bool(flags & 0x04)
+    blocks = [(p, chunk0)]
+    while blocks:
+        p, size = blocks.pop(0)
+        end = p + size
+        while p + 4 <= end:
+            t = buf[p]
+            (sz,) = struct.unpack_from("<H", buf, p + 1)
+            hp = 4 + (2 if track_order else 0)
+            body = buf[p + hp : p + hp + sz]
+            p += hp + sz
+            if t == 0x10:
+                off, length = struct.unpack_from("<QQ", body, 0)
+                # continuation blocks in v2 start with 'OCHK' and end
+                # with a 4-byte checksum
+                if buf[off : off + 4] == b"OCHK":
+                    blocks.append((off + 4, length - 8))
+                else:
+                    blocks.append((off, length))
+            elif t != 0:
+                yield t, body
+
+
+def _read_btree1(buf: bytes, addr: int, node_type: int, key_bytes: int):
+    """Walk a v1 B-tree of any depth; yield (key_bytes_blob, child_addr)
+    for every LEAF entry."""
+    sig = buf[addr : addr + 4]
+    if sig != b"TREE":
+        raise ValueError("expected v1 B-tree node")
+    ntype, level = buf[addr + 4], buf[addr + 5]
+    if ntype != node_type:
+        raise ValueError(f"B-tree node type {ntype}, wanted {node_type}")
+    (used,) = struct.unpack_from("<H", buf, addr + 6)
+    p = addr + 24
+    entries = []
+    for i in range(used):
+        key = buf[p : p + key_bytes]
+        p += key_bytes
+        (child,) = struct.unpack_from("<Q", buf, p)
+        p += 8
+        entries.append((key, child))
+    if level == 0:
+        yield from entries
+    else:
+        for _, child in entries:
+            yield from _read_btree1(buf, child, node_type, key_bytes)
+
+
+def _defilter(raw: bytes, filters: list[tuple[int, list[int]]], itemsize: int) -> bytes:
+    for fid, vals in reversed(filters):
+        if fid == 1:
+            raw = zlib.decompress(raw)
+        elif fid == 2:
+            raw = (
+                np.frombuffer(raw, np.uint8)
+                .reshape(itemsize, -1)
+                .T.tobytes()
+            )
+        else:
+            raise NotImplementedError(f"HDF5 filter id {fid} not supported")
+    return raw
+
+
+def _parse_filters(body: bytes) -> list[tuple[int, list[int]]]:
+    ver = body[0]
+    nf = body[1]
+    p = 8 if ver == 1 else 2
+    out = []
+    for _ in range(nf):
+        fid, = struct.unpack_from("<H", body, p)
+        if ver == 1 or fid >= 256:
+            name_len, flags, ncv = struct.unpack_from("<HHH", body, p + 2)
+            p += 8
+        else:
+            flags, ncv = struct.unpack_from("<HH", body, p + 2)
+            name_len = 0
+            p += 6
+        if name_len:
+            p += name_len + ((-name_len) % 8 if ver == 1 else 0)
+        vals = list(struct.unpack_from(f"<{ncv}I", body, p))
+        p += 4 * ncv
+        if ver == 1 and ncv % 2:
+            p += 4
+        out.append((fid, vals))
+    return out
+
+
+def _read_dataset(buf: bytes, name: str, hdr_addr: int) -> H5Dataset:
+    shape = dtype = None
+    layout = None
+    filters = []
+    attrs = {}
+    for t, body in _walk_messages(buf, hdr_addr):
+        if t == 0x0001:
+            shape = _parse_ds(body)
+        elif t == 0x0003:
+            dtype, _cls = _parse_dt(body)
+        elif t == 0x0008:
+            layout = bytes(body)
+        elif t == 0x000B:
+            filters = _parse_filters(body)
+        elif t == 0x000C:
+            an, av = _parse_attr(body)
+            attrs[an] = av
+    if shape is None or dtype is None or layout is None:
+        raise ValueError(f"dataset {name!r}: missing dataspace/datatype/layout")
+    n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+    ver, cls = layout[0], layout[1]
+    if ver != 3:
+        raise NotImplementedError(f"data layout message version {ver}")
+    if cls == 1:  # contiguous
+        addr, size = struct.unpack_from("<QQ", layout, 2)
+        if addr == _UNDEF:
+            data = np.zeros(shape, dtype)
+        else:
+            data = np.frombuffer(buf, dtype, count=n, offset=addr).reshape(shape)
+    elif cls == 2:  # chunked, v1 B-tree index
+        ndims = layout[2]
+        (btree_addr,) = struct.unpack_from("<Q", layout, 3)
+        cdims = struct.unpack_from(f"<{ndims}I", layout, 11)
+        cshape, itemsize = cdims[:-1], cdims[-1]
+        data = np.zeros(shape, dtype)
+        key_bytes = 8 + 8 * ndims
+        if btree_addr != _UNDEF:
+            for key, child in _read_btree1(buf, btree_addr, 1, key_bytes):
+                csize, mask = struct.unpack_from("<II", key, 0)
+                origin = struct.unpack_from(f"<{ndims - 1}Q", key, 8)
+                raw = _defilter(buf[child : child + csize], filters, itemsize)
+                block = np.frombuffer(raw, dtype).reshape(cshape)
+                sl = tuple(
+                    slice(o, min(o + c, d))
+                    for o, c, d in zip(origin, cshape, shape)
+                )
+                data[sl] = block[tuple(slice(0, s.stop - s.start) for s in sl)]
+    else:
+        raise NotImplementedError(f"data layout class {cls} (compact/virtual)")
+    return H5Dataset(name, tuple(shape), dtype, attrs, data)
+
+
+def decode_hdf5(buf: bytes) -> H5File:
+    """Parse an HDF5 file's root group into named datasets + root attrs."""
+    if buf[:8] != _SIG:
+        raise ValueError("not an HDF5 file (bad signature)")
+    sb_ver = buf[8]
+    if sb_ver == 0:
+        # root group symbol table entry at fixed offset 24+32
+        (root_hdr,) = struct.unpack_from("<Q", buf, 24 + 32 + 8)
+    elif sb_ver in (2, 3):
+        # v2/v3: base(12) / extension(20) / eof(28) / root header(36)
+        (root_hdr,) = struct.unpack_from("<Q", buf, 36)
+    else:
+        raise NotImplementedError(f"superblock version {sb_ver}")
+
+    links = []  # (name, object header address)
+    root_attrs = {}
+    for t, body in _walk_messages(buf, root_hdr):
+        if t == 0x0011:  # old-style group: symbol table
+            btree_addr, heap_addr = struct.unpack_from("<QQ", body, 0)
+            (heap_seg,) = struct.unpack_from("<Q", buf, heap_addr + 24)
+            for _key, snod in _read_btree1(buf, btree_addr, 0, 8):
+                if buf[snod : snod + 4] != b"SNOD":
+                    raise ValueError("expected SNOD symbol node")
+                (nsym,) = struct.unpack_from("<H", buf, snod + 6)
+                p = snod + 8
+                for _ in range(nsym):
+                    name_off, hdr = struct.unpack_from("<QQ", buf, p)
+                    end = buf.index(b"\x00", heap_seg + name_off)
+                    links.append((buf[heap_seg + name_off : end].decode(), hdr))
+                    p += 40
+        elif t == 0x0006:  # new-style compact link message
+            ver, flags = body[0], body[1]
+            p = 2
+            ltype = 0
+            if flags & 0x08:
+                ltype = body[p]
+                p += 1
+            if flags & 0x04:
+                p += 8  # creation order
+            if flags & 0x10:
+                p += 1  # charset
+            ln_bytes = 1 << (flags & 0x03)
+            ln = int.from_bytes(body[p : p + ln_bytes], "little")
+            p += ln_bytes
+            nm = body[p : p + ln].decode()
+            p += ln
+            if ltype == 0:
+                (hdr,) = struct.unpack_from("<Q", body, p)
+                links.append((nm, hdr))
+        elif t == 0x000C:
+            an, av = _parse_attr(body)
+            root_attrs[an] = av
+        elif t == 0x0002:  # link info: dense storage means fractal heap
+            (fheap,) = struct.unpack_from("<Q", body, 2 + (8 if body[1] & 1 else 0))
+            if fheap != _UNDEF:
+                raise NotImplementedError(
+                    "dense (fractal-heap) link storage not supported"
+                )
+
+    datasets = {}
+    for name, hdr in links:
+        datasets[name] = _read_dataset(buf, name, hdr)
+    return H5File(datasets, root_attrs)
+
+
+# ------------------------------------------------ netCDF-4 tile wrappers ---
+
+def encode_nc4_tile(
+    pixels: np.ndarray,
+    lon0: float = 0.0,
+    lat_top: float = 0.0,
+    span_deg: float = 0.25,
+    date_days: int = 0,
+) -> bytes:
+    """One corpus tile as a CF-style NetCDF-4 (HDF5) blob — the IMERG
+    input shape (imerg_pipeline.py:78 opens .nc4): float32 ``band_data``
+    over (time, lat, lon), real coordinate variables tagged
+    CLASS=DIMENSION_SCALE, chunked + shuffled + deflated like real IMERG
+    granules."""
+    px = np.ascontiguousarray(pixels)
+    h, w = px.shape
+    lats = lat_top - (np.arange(h, dtype=np.float64) + 0.5) * (span_deg / h)
+    lons = lon0 + (np.arange(w, dtype=np.float64) + 0.5) * (span_deg / w)
+    band = px.astype(np.float32)[None, :, :]
+    dim_scale = {"CLASS": "DIMENSION_SCALE"}
+    return encode_hdf5(
+        datasets={
+            "time": np.array([date_days], dtype=np.int32),
+            "lat": lats,
+            "lon": lons,
+            "band_data": band,
+        },
+        attrs={
+            "time": dict(dim_scale, NAME="time", units="days since 2024-01-01"),
+            "lat": dict(dim_scale, NAME="lat", units="degrees_north"),
+            "lon": dict(dim_scale, NAME="lon", units="degrees_east"),
+            "band_data": {"units": "1", "grid_mapping_epsg": np.int32(4326)},
+        },
+        global_attrs={"Conventions": "CF-1.6", "title": "synthetic corpus tile"},
+        chunks={"band_data": band.shape},
+        deflate=1,
+        shuffle=True,
+    )
+
+
+def decode_nc4_tile(buf: bytes) -> np.ndarray:
+    """uint8 (h, w) pixels from an encode_nc4_tile blob (or any NetCDF-4
+    file with a (time, lat, lon) band_data variable)."""
+    f = decode_hdf5(buf)
+    a = f.datasets["band_data"].data
+    if a.ndim == 3:
+        a = a[0]
+    return a.astype(np.uint8)

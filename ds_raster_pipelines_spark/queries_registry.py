@@ -63,7 +63,7 @@ _PRIORITY = [
     "archive_member_explode", "trivial_aggs", "validation_filename_date",
     "update_latest_tick",
     # -- new in round 5 --------------------------------------------------
-    "grib_complex_bitmap_mean", "grib_production_volume",
+    "grib_complex_bitmap_mean", "grib_production_volume", "zonal_pixel_stats_nc4",
     # -- modules changed in round 5 --------------------------------------
     "grib_ensemble_mean", "zip_member_explode_real",
     "zonal_pixel_stats_nc", "multiband_cube_nc_roundtrip",
@@ -1630,6 +1630,25 @@ def zonal_pixel_stats_nc(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(corpus.materialized_images_fmt(spark, sf_dir, "nc"))
     )
     return zonal_pixel_stats(images, corpus.admin_df(spark, offset=0.03), res=6)
+
+
+@register("zonal_pixel_stats_nc4", _zps_oracle(offset=0.07, lossless=True))
+def zonal_pixel_stats_nc4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-level zonal stats over a corpus stored as REAL NetCDF-4 /
+    HDF5 containers (hdf5.py, from-scratch superblock/object-header/
+    B-tree/filter codec) — the reference's IMERG .nc4 ingest path
+    (imerg_pipeline.py:78, imerg_config.yml), the one input format the
+    classic codec (netcdf.py) rejects. Each blob is chunked + shuffled +
+    deflated like real IMERG granules, with CLASS=DIMENSION_SCALE
+    coordinate variables; the Arrow kernel walks the HDF5 structures per
+    tile. Same shifted-admin oracle family as the nc/tif twins: any
+    B-tree/heap/filter bug becomes a value divergence, not a crash."""
+    from .operators.raster import zonal_pixel_stats
+
+    images = corpus.footprint_cols_for_images(
+        spark.read.parquet(corpus.materialized_images_fmt(spark, sf_dir, "nc4"))
+    )
+    return zonal_pixel_stats(images, corpus.admin_df(spark, offset=0.07), res=6)
 
 
 # COG overview read: level-1 pixel value at column j is 2j + c exactly
