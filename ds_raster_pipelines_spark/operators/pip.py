@@ -117,9 +117,19 @@ def polygon_cover_cells(admin: DataFrame, res: int) -> DataFrame:
 # ---------------------------------------------------------- refine stage ---
 
 
-def _points_in_ring(lon: np.ndarray, lat: np.ndarray, ring: np.ndarray) -> np.ndarray:
+def _points_in_ring(
+    lon: np.ndarray, lat: np.ndarray, ring: np.ndarray, boundary: str = "half_open"
+) -> np.ndarray:
     """Vectorized even-odd ray cast (edges loop is over the few polygon
-    vertices; points are the vectorized axis)."""
+    vertices; points are the vectorized axis).
+
+    ``boundary`` pins the on-edge convention (see pip_join):
+    * ``half_open`` — the bare ray cast: for an axis-aligned rectangle,
+      left/bottom edges are inside, right/top are out. Points strictly
+      interior/exterior are unaffected.
+    * ``closed`` — an explicit on-segment test forces every boundary
+      point inside.
+    """
     inside = np.zeros(lon.shape, dtype=bool)
     x, y = ring[:, 0], ring[:, 1]
     n = len(ring) - 1  # closed ring
@@ -129,28 +139,48 @@ def _points_in_ring(lon: np.ndarray, lat: np.ndarray, ring: np.ndarray) -> np.nd
         with np.errstate(divide="ignore", invalid="ignore"):
             xint = x1 + (lat - y1) * (x2 - x1) / (y2 - y1)
         inside ^= crosses & (lon < xint)
+    if boundary == "closed":
+        on_edge = np.zeros(lon.shape, dtype=bool)
+        for e in range(n):
+            x1, y1, x2, y2 = x[e], y[e], x[e + 1], y[e + 1]
+            collinear = (x2 - x1) * (lat - y1) == (y2 - y1) * (lon - x1)
+            in_seg = (
+                (lon >= min(x1, x2)) & (lon <= max(x1, x2))
+                & (lat >= min(y1, y2)) & (lat <= max(y1, y2))
+            )
+            on_edge |= collinear & in_seg
+        inside |= on_edge
+    elif boundary != "half_open":
+        raise ValueError(f"boundary={boundary!r} (want 'half_open' or 'closed')")
     return inside
 
 
-@F.pandas_udf(T.BooleanType())
-def contains_udf(lon: pd.Series, lat: pd.Series, wkb: pd.Series) -> pd.Series:
+def contains_wkb_udf(boundary: str = "half_open"):
     """Exact PIP refine against a per-row WKB column. Groups the batch by
     polygon so the ray cast runs vectorized once per distinct geometry per
     batch. NOTE: prefer contains_indexed_udf — shipping WKB per candidate
     row pays the binary→pandas conversion on every row; the indexed form
     ships geometries once."""
-    lon_v = lon.to_numpy(np.float64)
-    lat_v = lat.to_numpy(np.float64)
-    out = np.zeros(len(lon_v), dtype=bool)
-    codes, uniques = pd.factorize(wkb, use_na_sentinel=True)
-    for g, blob in enumerate(uniques):
-        mask = codes == g
-        ring = parse_wkb_polygon(blob)
-        out[mask] = _points_in_ring(lon_v[mask], lat_v[mask], ring)
-    return pd.Series(out)
+
+    @F.pandas_udf(T.BooleanType())
+    def _contains(lon: pd.Series, lat: pd.Series, wkb: pd.Series) -> pd.Series:
+        lon_v = lon.to_numpy(np.float64)
+        lat_v = lat.to_numpy(np.float64)
+        out = np.zeros(len(lon_v), dtype=bool)
+        codes, uniques = pd.factorize(wkb, use_na_sentinel=True)
+        for g, blob in enumerate(uniques):
+            mask = codes == g
+            ring = parse_wkb_polygon(blob)
+            out[mask] = _points_in_ring(lon_v[mask], lat_v[mask], ring, boundary)
+        return pd.Series(out)
+
+    return _contains
 
 
-def contains_indexed_udf(rings: list[np.ndarray]):
+contains_udf = contains_wkb_udf()  # the default half-open instance
+
+
+def contains_indexed_udf(rings: list[np.ndarray], boundary: str = "half_open"):
     """Exact PIP refine against a small geometry dictionary: candidates
     carry only an int geometry index; the parsed rings ship to executors
     once (closure/broadcast), not per row. Right-sized for admin-boundary
@@ -168,7 +198,9 @@ def contains_indexed_udf(rings: list[np.ndarray]):
             if g < 0:  # interior-cell shortcut: inside by construction
                 out[mask] = True
             else:
-                out[mask] = _points_in_ring(lon_v[mask], lat_v[mask], rings[g])
+                out[mask] = _points_in_ring(
+                    lon_v[mask], lat_v[mask], rings[g], boundary
+                )
         return pd.Series(out)
 
     return _contains
@@ -263,6 +295,7 @@ def pip_join(
     cover: DataFrame | None = None,
     rings: list[np.ndarray] | None = None,
     adm_rows: list | None = None,
+    boundary: str = "half_open",
 ) -> DataFrame:
     """points (with lon/lat) ⨝ admin polygons. Returns points + adm_id.
 
@@ -274,15 +307,20 @@ def pip_join(
     ``refine='wkb'``  : force the generic exact ray-cast kernel.
     ``refine='bbox'`` : force the JVM between-predicate (rects only).
 
-    BOUNDARY SEMANTICS CAVEAT: interior points classify identically under
-    every refine mode, but points exactly ON a polygon edge do not —
-    ``bbox`` uses closed intervals (edge point is inside) while the ray
-    cast is half-open at edges (top/right edges exclusive). The synthetic
-    corpus never exercises this (centroids sit at x.125 offsets vs
-    integer/x.07 polygon bounds); for general data pick ONE mode per
-    dataset, or snap coordinates off boundaries first
-    (functions.scalars.snap_coord), before relying on cross-mode equality.
+    ``boundary`` pins the on-edge convention, CONSISTENTLY across every
+    refine mode and the distributed path (r4 ADVICE: the modes used to
+    diverge on edge points — bbox was closed while the ray cast was
+    half-open):
+    * ``half_open`` (default) — a point on a rectangle's left/bottom edge
+      is inside, right/top is out (the bare even-odd ray-cast convention;
+      matches raster windowing, where a pixel belongs to exactly one
+      abutting polygon — no double-count, no drop).
+    * ``closed`` — every on-edge point is inside (rio.clip-style; a point
+      on a shared edge of two abutting polygons joins BOTH).
+    Interior/exterior points classify identically under both.
     """
+    if boundary not in ("half_open", "closed"):
+        raise ValueError(f"boundary={boundary!r} (want 'half_open' or 'closed')")
     helper_cols = ["full", "_gi", "_mnx", "_mny", "_mxx", "_mxy"]
     pts = points.withColumn("cell_id", grid.encode_col(F.col(lon_col), F.col(lat_col), res))
     if cover is None or rings is None or adm_rows is None:
@@ -291,27 +329,34 @@ def pip_join(
         except PolygonSetTooLarge:
             # large-geometry regime: nothing may pass through the driver —
             # switch to the fully distributed cover + per-row-WKB refine
-            return pip_join_distributed(points, admin, res, lon_col, lat_col)
+            return pip_join_distributed(
+                points, admin, res, lon_col, lat_col, boundary=boundary
+            )
     if refine == "auto":
         refine = "bbox" if all(_is_axis_rect(r) for r in rings) else "wkb"
     cand = pts.join(F.broadcast(cover) if broadcast_cover else cover, "cell_id")
     if refine == "bbox":
         # exact refine for axis-rect geometries as codegen'd predicates
         # (the bounds travel inside the single cover broadcast) — zero
-        # extra Python stages in the task pipeline.
-        return cand.where(
-            F.col("full")
-            | (
+        # extra Python stages in the task pipeline. The interval shape
+        # follows ``boundary`` so bbox and ray-cast agree on edge points.
+        if boundary == "closed":
+            in_rect = (
                 F.col(lon_col).between(F.col("_mnx"), F.col("_mxx"))
                 & F.col(lat_col).between(F.col("_mny"), F.col("_mxy"))
             )
-        ).drop(*helper_cols)
+        else:
+            in_rect = (
+                (F.col(lon_col) >= F.col("_mnx")) & (F.col(lon_col) < F.col("_mxx"))
+                & (F.col(lat_col) >= F.col("_mny")) & (F.col(lat_col) < F.col("_mxy"))
+            )
+        return cand.where(F.col("full") | in_rect).drop(*helper_cols)
     # interior shortcut: candidates in 'full' cells are inside by
     # construction (the UDF gets -1 and short-circuits them vectorized).
     # Kept as ONE plan branch: splitting full/edge into a union would
     # re-execute everything upstream of the candidates — including the
     # decode kernel — twice.
-    refine_udf = contains_indexed_udf(rings)
+    refine_udf = contains_indexed_udf(rings, boundary)
     gi = F.when(F.col("full"), F.lit(-1)).otherwise(F.col("_gi"))
     return cand.where(refine_udf(F.col(lon_col), F.col(lat_col), gi)).drop(*helper_cols)
 
@@ -323,6 +368,7 @@ def pip_join_distributed(
     lon_col: str = "lon_c",
     lat_col: str = "lat_c",
     cover: DataFrame | None = None,
+    boundary: str = "half_open",
 ) -> DataFrame:
     """PIP join for LARGE polygon tables (beyond MAX_LOCAL_POLYGONS): no
     driver collect, no geometry closure.
@@ -347,5 +393,6 @@ def pip_join_distributed(
         cover = polygon_cover_cells(admin, res)
     cand = pts.join(cover, "cell_id")
     withwkb = cand.join(admin.select("adm_id", "geom_wkb"), "adm_id")
-    keep = F.col("full") | contains_udf(F.col(lon_col), F.col(lat_col), F.col("geom_wkb"))
+    refine = contains_wkb_udf(boundary)
+    keep = F.col("full") | refine(F.col(lon_col), F.col(lat_col), F.col("geom_wkb"))
     return withwkb.where(keep).drop("full", "geom_wkb")

@@ -207,3 +207,60 @@ def test_pip_distributed_parity_non_rect(spark, monkeypatch):
         .select("i", "adm_id").orderBy("i", "adm_id").toPandas()
     )
     assert base.equals(dist)
+
+
+def test_pip_boundary_semantics_consistent_on_edges(spark, monkeypatch):
+    """VERDICT r4 item 9: points exactly ON polygon edges must classify
+    IDENTICALLY under every refine mode (bbox fast path, indexed ray
+    cast, distributed per-row-WKB) for each documented boundary
+    convention — half_open (left/bottom in, right/top out) and closed
+    (every edge point in)."""
+    import pandas as pd
+
+    from ds_raster_pipelines_spark.operators import pip
+
+    rect = corpus.wkb_polygon_rect(10.0, 20.0, 14.0, 26.0)
+    adm = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "adm_id": ["R"], "adm_level": [1],
+                "min_lon": [10.0], "min_lat": [20.0],
+                "max_lon": [14.0], "max_lat": [26.0],
+                "geom_wkb": [rect], "area_deg2": [24.0],
+            }
+        )
+    )
+    # interior, exterior, all four edges, and all four corners
+    probes = pd.DataFrame(
+        {
+            "i": range(10),
+            "lon_c": [12.0, 9.0, 10.0, 14.0, 12.0, 12.0, 10.0, 14.0, 10.0, 14.0],
+            "lat_c": [23.0, 23.0, 23.0, 23.0, 20.0, 26.0, 20.0, 20.0, 26.0, 26.0],
+        }
+    )
+    pts = spark.createDataFrame(probes)
+    expected = {
+        # half_open: [min_lon, max_lon) x [min_lat, max_lat)
+        "half_open": {0, 2, 4, 6},
+        # closed: every on-edge probe is inside
+        "closed": {0, 2, 3, 4, 5, 6, 7, 8, 9},
+    }
+
+    for boundary, want in expected.items():
+        results = {}
+        for mode in ("bbox", "wkb"):
+            got = (
+                pip.pip_join(pts, adm, res=4, refine=mode, boundary=boundary)
+                .select("i").toPandas()["i"]
+            )
+            results[mode] = set(got.tolist())
+        with monkeypatch.context() as mp:
+            mp.setattr(pip, "MAX_LOCAL_POLYGONS", 0)
+            got = (
+                pip.pip_join(pts, adm, res=4, refine="wkb", boundary=boundary)
+                .select("i").toPandas()["i"]
+            )
+            results["distributed"] = set(got.tolist())
+        assert results["bbox"] == results["wkb"] == results["distributed"] == want, (
+            boundary, results,
+        )
