@@ -64,6 +64,7 @@ _PRIORITY = [
     "update_latest_tick",
     # -- new in round 5 --------------------------------------------------
     "grib_complex_bitmap_mean", "grib_production_volume", "zonal_pixel_stats_nc4",
+    "wav_mulaw_stats",
     # -- modules changed in round 5 --------------------------------------
     "grib_ensemble_mean", "zip_member_explode_real",
     "zonal_pixel_stats_nc", "multiband_cube_nc_roundtrip",
@@ -2526,6 +2527,39 @@ def wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.multimodal import audio_stats_exact, materialized_wav_corpus
 
     media = spark.read.parquet(materialized_wav_corpus(spark, sf_dir))
+    return audio_stats_exact(media).orderBy("i")
+
+
+# Second real audio codec: G.711 mu-law WAV (audio_format 7). Samples are
+# exact mu-law quantization levels (see mulaw_samples_for), so companding
+# round-trips bit-exactly and the stats have this closed form.
+_MULAW_ORACLE = """
+WITH s AS (
+  SELECT o.o_orderkey AS i, k.k AS k,
+         (CASE WHEN k.k % 2 = 0 THEN 1 ELSE -1 END)
+         * ((8 * ((o.o_orderkey + k.k) % 16) + 132) * (1 << (k.k % 8)) - 132) AS v
+  FROM orders o, (SELECT unnest(generate_series(0, 119)) AS k) k
+  WHERE k.k < 80 + o.o_orderkey % 40
+)
+SELECT i,
+       cast(count(*) as bigint) AS n_samples,
+       cast(sum(v) as bigint) AS sum_pcm,
+       cast(max(abs(v)) as bigint) AS peak_pcm
+FROM s GROUP BY i ORDER BY i
+"""
+
+
+@register("wav_mulaw_stats", _MULAW_ORACLE)
+def wav_mulaw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality over a SECOND real compressed representation:
+    G.711 mu-law WAV blobs (audio_format 7 + fact chunk) decoded by the
+    vectorized companding expander in sources/multimodal.ulaw_decode —
+    8 bits/sample on the wire, int16 out. Samples are exact mu-law grid
+    levels, so the per-file stats match the closed-form oracle
+    bit-for-bit (a companding-table bug = value divergence)."""
+    from .sources.multimodal import audio_stats_exact, materialized_mulaw_corpus
+
+    media = spark.read.parquet(materialized_mulaw_corpus(spark, sf_dir))
     return audio_stats_exact(media).orderBy("i")
 
 

