@@ -263,7 +263,109 @@ def run_single_flagship(sf_dir: str, cpus: int) -> dict:
     }
 
 
+def run_skew(n_tiles: int = 32_000_000, hot_pct: int = 20, n_salt: int = 32) -> dict:
+    """North-rule skew evidence (VERDICT r4 item 2): plant ONE hot cell
+    holding ~hot_pct% of an n_tiles corpus, sort-merge-join tiles to a
+    per-cell dimension (broadcast disabled — the beyond-broadcast regime
+    where key skew actually bites), and measure the wall-time delta of
+    the explicit salted repartition (operators/skew.salted_join) vs the
+    naive join, plus AQE's skew-join split as the runtime alternative.
+    Results of salted and unsalted plans are asserted IDENTICAL
+    (full 4096-group comparison), not just timed."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from ds_raster_pipelines_spark.operators.skew import salted_join
+    from ds_raster_pipelines_spark.session import get_spark
+
+    NC, HOT = 4096, 7
+
+    def build(spark):
+        tiles = spark.range(0, n_tiles, 1, CPUS).select(
+            F.col("id").alias("tile_id"),
+            F.when(F.pmod(F.col("id"), 100) < hot_pct, F.lit(HOT))
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(NC)).cast("int"))
+            .alias("pcell"),
+            (F.col("id") % 1000).alias("v"),
+        )
+        cells = spark.range(NC).select(
+            F.col("id").cast("int").alias("pcell"),
+            ((F.col("id") * 3) % 97).alias("w"),
+        )
+        return tiles, cells
+
+    def agg(joined):
+        return (
+            joined.groupBy("pcell")
+            .agg(F.sum(F.col("v") * F.col("w")).alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+
+    def timed(fn, spark) -> float:
+        best = float("inf")
+        for _ in range(3):  # min-of-3: this VM phases 3-5x (BASELINE.md)
+            t0 = time.time()
+            _materialize(fn())
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    results: dict = {
+        "metric": "skew_salted_speedup", "tiles": n_tiles,
+        "hot_pct": hot_pct, "n_salt": n_salt, "unit": "ratio",
+    }
+    base_conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.enabled": "false",
+    }
+    spark = get_spark("skew_noaqe", cpus=CPUS, extra_conf=base_conf)
+    tiles, cells = build(spark)
+    hot_df = spark.createDataFrame(pd.DataFrame({"pcell": [HOT]}))
+
+    def unsalted():
+        return agg(tiles.join(cells, "pcell"))
+
+    def salted():
+        return agg(
+            salted_join(
+                tiles, cells, "pcell", n_salt,
+                salt_expr=F.xxhash64("tile_id"), hot=hot_df,
+            )
+        )
+
+    _materialize(unsalted())  # warm: shuffle service, codegen, workers
+    results["unsalted_sec"] = timed(unsalted, spark)
+    _materialize(salted())
+    results["salted_sec"] = timed(salted, spark)
+    results["value"] = round(results["unsalted_sec"] / results["salted_sec"], 3)
+
+    # identity: full per-cell comparison, NOT just the timing
+    a = unsalted().orderBy("pcell").toPandas()
+    b = salted().orderBy("pcell").toPandas()
+    results["identical"] = bool(a.equals(b))
+    assert results["identical"], "salted join changed results"
+    spark.stop()
+
+    # AQE skew-join split: the runtime mitigation, for comparison
+    spark = get_spark(
+        "skew_aqe", cpus=CPUS,
+        extra_conf={
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+        },
+    )
+    tiles, cells = build(spark)
+    _materialize(agg(tiles.join(cells, "pcell")))
+    results["aqe_skewjoin_sec"] = timed(lambda: agg(tiles.join(cells, "pcell")), spark)
+    spark.stop()
+    return results
+
+
 def main() -> None:
+    if "--skew" in sys.argv:
+        n = int(os.environ.get("SPARK_GRAFT_SKEW_TILES", "32000000"))
+        print(json.dumps(run_skew(n_tiles=n)))
+        return
     if "--explain" in sys.argv:
         from ds_raster_pipelines_spark.session import get_spark
         from ds_raster_pipelines_spark.plans.flagship import flagship_from_orders
