@@ -64,7 +64,42 @@ BENCH_QUERIES = [
     "zip_member_explode_real",
     "bilinear_resample_means",
     "image_feature_buckets",
+    # round-5 real-container paths
+    "grib_production_volume",  # 16 x 51 x 360x181 complex-packed messages
+    "grib_complex_bitmap_mean",
+    "zonal_pixel_stats_nc4",  # HDF5 chunked+shuffle+deflate walk
+    "wav_mulaw_stats",
 ]
+
+# Fixed calibration probe: work whose cost is INDEPENDENT of engine code
+# (a JVM hash-agg over a range + one Arrow identity pass), timed in the
+# same session as the suite. This VM's wall clock phases 2-5x across
+# hours (BASELINE.md r3/r4 root-cause); the probe pins which phase a
+# given BENCH artifact was taken in, making artifacts comparable across
+# rounds: phase_factor = calibration_sec / CALIBRATION_NOMINAL, and
+# queries_phase_normalized = raw / phase_factor. CALIBRATION_NOMINAL is
+# the probe's fast-phase cost measured once (round 5) and must NEVER be
+# re-tuned, or cross-round comparability dies.
+CALIBRATION_NOMINAL = 0.70  # fast-phase probe cost, measured round 5
+
+
+def _calibration_probe(spark) -> float:
+    import pandas as pd  # noqa: F401
+
+    def identity(batches):
+        yield from batches
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 200_000_000, 1, CPUS).selectExpr(
+            "sum(pmod(xxhash64(id), 1000000)) as h"  # pmod: no ANSI overflow
+        ).collect()
+        spark.range(0, 2_000_000, 1, CPUS).mapInPandas(
+            identity, schema="id long"
+        ).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
 
 # plans whose driver loop executes jobs during query CONSTRUCTION
 ITERATIVE_QUERIES = {"dedup_components"}
@@ -116,6 +151,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             rep_times.setdefault(name, []).append(round(time.time() - t0, 3))
             best = min(best, rep_times[name][-1])
         timings[name] = round(best, 3)  # min-of-N: robust to noisy-VM outliers
+    calibration = _calibration_probe(spark)
+    phase = round(calibration / CALIBRATION_NOMINAL, 3)
     flagship_sec = timings["flagship_zonal_decode"]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -123,6 +160,15 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "value": flagship_sec,
         "unit": "sec",
         "queries": timings,
+        # VM-phase normalization (see _calibration_probe): raw wall time
+        # divided by the fixed probe's slowdown vs its fast-phase nominal.
+        # Cross-round comparisons should use these when phase_factor
+        # differs between the artifacts being compared.
+        "calibration_sec": calibration,
+        "phase_factor": phase,
+        "queries_phase_normalized": {
+            k: round(v / max(phase, 1.0), 3) for k, v in timings.items()
+        },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "tiles": n_tiles,
         "rep_times": rep_times,  # full distributions: min-of-N hides ramps
@@ -148,6 +194,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             "tiles": SCALE_TILES,
             "sec": round(best, 3),
             "tiles_per_sec": round(SCALE_TILES / best, 1),
+            "tiles_per_sec_phase_normalized": round(
+                SCALE_TILES / (best / max(phase, 1.0)), 1
+            ),
         }
     return out
 
