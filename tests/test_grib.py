@@ -318,3 +318,12 @@ def test_constant_field_and_tiny_grid_edge_cases():
     # fewer points than the spatial-differencing order -> loud error
     with pytest.raises(ValueError, match="too few points"):
         grib.encode_message(np.ones((1, 2)), packing=3, spatial_order=2)
+
+
+def test_all_nan_grid_roundtrips_as_empty_bitmap():
+    g = np.full((4, 6), np.nan)
+    for packing in (0, 2):
+        b = grib.encode_message(g, packing=packing)
+        m = grib.scan_messages(b)[0]
+        v = grib.decode_values(b, m)
+        assert m.n_points == 0 and np.isnan(v).all() and v.shape == (4, 6)
