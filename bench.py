@@ -128,6 +128,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     _materialize(qs["cell_encode_histogram"](spark, sf_dir))
     for _ in range(5):
         _materialize(qs["flagship_zonal_decode"](spark, sf_dir))
+    calib_before = _calibration_probe(spark)
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     rep_times: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
@@ -151,7 +152,11 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             rep_times.setdefault(name, []).append(round(time.time() - t0, 3))
             best = min(best, rep_times[name][-1])
         timings[name] = round(best, 3)  # min-of-N: robust to noisy-VM outliers
-    calibration = _calibration_probe(spark)
+    # probe runs BEFORE and AFTER the suite (measured: the after-suite
+    # probe can read ~1.5x slower from session heap/GC state alone);
+    # min-of-both is the session's best available phase estimate
+    calib_after = _calibration_probe(spark)
+    calibration = min(calib_before, calib_after)
     phase = round(calibration / CALIBRATION_NOMINAL, 3)
     flagship_sec = timings["flagship_zonal_decode"]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -165,6 +170,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         # Cross-round comparisons should use these when phase_factor
         # differs between the artifacts being compared.
         "calibration_sec": calibration,
+        "calibration_before_after": [calib_before, calib_after],
         "phase_factor": phase,
         "queries_phase_normalized": {
             k: round(v / max(phase, 1.0), 3) for k, v in timings.items()

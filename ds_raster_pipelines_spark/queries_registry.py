@@ -2678,6 +2678,7 @@ WITH grids AS (
        (SELECT unnest(generate_series(0, 4)) AS m) m,
        (SELECT unnest(generate_series(1, 2)) AS t) t,
        (SELECT unnest(generate_series(0, 63)) AS g) g
+  WHERE o.o_orderkey % 5 = 0
   GROUP BY 1, 2, 3
 )
 SELECT i, fc_month,

@@ -202,10 +202,15 @@ def materialized_complex_files(
     from .. import corpus as corpus_mod
 
     key = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
-    path = f"{cache_root}/{corpus_mod.CORPUS_VERSION}/{key}_grib_cx"
+    path = f"{cache_root}/{corpus_mod.CORPUS_VERSION}/{key}_grib_cx2"
     if not os.path.exists(f"{path}/_SUCCESS"):
         ids = (
             spark.read.parquet(f"{sf_dir}/orders.parquet")
+            # 1/5 subsample: this corpus grades CODEC correctness (every
+            # template-5.3 + bitmap branch still runs per message); tiny
+            # 8x8 grids make per-message overhead dominate, and the
+            # throughput evidence lives in the production-size corpus
+            .where(F.col("o_orderkey") % 5 == 0)
             .select(F.col("o_orderkey").alias("i"))
             .repartition(spark.sparkContext.defaultParallelism, "i")
         )
