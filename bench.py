@@ -133,9 +133,16 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     rep_times: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         qs[name](spark, sf_dir)  # one-time corpus materialization, cached
-        best = float("inf")
-        n_reps = reps
-        for _ in range(n_reps):
+    # Reps are INTERLEAVED across the suite (whole-suite passes), not
+    # consecutive per query: this VM's wall clock has multi-second bad
+    # phases lasting ~minutes, and 3 back-to-back reps all land inside
+    # one (measured r5: a query's consecutive reps read [36.3, 39.0,
+    # 12.7] while the same plan minutes later read 1.3 s). Suite passes
+    # put each query's N samples in N separate time windows, so min-of-N
+    # actually samples across phases — the r4 verdict's "phase-robust
+    # artifact" requirement.
+    for _ in range(reps):
+        for name in BENCH_QUERIES:
             # Iterative plans (connected components) run their rounds
             # EAGERLY at construction (localCheckpoint per round) —
             # construction is execution there and must sit inside the
@@ -150,8 +157,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
                 t0 = time.time()
                 _materialize(df)
             rep_times.setdefault(name, []).append(round(time.time() - t0, 3))
-            best = min(best, rep_times[name][-1])
-        timings[name] = round(best, 3)  # min-of-N: robust to noisy-VM outliers
+    for name in BENCH_QUERIES:
+        timings[name] = round(min(rep_times[name]), 3)  # min-of-N across phases
     # probe runs BEFORE and AFTER the suite (measured: the after-suite
     # probe can read ~1.5x slower from session heap/GC state alone);
     # min-of-both is the session's best available phase estimate
