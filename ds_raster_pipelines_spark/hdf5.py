@@ -184,8 +184,10 @@ def encode_hdf5(
 
     ``chunks[name]`` switches that dataset to chunked layout (edge chunks
     stored full-size, as the spec requires); ``deflate``/``shuffle``
-    apply to every chunked dataset. Flat namespace (the root group only —
-    the netCDF-4 classic-model shape)."""
+    apply to every chunked dataset. Dataset names may contain ``/`` to
+    place them in (nested) sub-groups — the real IMERG ``.nc4`` layout
+    keeps everything under a ``Grid`` group (``/Grid/precipitation``);
+    each group gets its own symbol-table B-tree + local heap."""
     attrs = attrs or {}
     global_attrs = global_attrs or {}
     chunks = chunks or {}
@@ -274,36 +276,56 @@ def encode_hdf5(
             msgs.append((0x000C, _attr_message(an, av)))
         entries.append((name, w.object_header(msgs)))
 
-    # local heap: offset 0 = empty string (the root entry's name)
-    heap_data = bytearray(b"\x00" * 8)
-    name_off = {}
-    for name, _ in entries:
-        name_off[name] = len(heap_data)
-        nb = name.encode() + b"\x00"
-        heap_data += nb + b"\x00" * ((-len(nb)) % 8)
-    heap_seg_addr = w.alloc(bytes(heap_data))
-    heap_addr = w.alloc(
-        struct.pack("<4sB3xQQQ", b"HEAP", 0, len(heap_data), _UNDEF, heap_seg_addr)
-    )
+    def write_group(children: list[tuple[str, int]], group_attrs: dict) -> int:
+        """Symbol-table group: local heap + SNOD + v1 B-tree + header."""
+        # local heap: offset 0 = empty string (the root entry's name)
+        heap_data = bytearray(b"\x00" * 8)
+        name_off = {}
+        for name, _ in children:
+            name_off[name] = len(heap_data)
+            nb = name.encode() + b"\x00"
+            heap_data += nb + b"\x00" * ((-len(nb)) % 8)
+        heap_seg_addr = w.alloc(bytes(heap_data))
+        heap_addr = w.alloc(
+            struct.pack("<4sB3xQQQ", b"HEAP", 0, len(heap_data), _UNDEF, heap_seg_addr)
+        )
+        # one SNOD with every entry, name-sorted (B-tree key invariant)
+        order = sorted(children, key=lambda e: e[0])
+        snod = [struct.pack("<4sBxH", b"SNOD", 1, len(order))]
+        for name, hdr in order:
+            snod.append(struct.pack("<QQI4x16x", name_off[name], hdr, 0))
+        snod_addr = w.alloc(b"".join(snod))
+        # group B-tree: one leaf, one child (the SNOD); keys: heap offsets
+        last_key = name_off[order[-1][0]] if order else 0
+        btree_addr = w.alloc(
+            struct.pack(
+                "<4sBBHQQQQQ", b"TREE", 0, 0, 1, _UNDEF, _UNDEF, 0, snod_addr, last_key
+            )
+        )
+        msgs = [(0x0011, struct.pack("<QQ", btree_addr, heap_addr))]
+        for an, av in group_attrs.items():
+            msgs.append((0x000C, _attr_message(an, av)))
+        return w.object_header(msgs)
 
-    # one SNOD with every entry, name-sorted (B-tree key invariant)
-    order = sorted(entries, key=lambda e: e[0])
-    snod = [struct.pack("<4sBxH", b"SNOD", 1, len(order))]
-    for name, hdr in order:
-        snod.append(struct.pack("<QQI4x16x", name_off[name], hdr, 0))
-    snod_addr = w.alloc(b"".join(snod))
+    # assemble the group tree from slash-separated dataset paths
+    tree: dict = {}
+    for name, hdr in entries:
+        parts = name.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+            if not isinstance(node, dict):
+                raise ValueError(f"{name}: path component {p!r} is a dataset")
+        node[parts[-1]] = hdr
 
-    # group B-tree: one leaf, one child (the SNOD); keys are heap offsets
-    last_key = name_off[order[-1][0]] if order else 0
-    btree = struct.pack(
-        "<4sBBHQQQQQ", b"TREE", 0, 0, 1, _UNDEF, _UNDEF, 0, snod_addr, last_key
-    )
-    btree_addr = w.alloc(btree)
+    def emit(node: dict, group_attrs: dict) -> int:
+        children = [
+            (nm, emit(v, {}) if isinstance(v, dict) else v)
+            for nm, v in node.items()
+        ]
+        return write_group(children, group_attrs)
 
-    root_msgs = [(0x0011, struct.pack("<QQ", btree_addr, heap_addr))]
-    for an, av in global_attrs.items():
-        root_msgs.append((0x000C, _attr_message(an, av)))
-    root_hdr = w.object_header(root_msgs)
+    root_hdr = emit(tree, global_attrs)
 
     eof = len(w.buf)
     sb = (
@@ -551,24 +573,16 @@ def _read_dataset(buf: bytes, name: str, hdr_addr: int) -> H5Dataset:
     return H5Dataset(name, tuple(shape), dtype, attrs, data)
 
 
-def decode_hdf5(buf: bytes) -> H5File:
-    """Parse an HDF5 file's root group into named datasets + root attrs."""
-    if buf[:8] != _SIG:
-        raise ValueError("not an HDF5 file (bad signature)")
-    sb_ver = buf[8]
-    if sb_ver == 0:
-        # root group symbol table entry at fixed offset 24+32
-        (root_hdr,) = struct.unpack_from("<Q", buf, 24 + 32 + 8)
-    elif sb_ver in (2, 3):
-        # v2/v3: base(12) / extension(20) / eof(28) / root header(36)
-        (root_hdr,) = struct.unpack_from("<Q", buf, 36)
-    else:
-        raise NotImplementedError(f"superblock version {sb_ver}")
-
+def _read_links(buf: bytes, hdr_addr: int):
+    """One group object header -> ([(child name, header addr)], attrs,
+    is_group). Handles old-style symbol-table groups AND new-style
+    compact Link messages."""
     links = []  # (name, object header address)
     root_attrs = {}
-    for t, body in _walk_messages(buf, root_hdr):
+    is_group = False
+    for t, body in _walk_messages(buf, hdr_addr):
         if t == 0x0011:  # old-style group: symbol table
+            is_group = True
             btree_addr, heap_addr = struct.unpack_from("<QQ", body, 0)
             (heap_seg,) = struct.unpack_from("<Q", buf, heap_addr + 24)
             for _key, snod in _read_btree1(buf, btree_addr, 0, 8):
@@ -582,6 +596,7 @@ def decode_hdf5(buf: bytes) -> H5File:
                     links.append((buf[heap_seg + name_off : end].decode(), hdr))
                     p += 40
         elif t == 0x0006:  # new-style compact link message
+            is_group = True
             ver, flags = body[0], body[1]
             p = 2
             ltype = 0
@@ -604,15 +619,47 @@ def decode_hdf5(buf: bytes) -> H5File:
             an, av = _parse_attr(body)
             root_attrs[an] = av
         elif t == 0x0002:  # link info: dense storage means fractal heap
+            is_group = True
             (fheap,) = struct.unpack_from("<Q", body, 2 + (8 if body[1] & 1 else 0))
             if fheap != _UNDEF:
                 raise NotImplementedError(
                     "dense (fractal-heap) link storage not supported"
                 )
+        elif t == 0x0001:
+            is_group = False  # a dataspace marks a dataset, never a group
+    return links, root_attrs, is_group
 
-    datasets = {}
-    for name, hdr in links:
-        datasets[name] = _read_dataset(buf, name, hdr)
+
+def decode_hdf5(buf: bytes) -> H5File:
+    """Parse an HDF5 file into named datasets + root attrs. Sub-group
+    members get slash-joined names (``Grid/precipitation`` — the real
+    IMERG layout keeps all variables under a ``Grid`` group)."""
+    if buf[:8] != _SIG:
+        raise ValueError("not an HDF5 file (bad signature)")
+    sb_ver = buf[8]
+    if sb_ver == 0:
+        # root group symbol table entry at fixed offset 24+32
+        (root_hdr,) = struct.unpack_from("<Q", buf, 24 + 32 + 8)
+    elif sb_ver in (2, 3):
+        # v2/v3: base(12) / extension(20) / eof(28) / root header(36)
+        (root_hdr,) = struct.unpack_from("<Q", buf, 36)
+    else:
+        raise NotImplementedError(f"superblock version {sb_ver}")
+
+    links, root_attrs, _ = _read_links(buf, root_hdr)
+    datasets: dict[str, H5Dataset] = {}
+    stack = [(prefix_name, hdr) for prefix_name, hdr in links]
+    depth_guard = 0
+    while stack:
+        depth_guard += 1
+        if depth_guard > 100_000:
+            raise ValueError("group graph too large or cyclic")
+        name, hdr = stack.pop()
+        child_links, _child_attrs, is_group = _read_links(buf, hdr)
+        if is_group:
+            stack.extend((f"{name}/{nm}", h) for nm, h in child_links)
+        else:
+            datasets[name] = _read_dataset(buf, name, hdr)
     return H5File(datasets, root_attrs)
 
 
@@ -638,29 +685,40 @@ def encode_nc4_tile(
     dim_scale = {"CLASS": "DIMENSION_SCALE"}
     return encode_hdf5(
         datasets={
-            "time": np.array([date_days], dtype=np.int32),
-            "lat": lats,
-            "lon": lons,
-            "band_data": band,
+            "Grid/time": np.array([date_days], dtype=np.int32),
+            "Grid/lat": lats,
+            "Grid/lon": lons,
+            "Grid/band_data": band,
         },
         attrs={
-            "time": dict(dim_scale, NAME="time", units="days since 2024-01-01"),
-            "lat": dict(dim_scale, NAME="lat", units="degrees_north"),
-            "lon": dict(dim_scale, NAME="lon", units="degrees_east"),
-            "band_data": {"units": "1", "grid_mapping_epsg": np.int32(4326)},
+            "Grid/time": dict(dim_scale, NAME="time", units="days since 2024-01-01"),
+            "Grid/lat": dict(dim_scale, NAME="lat", units="degrees_north"),
+            "Grid/lon": dict(dim_scale, NAME="lon", units="degrees_east"),
+            "Grid/band_data": {"units": "1", "grid_mapping_epsg": np.int32(4326)},
         },
         global_attrs={"Conventions": "CF-1.6", "title": "synthetic corpus tile"},
-        chunks={"band_data": band.shape},
+        chunks={"Grid/band_data": band.shape},
         deflate=1,
         shuffle=True,
     )
 
 
+_BAND_NAMES = ("band_data", "precipitation", "precipitationCal")
+
+
 def decode_nc4_tile(buf: bytes) -> np.ndarray:
     """uint8 (h, w) pixels from an encode_nc4_tile blob (or any NetCDF-4
-    file with a (time, lat, lon) band_data variable)."""
+    file with a (time, lat, lon) band variable at any group depth —
+    real IMERG granules keep ``precipitation`` under ``/Grid``)."""
     f = decode_hdf5(buf)
-    a = f.datasets["band_data"].data
+    ds = None
+    for name, d in f.datasets.items():
+        if name.rsplit("/", 1)[-1] in _BAND_NAMES:
+            ds = d
+            break
+    if ds is None:
+        raise ValueError(f"no band variable among {sorted(f.datasets)}")
+    a = ds.data
     if a.ndim == 3:
         a = a[0]
     return a.astype(np.uint8)

@@ -103,13 +103,15 @@ def test_nc4_tile_roundtrip_and_georeferencing():
     blob = hdf5.encode_nc4_tile(px, lon0=-77.25, lat_top=38.5, span_deg=0.25, date_days=41)
     assert np.array_equal(hdf5.decode_nc4_tile(blob), px)
     f = hdf5.decode_hdf5(blob)
-    assert f.datasets["lat"].attrs["CLASS"] == "DIMENSION_SCALE"
-    assert f.datasets["time"].data[0] == 41
+    # the real IMERG layout: every variable lives under a Grid group
+    assert set(f.datasets) == {"Grid/time", "Grid/lat", "Grid/lon", "Grid/band_data"}
+    assert f.datasets["Grid/lat"].attrs["CLASS"] == "DIMENSION_SCALE"
+    assert f.datasets["Grid/time"].data[0] == 41
     step = 0.25 / 64
-    assert abs(f.datasets["lon"].data[0] - (-77.25 + 0.5 * step)) < 1e-12
-    assert abs(f.datasets["lat"].data[0] - (38.5 - 0.5 * step)) < 1e-12
+    assert abs(f.datasets["Grid/lon"].data[0] - (-77.25 + 0.5 * step)) < 1e-12
+    assert abs(f.datasets["Grid/lat"].data[0] - (38.5 - 0.5 * step)) < 1e-12
     # lat strictly descending: the reference's north-up convention
-    assert (np.diff(f.datasets["lat"].data) < 0).all()
+    assert (np.diff(f.datasets["Grid/lat"].data) < 0).all()
 
 
 def test_rejects_garbage_and_unknown_layouts():
@@ -225,3 +227,17 @@ def test_v2_continuation_blocks():
     out[: len(sb)] = sb
     f = hdf5.decode_hdf5(bytes(out))
     assert np.array_equal(f.datasets["x"].data, a)
+
+
+def test_nested_groups_roundtrip():
+    """Datasets at mixed depths: root-level, one group, two levels —
+    each group gets its own heap/SNOD/B-tree; reader slash-joins names."""
+    a = np.arange(4, dtype=np.int32)
+    b = np.arange(6, dtype=np.float64).reshape(2, 3)
+    c = np.arange(8, dtype=np.int16)
+    f = hdf5.decode_hdf5(
+        hdf5.encode_hdf5({"root_ds": a, "G/inner": b, "G/H/deep": c})
+    )
+    assert set(f.datasets) == {"root_ds", "G/inner", "G/H/deep"}
+    assert np.array_equal(f.datasets["G/inner"].data, b)
+    assert np.array_equal(f.datasets["G/H/deep"].data, c)
