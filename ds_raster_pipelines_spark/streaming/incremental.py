@@ -116,6 +116,12 @@ class IncrementalRun:
         partition for recompute, so the resume contract holds."""
         part = int(part)
         path = os.path.join(self.data_dir, f"part={part}")
+        if os.path.exists(path):
+            # Iceberg-style snapshot isolation: the partition's current
+            # files are ARCHIVED (renamed, not deleted) under _versions
+            # keyed by the snapshot that wrote them, so read_at(sid) can
+            # reconstruct any earlier table state until expire_snapshots
+            self._archive_current(part)
         df.write.mode("overwrite").parquet(path)
         # lineage is computed from the WRITTEN files (checksums what is
         # durable, not what was planned), then committed to the manifest
@@ -144,7 +150,125 @@ class IncrementalRun:
             shutil.rmtree(old)
         else:
             m.write.mode("append").parquet(self.manifest_dir)
+        self._append_snapshot(part, m.collect()[0].asDict())
         return m.collect()[0].asDict()
+
+    # -- snapshots (Iceberg-style time travel) ------------------------------
+
+    @property
+    def _snapshot_log(self) -> str:
+        return os.path.join(self.out_dir, "snapshots.jsonl")
+
+    @property
+    def _versions_dir(self) -> str:
+        return os.path.join(self.out_dir, "_versions")
+
+    def snapshots(self) -> list[dict]:
+        """The append-only snapshot log: one row per commit —
+        (snapshot_id, parent_id, part, n_rows, checksum). The table state
+        AT snapshot s = for each partition, the last commit with
+        snapshot_id <= s."""
+        import json
+
+        if not os.path.exists(self._snapshot_log):
+            return []
+        with open(self._snapshot_log) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def current_snapshot_id(self) -> int:
+        log = self.snapshots()
+        return log[-1]["snapshot_id"] if log else 0
+
+    def _append_snapshot(self, part: int, manifest_row: dict) -> int:
+        import json
+
+        sid = self.current_snapshot_id() + 1
+        row = {
+            "snapshot_id": sid,
+            "parent_id": sid - 1,
+            "operation": "commit",
+            "part": int(part),
+            "n_rows": int(manifest_row["n_rows"]),
+            "checksum": int(manifest_row["checksum"]),
+        }
+        # single-writer append (the runner owns the table, like an
+        # Iceberg catalog's atomic swap); fsync'd so a crash after the
+        # data commit still leaves a consistent log prefix
+        with open(self._snapshot_log, "a") as f:
+            f.write(json.dumps(row) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        return sid
+
+    def _last_commit_sid(self, part: int) -> int | None:
+        sids = [s["snapshot_id"] for s in self.snapshots() if s["part"] == part]
+        return max(sids) if sids else None
+
+    def _archive_current(self, part: int) -> None:
+        sid = self._last_commit_sid(part)
+        if sid is None:
+            return  # data dir exists but never committed: crashed write
+        dst = os.path.join(self._versions_dir, f"part={part}", f"v={sid}")
+        if os.path.exists(dst):
+            return  # already archived (idempotent re-run)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(os.path.join(self.data_dir, f"part={part}"), dst)
+
+    def read_at(self, snapshot_id: int) -> DataFrame:
+        """TIME TRAVEL: the table exactly as of ``snapshot_id``. For each
+        partition, the visible version is its last commit <= snapshot_id;
+        replaced versions are served from the archive, current ones from
+        the live directory."""
+        from functools import reduce
+
+        log = [s for s in self.snapshots() if s["snapshot_id"] <= snapshot_id]
+        if not log:
+            raise ValueError(f"no snapshot <= {snapshot_id}")
+        visible: dict[int, int] = {}
+        for s in log:
+            visible[s["part"]] = s["snapshot_id"]
+        parts_df = []
+        for part, sid in sorted(visible.items()):
+            if self._last_commit_sid(part) == sid:
+                path = os.path.join(self.data_dir, f"part={part}")
+            else:
+                path = os.path.join(self._versions_dir, f"part={part}", f"v={sid}")
+            parts_df.append(
+                self.spark.read.parquet(path).withColumn("part", F.lit(part))
+            )
+        return reduce(lambda a, b: a.unionByName(b), parts_df)
+
+    def expire_snapshots(self, older_than_sid: int) -> int:
+        """Iceberg maintenance: drop archived versions only visible to
+        snapshots < older_than_sid. Returns the number of version dirs
+        removed. Live data and the snapshot log itself are untouched (the
+        log stays the audit trail; time travel below the horizon errors
+        on the archived reads)."""
+        import shutil
+
+        removed = 0
+        if not os.path.exists(self._versions_dir):
+            return 0
+        # an archived version v of part p is still needed iff some kept
+        # snapshot s >= older_than_sid resolves p -> v
+        needed: set[tuple[int, int]] = set()
+        log = self.snapshots()
+        all_sids = [s["snapshot_id"] for s in log]
+        for keep_sid in [s for s in all_sids if s >= older_than_sid]:
+            vis: dict[int, int] = {}
+            for s in log:
+                if s["snapshot_id"] <= keep_sid:
+                    vis[s["part"]] = s["snapshot_id"]
+            needed.update(vis.items())
+        for pdir in os.listdir(self._versions_dir):
+            part = int(pdir.split("=")[1])
+            pfull = os.path.join(self._versions_dir, pdir)
+            for vdir in os.listdir(pfull):
+                v = int(vdir.split("=")[1])
+                if (part, v) not in needed:
+                    shutil.rmtree(os.path.join(pfull, vdir))
+                    removed += 1
+        return removed
 
     # -- reads -------------------------------------------------------------
 
