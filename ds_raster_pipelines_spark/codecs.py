@@ -22,7 +22,7 @@ import zlib
 
 import numpy as np
 
-LOSSLESS_FMTS = frozenset({"raw", "png", "tif", "cog", "nc", "nc4"})
+LOSSLESS_FMTS = frozenset({"raw", "png", "tif", "cog", "nc", "nc4", "gif"})
 LOSSY_FMTS = frozenset({"qnt", "dct"})
 ALL_FMTS = LOSSLESS_FMTS | LOSSY_FMTS
 
@@ -212,6 +212,10 @@ def encode_tile(pixels: np.ndarray, fmt: str, meta: dict | None = None) -> bytes
         from . import hdf5
 
         return hdf5.encode_nc4_tile(pixels, **(meta or {}))
+    if fmt == "gif":  # GIF89a / LZW (gif.py, from scratch)
+        from . import gif
+
+        return gif.encode_gif(pixels)
     if fmt == "dct":  # JPEG-like lossy transform codec
         return encode_dct(pixels)
     raise ValueError(f"unknown fmt {fmt!r}")
@@ -235,6 +239,10 @@ def decode_tile(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         from . import hdf5
 
         return hdf5.decode_nc4_tile(data)
+    if fmt == "gif":  # GIF89a / LZW
+        from . import gif
+
+        return gif.decode_gif(data)
     if fmt == "dct":
         return decode_dct(data)
     if fmt in ("jpg", "jpeg", "webp"):

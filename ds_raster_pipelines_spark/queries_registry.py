@@ -64,7 +64,7 @@ _PRIORITY = [
     "update_latest_tick",
     # -- new in round 5 --------------------------------------------------
     "grib_complex_bitmap_mean", "grib_production_volume", "zonal_pixel_stats_nc4",
-    "wav_mulaw_stats",
+    "wav_mulaw_stats", "zonal_pixel_stats_gif",
     # -- modules changed in round 5 --------------------------------------
     "grib_ensemble_mean", "zip_member_explode_real",
     "zonal_pixel_stats_nc", "multiband_cube_nc_roundtrip",
@@ -1631,6 +1631,23 @@ def zonal_pixel_stats_nc(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(corpus.materialized_images_fmt(spark, sf_dir, "nc"))
     )
     return zonal_pixel_stats(images, corpus.admin_df(spark, offset=0.03), res=6)
+
+
+@register("zonal_pixel_stats_gif", _zps_oracle(offset=0.05, lossless=True))
+def zonal_pixel_stats_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-level zonal stats over a corpus stored as REAL GIF89a
+    containers (gif.py, from-scratch GIF-variant LZW: growing string
+    table, variable-width LSB-first codes, Clear-code resets) — the
+    browse-image format family next to the reference's published rasters.
+    A distinct compression family from png/zip (LZ77+Huffman) and tiff
+    (PackBits): a string-table bug becomes a value divergence under the
+    same shifted-admin closed-form oracle as the other container twins."""
+    from .operators.raster import zonal_pixel_stats
+
+    images = corpus.footprint_cols_for_images(
+        spark.read.parquet(corpus.materialized_images_fmt(spark, sf_dir, "gif"))
+    )
+    return zonal_pixel_stats(images, corpus.admin_df(spark, offset=0.05), res=6)
 
 
 @register("zonal_pixel_stats_nc4", _zps_oracle(offset=0.07, lossless=True))
