@@ -108,3 +108,45 @@ def asof_join(
         *[c for c in probe.columns],
         *[F.col(f"_m.{v}").alias(v) for v in values],
     )
+
+
+def interval_join(
+    probe: DataFrame,
+    windows: DataFrame,
+    ts_us: str,
+    start_us: str,
+    end_us: str,
+    bucket_us: int,
+) -> DataFrame:
+    """Range/interval join (probe.ts in [window.start, window.end)) as a
+    BUCKETED EQUI-JOIN — the scale-safe lowering of the range predicate
+    (the naive theta-join is a cartesian; Spark would broadcast-nested-
+    loop it).
+
+    Each window explodes to the integer time buckets it overlaps
+    (``sequence`` + ``explode``); each probe row carries its single
+    bucket; the join becomes an equi-join on bucket followed by the exact
+    range filter. A (probe, window) match shares exactly ONE bucket — the
+    probe's own — so no post-join dedup is needed. Shuffle volume =
+    |probe| + |windows| * avg_buckets_per_window; pick ``bucket_us`` near
+    the typical window length so that factor stays O(1). Timestamps are
+    int64 microseconds throughout (cross-engine exact; no tz coupling).
+    """
+    bu = int(bucket_us)
+    # integer `div`, not float `/`: micros ~1e15 sit near float64's exact-
+    # integer limit and a rounded quotient would mis-bucket edge values
+    w_exp = windows.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"{start_us} div {bu}"),
+                F.expr(f"({end_us} - 1) div {bu}"),
+            )
+        ),
+    )
+    p = probe.withColumn("_bucket", F.expr(f"{ts_us} div {bu}"))
+    return (
+        p.join(w_exp, "_bucket")
+        .where((F.col(ts_us) >= F.col(start_us)) & (F.col(ts_us) < F.col(end_us)))
+        .drop("_bucket")
+    )

@@ -64,7 +64,7 @@ _PRIORITY = [
     "update_latest_tick",
     # -- new in round 5 --------------------------------------------------
     "grib_complex_bitmap_mean", "grib_production_volume", "zonal_pixel_stats_nc4",
-    "wav_mulaw_stats", "zonal_pixel_stats_gif",
+    "wav_mulaw_stats", "zonal_pixel_stats_gif", "interval_bucket_join",
     # -- modules changed in round 5 --------------------------------------
     "grib_ensemble_mean", "zip_member_explode_real",
     "zonal_pixel_stats_nc", "multiband_cube_nc_roundtrip",
@@ -2194,6 +2194,65 @@ SELECT p.user_id,
 FROM events p ASOF JOIN refs r ON p.user_id = r.user_id AND p.ts >= r.rts
 GROUP BY p.user_id ORDER BY p.user_id
 """
+
+
+# Interval/range join (event ts in [window start, window end)) lowered to
+# a bucketed equi-join (operators/timeseries.interval_join). 200
+# deterministic maintenance windows, half-open, 60s buckets; the oracle
+# is the plain range theta-join DuckDB evaluates directly.
+_INTERVAL_ORACLE = """
+WITH w AS (
+  SELECT k.k AS wid,
+         TIMESTAMP '2024-01-01' + (k.k * 137) * INTERVAL 1 MINUTE AS ws,
+         TIMESTAMP '2024-01-01'
+           + (k.k * 137 + (k.k % 7 + 1) * 23) * INTERVAL 1 MINUTE AS we
+  FROM (SELECT unnest(generate_series(0, 199)) AS k) k
+)
+SELECT wid,
+       count(*) AS n_events,
+       cast(sum(cast(round(value * 100) as bigint)) as bigint) AS val_cents
+FROM w JOIN events e ON e.ts >= w.ws AND e.ts < w.we
+GROUP BY wid ORDER BY wid
+"""
+
+
+@register("interval_bucket_join", _INTERVAL_ORACLE)
+def interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join as a bucketed equi-join — the missing Spark
+    built-in next to the as-of join (asof_join_daily_ref): events fall
+    into deterministic half-open maintenance windows. The naive theta-
+    join is a broadcast-nested-loop/cartesian; the lowering explodes each
+    window into the 60s buckets it overlaps and equi-joins on bucket, so
+    the plan survives 10^9 events x 10^6 windows (shuffle = rows +
+    windows*O(window/bucket); every match shares exactly one bucket so
+    no dedup)."""
+    from .operators.timeseries import interval_join
+
+    base_us = 1_704_067_200_000_000  # 2024-01-01 UTC in micros
+    w = spark.range(0, 200).select(
+        F.col("id").alias("wid"),
+        (F.lit(base_us) + F.col("id") * 137 * 60_000_000).alias("ws_us"),
+        (
+            F.lit(base_us)
+            + (F.col("id") * 137 + (F.pmod(F.col("id"), F.lit(7)) + 1) * 23)
+            * 60_000_000
+        ).alias("we_us"),
+    )
+    ev = _pq(spark, sf_dir, "events").select(
+        # ts is TIMESTAMP_NTZ in the parquet; session TZ is pinned UTC so
+        # the cast to instant-typed timestamp is value-preserving
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("val_cents"),
+    )
+    joined = interval_join(ev, w, "ts_us", "ws_us", "we_us", bucket_us=60_000_000)
+    return (
+        joined.groupBy("wid")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("val_cents").alias("val_cents"),
+        )
+        .orderBy("wid")
+    )
 
 
 @register("asof_join_daily_ref", _ASOF_ORACLE)
