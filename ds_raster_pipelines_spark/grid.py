@@ -224,3 +224,55 @@ def centroid_sql(cell_expr: str, res: int) -> tuple[str, str]:
     lon = f"(-180.0 + ({ix_sql(cell_expr)} + 0.5) * {360.0 / nx!r})"
     lat = f"(90.0 - ({iy_sql(cell_expr)} + 0.5) * {180.0 / ny!r})"
     return lon, lat
+
+
+# ------------------------------------------------- distributed compaction ---
+
+
+def compact_cells(cells, res: int, min_res: int = 0, cell_col: str = "cell_id"):
+    """H3-style ``compact``: the minimal mixed-resolution cover of a cell
+    set — every complete 4-sibling group collapses into its parent,
+    recursively (coverage manifests, mosaic footprints, prune lists
+    shrink by orders of magnitude on dense regions).
+
+    Closed-form lowering instead of an iterative collapse loop: an
+    ancestor ``a`` at res r is COMPLETE iff all 4**(res-r) leaves under
+    it are present; the compacted set is exactly
+      { complete a at min_res }
+      ∪ { complete a at r>min_res whose parent is not complete }
+      ∪ { leaves whose res-1 parent is not complete }.
+    Each level is ONE count-aggregation over the distinct leaf set
+    (map-side partial) plus a broadcast-sized anti-join against the
+    level above — a flat DAG, no driver-side iteration, no lineage
+    growth. Returns (cell_id, res) rows."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    if not 0 <= min_res < res:
+        raise ValueError("need 0 <= min_res < res")
+    base = cells.select(F.col(cell_col).cast("long").alias("c")).distinct()
+    complete = {}
+    for r in range(min_res, res):
+        complete[r] = (
+            base.groupBy(parent_col(F.col("c"), r, res).alias("c"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") == F.lit(4 ** (res - r)))
+            .select("c")
+        )
+    parts = [complete[min_res].withColumn("res", F.lit(min_res))]
+    for r in range(min_res + 1, res):
+        keep = complete[r].join(
+            complete[r - 1].select(F.col("c").alias("_p")),
+            parent_col(F.col("c"), r - 1, r) == F.col("_p"),
+            "left_anti",
+        )
+        parts.append(keep.withColumn("res", F.lit(r)))
+    leaves = base.join(
+        complete[res - 1].select(F.col("c").alias("_p")),
+        parent_col(F.col("c"), res - 1, res) == F.col("_p"),
+        "left_anti",
+    )
+    parts.append(leaves.withColumn("res", F.lit(res)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(F.col("c").alias(cell_col), "res")

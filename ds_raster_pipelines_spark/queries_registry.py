@@ -64,7 +64,7 @@ _PRIORITY = [
     "update_latest_tick",
     # -- new in round 5 --------------------------------------------------
     "grib_complex_bitmap_mean", "grib_production_volume", "zonal_pixel_stats_nc4",
-    "wav_mulaw_stats", "zonal_pixel_stats_gif", "interval_bucket_join",
+    "wav_mulaw_stats", "zonal_pixel_stats_gif", "interval_bucket_join", "cell_compact_multilevel",
     # -- modules changed in round 5 --------------------------------------
     "grib_ensemble_mean", "zip_member_explode_real",
     "zonal_pixel_stats_nc", "multiband_cube_nc_roundtrip",
@@ -2194,6 +2194,93 @@ SELECT p.user_id,
 FROM events p ASOF JOIN refs r ON p.user_id = r.user_id AND p.ts >= r.rts
 GROUP BY p.user_id ORDER BY p.user_id
 """
+
+
+# H3-style cell compaction: the minimal mixed-resolution cover of a cell
+# set (complete 4-sibling groups collapse into parents, recursively).
+# Base set = a dense 32x32 aligned block at res 8 with deterministic
+# holes + the sparse corpus centroids; closed form: an ancestor is
+# complete iff all 4^(res-r) leaves under it are present.
+_COMPACT_R, _COMPACT_MR = 8, 4
+
+
+def _compact_oracle() -> str:
+    leaf = "c"
+    comps = []
+    for r in range(_COMPACT_MR, _COMPACT_R):
+        comps.append(
+            f"comp{r} AS (SELECT {grid.parent_sql(leaf, r, _COMPACT_R)} AS c "
+            f"FROM leaves GROUP BY 1 HAVING count(*) = {4 ** (_COMPACT_R - r)})"
+        )
+    outs = [f"SELECT c, {_COMPACT_MR} AS res FROM comp{_COMPACT_MR}"]
+    for r in range(_COMPACT_MR + 1, _COMPACT_R):
+        outs.append(
+            f"SELECT c, {r} AS res FROM comp{r} "
+            f"WHERE {grid.parent_sql('c', r - 1, r)} NOT IN (SELECT c FROM comp{r - 1})"
+        )
+    outs.append(
+        f"SELECT c, {_COMPACT_R} AS res FROM leaves "
+        f"WHERE {grid.parent_sql('c', _COMPACT_R - 1, _COMPACT_R)} "
+        f"NOT IN (SELECT c FROM comp{_COMPACT_R - 1})"
+    )
+    return f"""
+WITH block AS (
+  SELECT (cast({_COMPACT_R << grid.RES_SHIFT} as bigint)
+          | ((64 + k.k // 32) << {grid.IY_SHIFT}) | (128 + k.k % 32)) AS c
+  FROM (SELECT unnest(generate_series(0, 1023)) AS k) k
+  WHERE ((128 + k.k % 32) + (64 + k.k // 32)) % 97 <> 0
+),
+sparse AS (
+  SELECT {grid.encode_sql(_META["lon_c"], _META["lat_c"], _COMPACT_R)} AS c FROM orders
+),
+leaves AS (SELECT DISTINCT c FROM (SELECT c FROM block UNION ALL SELECT c FROM sparse)),
+{", ".join(comps)},
+out AS ({" UNION ALL ".join(outs)})
+SELECT res, count(*) AS n_cells, cast(sum(c % 1000000007) as bigint) AS cell_sum
+FROM out GROUP BY res ORDER BY res
+"""
+
+
+@register("cell_compact_multilevel", _compact_oracle())
+def cell_compact_multilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-style ``compact`` (grid.compact_cells): dense aligned block
+    (with punched holes) + sparse corpus centroids collapse into the
+    minimal mixed-resolution cover — coverage manifests and prune lists
+    shrink by orders of magnitude on dense regions. Flat closed-form
+    lowering (one count-agg per level + anti-joins), no iteration, no
+    cartesian; per-level counts and cell-id sums match the oracle's
+    grouped-CTE formulation exactly."""
+    R, MR = _COMPACT_R, _COMPACT_MR
+    block = (
+        spark.range(0, 1024)
+        .select(
+            (F.lit(128) + F.pmod(F.col("id"), F.lit(32))).alias("ix"),
+            (F.lit(64) + F.expr("id div 32")).alias("iy"),
+        )
+        .where(F.pmod(F.col("ix") + F.col("iy"), F.lit(97)) != 0)
+        .select(
+            F.lit(R << grid.RES_SHIFT)
+            .cast("long")
+            .bitwiseOR(F.shiftleft(F.col("iy").cast("long"), grid.IY_SHIFT))
+            .bitwiseOR(F.col("ix").cast("long"))
+            .alias("cell_id")
+        )
+    )
+    pts = corpus.centroid_cols_for_images(
+        _pq(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("i"))
+    )
+    sparse = pts.select(
+        grid.encode_col(F.col("lon_c"), F.col("lat_c"), R).alias("cell_id")
+    )
+    out = grid.compact_cells(block.unionByName(sparse), res=R, min_res=MR)
+    return (
+        out.groupBy("res")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(F.pmod(F.col("cell_id"), F.lit(1_000_000_007))).alias("cell_sum"),
+        )
+        .orderBy("res")
+    )
 
 
 # Interval/range join (event ts in [window start, window end)) lowered to

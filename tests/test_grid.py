@@ -123,3 +123,69 @@ def test_spark_exprs_match_numpy(spark):
     assert np.allclose(pdf["clon"], clon) and np.allclose(pdf["clat"], clat)
     for k in range(len(cells)):
         assert list(pdf["disk"].iloc[k]) == grid.grid_disk_np(int(cells[k]), 1)
+
+
+def test_compact_cells_against_numpy_reference(spark):
+    """grid.compact_cells == an independent recursive numpy compaction on
+    random leaf sets, and exact coverage is preserved (uncompacting the
+    result reproduces the leaf set exactly)."""
+    import numpy as np
+    import pandas as pd
+
+    from ds_raster_pipelines_spark import grid
+
+    def np_compact(leaves: set[int], res: int, min_res: int) -> set[tuple[int, int]]:
+        cur = {(c, res) for c in leaves}
+        for r in range(res, min_res, -1):
+            level = [c for c, cr in cur if cr == r]
+            parents = {}
+            for c in level:
+                p = int(grid.parent_np(np.array([c]), r - 1)[0])
+                parents.setdefault(p, []).append(c)
+            for p, kids in parents.items():
+                if len(kids) == 4:
+                    cur -= {(k, r) for k in kids}
+                    cur.add((p, r - 1))
+        return cur
+
+    rng = np.random.default_rng(3)
+    res, min_res = 6, 2
+    for trial in range(3):
+        nx, ny = grid.nx_ny(res)
+        # mix: one aligned complete 8x8 block + random scatter
+        bx, by = 8 * int(rng.integers(0, nx // 8)), 8 * int(rng.integers(0, ny // 8))
+        block = {
+            (res << grid.RES_SHIFT) | ((by + j) << grid.IY_SHIFT) | (bx + i)
+            for i in range(8)
+            for j in range(8)
+        }
+        scatter = {
+            (res << grid.RES_SHIFT) | (int(rng.integers(0, ny)) << grid.IY_SHIFT)
+            | int(rng.integers(0, nx))
+            for _ in range(300)
+        }
+        leaves = block | scatter
+        want = np_compact(leaves, res, min_res)
+        got_df = grid.compact_cells(
+            spark.createDataFrame(pd.DataFrame({"cell_id": sorted(leaves)})),
+            res=res, min_res=min_res,
+        )
+        got = {(int(r.cell_id), int(r.res)) for r in got_df.collect()}
+        assert got == want, (trial, len(got ^ set(want)))
+        # the aligned block really collapsed below leaf res
+        assert any(cr < res for _, cr in got)
+        # exact cover: expanding every compacted cell back to leaves
+        # reproduces the input set exactly (no loss, no spill-over)
+        expanded = set()
+        for c, cr in got:
+            dr = res - cr
+            ix = c & grid.IX_MASK
+            iy = (c >> grid.IY_SHIFT) & grid.IY_MASK
+            for di in range(1 << dr):
+                for dj in range(1 << dr):
+                    expanded.add(
+                        (res << grid.RES_SHIFT)
+                        | (((iy << dr) + dj) << grid.IY_SHIFT)
+                        | ((ix << dr) + di)
+                    )
+        assert expanded == leaves

@@ -44,7 +44,7 @@ def test_priority_order_covers_graded_prefix():
         "validation_filename_date", "update_latest_tick",
         # new in round 5
         "grib_complex_bitmap_mean", "grib_production_volume", "zonal_pixel_stats_nc4",
-    "wav_mulaw_stats", "zonal_pixel_stats_gif", "interval_bucket_join",
+    "wav_mulaw_stats", "zonal_pixel_stats_gif", "interval_bucket_join", "cell_compact_multilevel",
         # modules changed in round 5 (grib/netcdf/tiff/ziparchive/pip)
         "grib_ensemble_mean", "zip_member_explode_real",
         "zonal_pixel_stats_nc", "multiband_cube_nc_roundtrip",
