@@ -276,3 +276,29 @@ def compact_cells(cells, res: int, min_res: int = 0, cell_col: str = "cell_id"):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.select(F.col("c").alias(cell_col), "res")
+
+
+def uncompact_cells(cells, res: int, cell_col: str = "cell_id"):
+    """Inverse of compact_cells: mixed-resolution rows back to uniform
+    leaves at ``res``. Pure Column ops: each cell explodes to its
+    4**(res-r) descendants via one ``sequence``+``explode`` (no UDF);
+    a compact→uncompact round trip reproduces the leaf set exactly
+    (asserted in tests/test_grid.py)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    c = f"cast({cell_col} as bigint)"
+    out = cells.select(
+        F.expr(f"({c}) & {IX_MASK}").alias("_ix"),
+        F.expr(f"(({c}) >> {IY_SHIFT}) & {IY_MASK}").alias("_iy"),
+        F.expr(f"cast({res} - (({c}) >> {RES_SHIFT}) as int)").alias("_dr"),
+        F.expr(f"shiftleft(1L, cast({res} - (({c}) >> {RES_SHIFT}) as int))").alias("_s"),
+    ).select(
+        "_ix", "_iy", "_dr", "_s",
+        F.explode(F.expr("sequence(0L, _s * _s - 1)")).alias("_k"),
+    )
+    leaf = F.expr(
+        f"cast({res << RES_SHIFT} as bigint)"
+        f" | (shiftleft(_iy, _dr) + (_k div _s)) << {IY_SHIFT}"
+        f" | (shiftleft(_ix, _dr) + (_k % _s))"
+    )
+    return out.select(leaf.alias(cell_col))

@@ -189,3 +189,30 @@ def test_compact_cells_against_numpy_reference(spark):
                         | ((ix << dr) + di)
                     )
         assert expanded == leaves
+
+
+def test_uncompact_inverts_compact(spark):
+    import numpy as np
+    import pandas as pd
+
+    from ds_raster_pipelines_spark import grid
+
+    rng = np.random.default_rng(11)
+    res, mr = 6, 3
+    nx, ny = grid.nx_ny(res)
+    leaves = sorted(
+        {
+            int((res << grid.RES_SHIFT) | (int(rng.integers(0, ny)) << grid.IY_SHIFT)
+                | int(rng.integers(0, nx)))
+            for _ in range(400)
+        }
+        | {
+            (res << grid.RES_SHIFT) | ((16 + j) << grid.IY_SHIFT) | (32 + i)
+            for i in range(8) for j in range(8)
+        }
+    )
+    df = spark.createDataFrame(pd.DataFrame({"cell_id": leaves}))
+    comp = grid.compact_cells(df, res=res, min_res=mr)
+    assert comp.count() < len(leaves)  # the aligned block collapsed
+    back = sorted(r.cell_id for r in grid.uncompact_cells(comp, res=res).collect())
+    assert back == leaves
