@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "grib_complex_bitmap_mean",
     "zonal_pixel_stats_nc4",  # HDF5 chunked+shuffle+deflate walk
     "wav_mulaw_stats",
+    "interval_bucket_join",  # range join lowered to bucketed equi-join
+    "cell_compact_multilevel",  # H3-style compact, flat closed form
 ]
 
 # Fixed calibration probe: work whose cost is INDEPENDENT of engine code
