@@ -332,23 +332,37 @@ def minhash_dedup_pairs(
     )
 
 
+# Populated by the registry's dedup_components query (stats= passthrough)
+# so bench.py can report rounds-to-converge alongside the wall time.
+LAST_CC_STATS: dict = {}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup candidate graph → dedup
     GROUPS (pairs alone under-merge: A~B and B~C must collapse to one
     survivor even when A~C was never emitted).
 
-    Iterative hash-min label propagation, the GraphX-free Spark form:
-    every node starts labeled with itself; each round every node takes
-    min(own label, neighbors' labels); converged when no label changes
-    (checked with one tiny count per round — O(diameter) rounds, and
-    near-dup cluster diameters are small). Each round is one shuffle on
-    the node id. Output: (node, component) with component = min node id
-    of the component — deterministic regardless of partitioning.
+    Iterative hash-min label propagation with pointer doubling, the
+    GraphX-free Spark form: every node starts labeled with itself; each
+    round every node takes min(own label, neighbors' labels), then
+    shortcuts lbl := lbl[lbl] (label-of-label — the large-star/small-star
+    idea from Kiveris et al., "Connected Components in MapReduce and
+    Beyond"): a chain of length L converges in O(log L) rounds instead of
+    O(L), so worst-case deep chains cannot blow the round count.
+    Converged when no label changes (one tiny count per round on the
+    checkpointed frame). Each round is two shuffles on the node id.
+    Output: (node, component) with component = min node id of the
+    component — deterministic regardless of partitioning.
+
+    If ``stats`` is given, ``stats["rounds"]`` records rounds-to-converge
+    (bench reports it so VM-phase noise and algorithmic drift in the
+    iterative timing are distinguishable round-over-round).
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -362,18 +376,30 @@ def connected_components(
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("lbl", F.col("node"))
     ).localCheckpoint(eager=True)
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         nbr_min = (
             sym.join(labels.withColumnRenamed("node", "b"), "b")
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        stepped = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl"),
+        )
+        # pointer doubling: lbl := lbl[lbl]. Every lbl value is a node id
+        # in the same component (init lbl=node; both steps only adopt
+        # labels held by same-component nodes), so the self-join is total
+        # and the shortcut stays within the component — min-monotone, and
+        # any fixed point of the neighbor-min step alone is already
+        # per-component constant, so convergence detection is unchanged.
         new_labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl"),
+            stepped.join(
+                stepped.select(F.col("node").alias("lbl"), F.col("lbl").alias("lbl2")),
+                "lbl",
             )
+            .select("node", F.col("lbl2").alias("lbl"))
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -393,6 +419,8 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds; "
             "component diameter exceeds max_iter — raise max_iter"
         )
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select("node", F.col("lbl").alias("component"))
 
 

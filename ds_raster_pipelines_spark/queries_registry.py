@@ -51,42 +51,45 @@ def register(name: str, sql: str | None):
 # Everything else is r4-green with unchanged code and sits in the tail;
 # it rotates into the prefix next round (see test_registry_integrity).
 _PRIORITY = [
-    # -- r4 tail (last driver row is r3): rotate back in -----------------
-    "join_customer_revenue", "knn_ring_halo", "anti_join_coverage", "window_rolling_centered",
-    "cell_encode_histogram", "cell_parent_rollup", "coverage_pct",
-    "doy_climatology", "band_merge_outer", "topk_per_group",
-    "latest_wins_dedup", "validation_leadtime", "caption_propagation",
-    "multiband_cube_baseline", "tumbling_window_events", "bbox_prune_count",
-    "request_pruned_scan", "asof_join_daily_ref", "sessionize_events",
-    "grace_trim_expected", "epoch_branch_union", "salted_join_revenue",
-    "lon_normalize_bands", "json_fallback_projection", "grid_snap_join",
-    "archive_member_explode", "trivial_aggs", "validation_filename_date",
-    "update_latest_tick",
-    # -- new in round 5 --------------------------------------------------
-    "grib_complex_bitmap_mean", "grib_production_volume", "zonal_pixel_stats_nc4",
-    "wav_mulaw_stats", "zonal_pixel_stats_gif", "interval_bucket_join", "cell_compact_multilevel",
-    # -- modules changed in round 5 --------------------------------------
-    "grib_ensemble_mean", "zip_member_explode_real",
-    "zonal_pixel_stats_nc", "multiband_cube_nc_roundtrip",
-    "zonal_pixel_stats_tif", "cog_overview_zonal",
-    "flagship_zonal_decode", "pip_zonal_bbox", "pip_zonal_raycast",
-    "pip_all_touched", "zonal_pixel_stats",
-    # -- r4-green filler (graded last round; harmlessly re-graded) -------
-    "ensemble_mean", "validation_metadata", "pixel_histogram",
-    "coarsen_resample", "validation_bounds", "decode_verify_gate",
-    "wav_audio_stats", "zonal_pixel_stats_dct", "bilinear_resample_means",
-    # -- tail: r4-green, code unchanged this round (rotates in next) -----
-    "filename_date_extraction", "leadtime_arithmetic",
-    "semi_join_suppliers", "quantile_summary", "set_ops_nations",
-    "pivot_priority_revenue", "rollup_pricing", "near_dup_jaccard",
-    "doc_fingerprint", "deterministic_sample", "tfidf_top_terms",
-    "token_stats_per_lang", "quality_scores", "langid_confusion",
-    "minhash_lsh_candidates", "image_feature_buckets",
-    "zonal_weighted", "orientation_flip",
-    "minhash_lsh_md5", "minhash_dedup_verified", "dedup_components",
-    "dedup_exact", "near_dup_ngram", "simhash_fingerprints",
-    "phash_near_dup", "embedding_near_dup", "ann_cosine_topk",
-    "ann_lsh_bucketed", "ann_ivf_topk", "q1_pricing_summary",
+    # -- r5 tail (last driver row is r4): the 36 stale queries rotate ----
+    # -- into the graded 50-prefix this round (VERDICT r5 item 2) --------
+    "dedup_components",  # operators/dedup.py changed r6 (pointer doubling)
+    "minhash_lsh_md5", "minhash_dedup_verified", "minhash_lsh_candidates",
+    "dedup_exact", "near_dup_jaccard", "near_dup_ngram",
+    "simhash_fingerprints", "doc_fingerprint", "deterministic_sample",
+    "tfidf_top_terms", "token_stats_per_lang", "quality_scores",
+    "langid_confusion", "phash_near_dup", "embedding_near_dup",
+    "ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_topk",
+    "image_feature_buckets", "zonal_weighted", "orientation_flip",
+    "zonal_pixel_stats_dct", "coarsen_resample", "bilinear_resample_means",
+    "decode_verify_gate", "wav_audio_stats", "quantile_summary",
+    "q1_pricing_summary", "filename_date_extraction",
+    "leadtime_arithmetic", "validation_bounds", "semi_join_suppliers",
+    "set_ops_nations", "pivot_priority_revenue", "rollup_pricing",
+    # -- new in round 6 (inserted here as they land) ---------------------
+    # -- r5-green filler (graded last round; harmlessly re-graded) -------
+    "flagship_zonal_decode", "zonal_pixel_stats", "pixel_histogram",
+    "ensemble_mean", "validation_metadata",
+    "grib_ensemble_mean", "grib_complex_bitmap_mean",
+    "grib_production_volume", "zonal_pixel_stats_nc",
+    "zonal_pixel_stats_nc4", "zonal_pixel_stats_tif", "cog_overview_zonal",
+    "multiband_cube_nc_roundtrip", "wav_mulaw_stats",
+    # -- tail: r5-green, code unchanged this round (rotates in next) -----
+    "zonal_pixel_stats_gif", "interval_bucket_join",
+    "cell_compact_multilevel", "zip_member_explode_real",
+    "pip_zonal_bbox", "pip_zonal_raycast", "pip_all_touched",
+    "join_customer_revenue", "knn_ring_halo", "anti_join_coverage",
+    "window_rolling_centered", "cell_encode_histogram",
+    "cell_parent_rollup", "coverage_pct", "doy_climatology",
+    "band_merge_outer", "topk_per_group", "latest_wins_dedup",
+    "validation_leadtime", "caption_propagation",
+    "multiband_cube_baseline", "tumbling_window_events",
+    "bbox_prune_count", "request_pruned_scan", "asof_join_daily_ref",
+    "sessionize_events", "grace_trim_expected", "epoch_branch_union",
+    "salted_join_revenue", "lon_normalize_bands",
+    "json_fallback_projection", "grid_snap_join",
+    "archive_member_explode", "trivial_aggs",
+    "validation_filename_date", "update_latest_tick",
 ]
 
 
@@ -1082,10 +1085,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures,
     )
 
+    from .operators import dedup as _dedup_mod
+
     cand = lsh_candidate_pairs(
         minhash_signatures(_pq(spark, sf_dir, "documents"), strategy="md5"), max_bucket=50
     )
-    return connected_components(cand).orderBy("node")
+    return connected_components(cand, stats=_dedup_mod.LAST_CC_STATS).orderBy("node")
 
 
 _SIMHASH_ORACLE = f"""

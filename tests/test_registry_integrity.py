@@ -29,28 +29,21 @@ def test_priority_order_covers_graded_prefix():
     )  # drift: update _PRIORITY when registering a query
     graded = set(qs[:50])
     must_grade = {
-        # the 29-query r4 tail (last driver row is r3 — VERDICT r4 item 8)
-        "join_customer_revenue", "knn_ring_halo", "anti_join_coverage",
-        "window_rolling_centered", "cell_encode_histogram",
-        "cell_parent_rollup", "coverage_pct", "doy_climatology",
-        "band_merge_outer", "topk_per_group", "latest_wins_dedup",
-        "validation_leadtime", "caption_propagation",
-        "multiband_cube_baseline", "tumbling_window_events",
-        "bbox_prune_count", "request_pruned_scan", "asof_join_daily_ref",
-        "sessionize_events", "grace_trim_expected", "epoch_branch_union",
-        "salted_join_revenue", "lon_normalize_bands",
-        "json_fallback_projection", "grid_snap_join",
-        "archive_member_explode", "trivial_aggs",
-        "validation_filename_date", "update_latest_tick",
-        # new in round 5
-        "grib_complex_bitmap_mean", "grib_production_volume", "zonal_pixel_stats_nc4",
-    "wav_mulaw_stats", "zonal_pixel_stats_gif", "interval_bucket_join", "cell_compact_multilevel",
-        # modules changed in round 5 (grib/netcdf/tiff/ziparchive/pip)
-        "grib_ensemble_mean", "zip_member_explode_real",
-        "zonal_pixel_stats_nc", "multiband_cube_nc_roundtrip",
-        "zonal_pixel_stats_tif", "cog_overview_zonal",
-        "flagship_zonal_decode", "pip_zonal_bbox", "pip_zonal_raycast",
-        "pip_all_touched", "zonal_pixel_stats",
+        # the 36-query r5 tail (last driver row is r4 — VERDICT r5 item 2)
+        "zonal_weighted", "q1_pricing_summary", "filename_date_extraction",
+        "leadtime_arithmetic", "validation_bounds", "semi_join_suppliers",
+        "dedup_exact", "near_dup_jaccard", "minhash_lsh_candidates",
+        "near_dup_ngram", "minhash_lsh_md5", "minhash_dedup_verified",
+        "dedup_components", "simhash_fingerprints", "doc_fingerprint",
+        "deterministic_sample", "tfidf_top_terms", "token_stats_per_lang",
+        "quality_scores", "langid_confusion", "ann_cosine_topk",
+        "ann_lsh_bucketed", "ann_ivf_topk", "orientation_flip",
+        "zonal_pixel_stats_dct", "phash_near_dup", "quantile_summary",
+        "coarsen_resample", "set_ops_nations", "pivot_priority_revenue",
+        "rollup_pricing", "wav_audio_stats", "decode_verify_gate",
+        "bilinear_resample_means", "image_feature_buckets",
+        "embedding_near_dup",
+        # new in round 6 (added here as they land)
     }
     assert must_grade <= graded, must_grade - graded
 
