@@ -357,6 +357,7 @@ def materialized_images_n(
             import shutil
 
             shutil.rmtree(path)
+        import shutil
         # ids only (see materialized_images: no images plan through
         # _write_corpus), and n_rows passed so no count job runs at all.
         # Generation runs in <=4M-tile JOBS (append per chunk): bounding
@@ -371,17 +372,43 @@ def materialized_images_n(
         # worker crashed mid-write with a broken Arrow pipe — same failure
         # family as the round-3 2 GB wedge). Halve the chunk beyond 64M
         # tiles: ~260 MB/task, comfortably inside the envelope.
-        chunk = 4_000_000 if n <= 64_000_000 else 2_000_000
+        chunk = int(
+            os.environ.get(
+                "SPARK_GRAFT_CORPUS_CHUNK",
+                4_000_000 if n <= 64_000_000 else 2_000_000,
+            )
+        )
         tmp = f"{path}.__building__"
-        if os.path.exists(tmp):
-            import shutil
-
-            shutil.rmtree(tmp)
+        # Per-chunk resume (multi-hour builds must survive a kill): a
+        # manifest records each chunk's id-range AFTER its append job
+        # commits. Spark's FileOutputCommitter stages task files under
+        # _temporary and commits at job end, so a killed chunk leaves
+        # only staging dirs — scrub those, skip manifested chunks, and
+        # the restart continues where the last commit left off. This is
+        # the same lineage-manifest discipline the Iceberg snapshot log
+        # uses (streaming/incremental.py), applied to corpus staging.
+        manifest = f"{tmp}/_CHUNKS_DONE"
+        done: set[int] = set()
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                done = {int(line.split()[0]) for line in f if line.strip()}
+            for root, dirs, _files in os.walk(tmp):
+                for d in list(dirs):
+                    if d == "_temporary":
+                        shutil.rmtree(os.path.join(root, d))
+                        dirs.remove(d)
+        elif os.path.exists(tmp):
+            shutil.rmtree(tmp)  # pre-manifest partial: no way to trust it
         for lo in range(0, n, chunk):
+            if lo in done:
+                continue
             ids = spark.range(lo, min(lo + chunk, n), 1, spark.sparkContext.defaultParallelism)
             # n_rows=n keeps the layout decision (partitionBy vs plain)
             # identical across chunks
             _write_corpus(ids.withColumnRenamed("id", "i"), tmp, n_rows=n, mode="append")
+            with open(manifest, "a") as f:
+                f.write(f"{lo} {min(lo + chunk, n)}\n")
+        os.remove(manifest)
         os.rename(tmp, path)
         open(f"{path}/_SUCCESS", "a").close()
     return path

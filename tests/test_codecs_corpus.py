@@ -164,3 +164,39 @@ def test_dct_codec_psnr_and_determinism():
 
     with _pytest.raises(ValueError, match="divisible"):
         codecs.encode_dct(np.zeros((10, 10), np.uint8))
+
+
+def test_corpus_chunked_build_resumes(spark, tmp_path, monkeypatch):
+    """Kill/resume of the chunked range-corpus build: a restart must skip
+    manifested chunks, scrub uncommitted staging, and produce the exact
+    row set a clean build produces (ids 0..n-1, no dupes, no holes)."""
+    import os
+
+    from ds_raster_pipelines_spark import corpus
+
+    monkeypatch.setenv("SPARK_GRAFT_CORPUS_CHUNK", "100")
+    root = str(tmp_path / "cache")
+    n = 350  # 4 chunks of 100
+
+    # clean build as the golden
+    p = corpus.materialized_images_n(spark, n, cache_root=root + "_golden")
+    golden = sorted(r.i for r in spark.read.parquet(p).select("i").collect())
+    assert golden == list(range(n))
+
+    # simulated kill: run two chunks by hand, leave manifest + staging junk
+    path = f"{root}/{corpus.CORPUS_VERSION}/range_{n}"
+    tmp = f"{path}.__building__"
+    os.makedirs(tmp)
+    from pyspark.sql import functions as F
+
+    for lo in (0, 100):
+        ids = spark.range(lo, lo + 100).withColumnRenamed("id", "i")
+        corpus._write_corpus(ids, tmp, n_rows=n, mode="append")
+        with open(f"{tmp}/_CHUNKS_DONE", "a") as f:
+            f.write(f"{lo} {lo + 100}\n")
+    os.makedirs(f"{tmp}/_temporary/0")  # uncommitted staging from the kill
+
+    p2 = corpus.materialized_images_n(spark, n, cache_root=root)
+    got = sorted(r.i for r in spark.read.parquet(p2).select("i").collect())
+    assert got == golden
+    assert not os.path.exists(tmp)
