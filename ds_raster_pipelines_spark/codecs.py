@@ -22,7 +22,9 @@ import zlib
 
 import numpy as np
 
-LOSSLESS_FMTS = frozenset({"raw", "png", "tif", "cog", "nc", "nc4", "gif"})
+LOSSLESS_FMTS = frozenset(
+    {"raw", "png", "tif", "cog", "nc", "nc4", "nc_packed", "nc4_packed", "gif"}
+)
 LOSSY_FMTS = frozenset({"qnt", "dct"})
 ALL_FMTS = LOSSLESS_FMTS | LOSSY_FMTS
 
@@ -212,6 +214,14 @@ def encode_tile(pixels: np.ndarray, fmt: str, meta: dict | None = None) -> bytes
         from . import hdf5
 
         return hdf5.encode_nc4_tile(pixels, **(meta or {}))
+    if fmt == "nc_packed":  # CF packed shorts + scale_factor/add_offset
+        from . import netcdf
+
+        return netcdf.encode_nc_tile_packed(pixels, **(meta or {}))
+    if fmt == "nc4_packed":  # CF packed shorts in the HDF5 container
+        from . import hdf5
+
+        return hdf5.encode_nc4_tile_packed(pixels, **(meta or {}))
     if fmt == "gif":  # GIF89a / LZW (gif.py, from scratch)
         from . import gif
 
@@ -231,11 +241,11 @@ def decode_tile(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         from . import tiff
 
         return tiff.decode_tif(data)
-    if fmt == "nc":  # classic NetCDF-3: (time, lat, lon) band_data
+    if fmt in ("nc", "nc_packed"):  # classic NetCDF-3: (time, lat, lon)
         from . import netcdf
 
         return netcdf.decode_nc_tile(data)
-    if fmt == "nc4":  # NetCDF-4 / HDF5: the IMERG .nc4 shape
+    if fmt in ("nc4", "nc4_packed"):  # NetCDF-4 / HDF5: the IMERG .nc4 shape
         from . import hdf5
 
         return hdf5.decode_nc4_tile(data)

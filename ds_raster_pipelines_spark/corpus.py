@@ -176,7 +176,7 @@ def images_from_ids(
                 elif orientation == "flip_lat":
                     tile = tile[::-1, :]
                 meta = None
-                if f in ("nc", "nc4"):
+                if f in ("nc", "nc4", "nc_packed", "nc4_packed"):
                     # the NetCDF container embeds real georeferencing —
                     # coordinate vars must agree with the footprint columns
                     # (footprint_cols_for_images) so a consumer reading the

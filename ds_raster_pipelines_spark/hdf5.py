@@ -703,6 +703,54 @@ def encode_nc4_tile(
     )
 
 
+def encode_nc4_tile_packed(
+    pixels: np.ndarray,
+    lon0: float = 0.0,
+    lat_top: float = 0.0,
+    span_deg: float = 0.25,
+    date_days: int = 0,
+    scale_factor: float = 0.25,
+    add_offset: float = 128.0,
+) -> bytes:
+    """encode_nc4_tile's CF *packed* twin: band stored as int16 with
+    ``scale_factor``/``add_offset`` attributes — the on-disk convention of
+    real IMERG `.nc4` granules (shorts + unpack attrs; the reference's
+    xarray open unpacks implicitly, imerg_pipeline.py:78). Shuffle+deflate
+    stay on: 2-byte elements byte-plane-shuffle like real granules."""
+    px = np.ascontiguousarray(pixels)
+    h, w = px.shape
+    packed = np.round((px.astype(np.float64) - add_offset) / scale_factor)
+    if packed.min() < -32768 or packed.max() > 32767:
+        raise ValueError("packed values overflow int16 — widen scale_factor")
+    lats = lat_top - (np.arange(h, dtype=np.float64) + 0.5) * (span_deg / h)
+    lons = lon0 + (np.arange(w, dtype=np.float64) + 0.5) * (span_deg / w)
+    band = packed.astype(np.int16)[None, :, :]
+    dim_scale = {"CLASS": "DIMENSION_SCALE"}
+    return encode_hdf5(
+        datasets={
+            "Grid/time": np.array([date_days], dtype=np.int32),
+            "Grid/lat": lats,
+            "Grid/lon": lons,
+            "Grid/band_data": band,
+        },
+        attrs={
+            "Grid/time": dict(dim_scale, NAME="time", units="days since 2024-01-01"),
+            "Grid/lat": dict(dim_scale, NAME="lat", units="degrees_north"),
+            "Grid/lon": dict(dim_scale, NAME="lon", units="degrees_east"),
+            "Grid/band_data": {
+                "units": "1",
+                "scale_factor": np.float64(scale_factor),
+                "add_offset": np.float64(add_offset),
+                "grid_mapping_epsg": np.int32(4326),
+            },
+        },
+        global_attrs={"Conventions": "CF-1.6", "title": "synthetic corpus tile"},
+        chunks={"Grid/band_data": band.shape},
+        deflate=1,
+        shuffle=True,
+    )
+
+
 _BAND_NAMES = ("band_data", "precipitation", "precipitationCal")
 
 
@@ -718,7 +766,9 @@ def decode_nc4_tile(buf: bytes) -> np.ndarray:
             break
     if ds is None:
         raise ValueError(f"no band variable among {sorted(f.datasets)}")
-    a = ds.data
+    from .netcdf import cf_unpack
+
+    a = cf_unpack(ds.data, getattr(ds, "attrs", {}) or {})
     if a.ndim == 3:
         a = a[0]
     return a.astype(np.uint8)

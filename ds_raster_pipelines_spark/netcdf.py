@@ -417,40 +417,118 @@ def encode_nc_tile(
     )
 
 
+def cf_unpack(arr: np.ndarray, attrs: dict) -> np.ndarray:
+    """CF packed-variable convention (CF-1.x §8.1, the layout real IMERG /
+    ERA5 granules use — the reference's xarray open applies it implicitly,
+    /root/reference/src/pipelines/imerg_pipeline.py:78): stored integers
+    become ``stored * scale_factor + add_offset`` in float64; values equal
+    to ``_FillValue`` become NaN BEFORE scaling (the fill sentinel lives in
+    the packed domain). No-op when neither attribute is present."""
+    scale = attrs.get("scale_factor")
+    offset = attrs.get("add_offset")
+    if scale is None and offset is None:
+        return arr
+    out = arr.astype(np.float64)
+    fill = attrs.get("_FillValue")
+    if fill is not None:
+        out[arr == fill] = np.nan
+    return out * float(scale if scale is not None else 1.0) + float(
+        offset if offset is not None else 0.0
+    )
+
+
+def encode_nc_tile_packed(
+    pixels: np.ndarray,
+    lon0: float = 0.0,
+    lat_top: float = 0.0,
+    span_deg: float = 0.25,
+    date_days: int = 0,
+    scale_factor: float = 0.25,
+    add_offset: float = 128.0,
+) -> bytes:
+    """encode_nc_tile's CF *packed* twin: band_data stored as NC_SHORT with
+    ``scale_factor``/``add_offset`` attributes — the exact on-disk layout
+    of real IMERG/ERA5 granules (shorts + unpack attrs), which the
+    reference consumes on every `.nc4` open. The default (0.25, 128.0)
+    makes the unpack integer-exact for uint8 pixels: packed =
+    (px − 128)/0.25 ∈ [−512, 508] fits NC_SHORT, and packed·0.25 + 128
+    reproduces px bit-exactly in float64."""
+    px = np.ascontiguousarray(pixels)
+    h, w = px.shape
+    packed = np.round((px.astype(np.float64) - add_offset) / scale_factor)
+    if packed.min() < -32768 or packed.max() > 32767:
+        raise ValueError("packed values overflow NC_SHORT — widen scale_factor")
+    lats = lat_top - (np.arange(h, dtype=np.float64) + 0.5) * (span_deg / h)
+    lons = lon0 + (np.arange(w, dtype=np.float64) + 0.5) * (span_deg / w)
+    return encode_nc(
+        dims={"time": 1, "lat": h, "lon": w},
+        variables=[
+            NcVar("time", ("time",), np.array([date_days], dtype=np.int32),
+                  {"units": "days since 2024-01-01"}),
+            NcVar("lat", ("lat",), lats, {"units": "degrees_north"}),
+            NcVar("lon", ("lon",), lons, {"units": "degrees_east"}),
+            NcVar(
+                "band_data",
+                ("time", "lat", "lon"),
+                packed.astype(np.int16)[None, :, :],
+                {
+                    "units": "1",
+                    "scale_factor": np.float64(scale_factor),
+                    "add_offset": np.float64(add_offset),
+                    "grid_mapping_epsg": np.int32(4326),
+                },
+            ),
+        ],
+        global_attrs={"Conventions": "CF-1.6", "title": "synthetic corpus tile"},
+        record_dim="time",
+    )
+
+
 # Header-template memo for the hot tile-decode path: two classic files
 # with BYTE-IDENTICAL headers necessarily share the whole variable layout
 # (names, dims, types, begin offsets are all header bytes; only data-
-# section bytes differ between corpus tiles of one shape). So after one
-# full parse, every same-header blob decodes with a single
-# frombuffer+reshape — this removed the 10x gap between the nc corpus
-# scan and its DCT twin on an identical Spark plan (VERDICT r4 item 4).
-_TILE_TEMPLATES: dict[bytes, tuple[int, int, int]] = {}
+# section bytes differ between corpus tiles of one shape) — and the CF
+# scale/offset attrs are header bytes too, so the packed layout memoizes
+# the unpack constants for free. After one full parse, every same-header
+# blob decodes with a single frombuffer+reshape(+scale) — this removed
+# the 10x gap between the nc corpus scan and its DCT twin on an identical
+# Spark plan (VERDICT r4 item 4).
+_TILE_TEMPLATES: dict[bytes, tuple[int, int, int, str, float, float]] = {}
 _TILE_TEMPLATES_MAX = 16
 
 
 def decode_nc_tile(buf: bytes) -> np.ndarray:
-    """uint8 (h, w) pixels from a tile written by encode_nc_tile (or any
-    classic file with a (time, lat, lon) band_data variable)."""
-    for hdr, (begin, h, w) in _TILE_TEMPLATES.items():
+    """uint8 (h, w) pixels from a tile written by encode_nc_tile /
+    encode_nc_tile_packed (or any classic file with a (time, lat, lon)
+    band_data variable, CF-packed or plain)."""
+    for hdr, (begin, h, w, dt, scale, offset) in _TILE_TEMPLATES.items():
         if buf[: len(hdr)] == hdr:
-            a = np.frombuffer(buf, dtype=">f4", count=h * w, offset=begin)
+            a = np.frombuffer(buf, dtype=dt, count=h * w, offset=begin)
+            if scale != 1.0 or offset != 0.0:
+                a = a * scale + offset
             return a.reshape(h, w).astype(np.uint8)
     f = decode_nc(buf)
     v = f.variables["band_data"]
-    a = v.data
+    a = cf_unpack(v.data, v.attrs)
     if a.ndim == 3:
         a = a[0]
-    if (
-        v.dims[-2:] == ("lat", "lon")
-        and a.dtype.kind == "f"
-        and a.dtype.itemsize == 4
-        and f.dims.get("time", 1) == 1
-    ):
+    memoizable = v.dims[-2:] == ("lat", "lon") and f.dims.get("time", 1) == 1 and (
+        (v.data.dtype.kind == "f" and v.data.dtype.itemsize == 4)
+        or (v.data.dtype.kind == "i" and "scale_factor" in v.attrs
+            and "_FillValue" not in v.attrs)
+    )
+    if memoizable:
         h, w = a.shape
         begin = f.begins["band_data"]
         header_len = min(f.begins.values())
-        if begin + h * w * 4 <= len(buf):
+        sz = v.data.dtype.itemsize
+        dt = ">f4" if v.data.dtype.kind == "f" else f">i{sz}"
+        if begin + h * w * sz <= len(buf):
             if len(_TILE_TEMPLATES) >= _TILE_TEMPLATES_MAX:
                 _TILE_TEMPLATES.clear()
-            _TILE_TEMPLATES[bytes(buf[:header_len])] = (begin, h, w)
+            _TILE_TEMPLATES[bytes(buf[:header_len])] = (
+                begin, h, w, dt,
+                float(v.attrs.get("scale_factor", 1.0)),
+                float(v.attrs.get("add_offset", 0.0)),
+            )
     return a.astype(np.uint8)

@@ -67,6 +67,7 @@ _PRIORITY = [
     "leadtime_arithmetic", "validation_bounds", "semi_join_suppliers",
     "set_ops_nations", "pivot_priority_revenue", "rollup_pricing",
     # -- new in round 6 (inserted here as they land) ---------------------
+    "zonal_pixel_stats_nc_packed", "zonal_pixel_stats_nc4_packed",
     # -- r5-green filler (graded last round; harmlessly re-graded) -------
     "flagship_zonal_decode", "zonal_pixel_stats", "pixel_histogram",
     "ensemble_mean", "validation_metadata",
@@ -1672,6 +1673,39 @@ def zonal_pixel_stats_nc4(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(corpus.materialized_images_fmt(spark, sf_dir, "nc4"))
     )
     return zonal_pixel_stats(images, corpus.admin_df(spark, offset=0.07), res=6)
+
+
+@register("zonal_pixel_stats_nc_packed", _zps_oracle(offset=0.04, lossless=True))
+def zonal_pixel_stats_nc_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-level zonal stats over a corpus stored as CF *packed*
+    classic NetCDF (netcdf.py encode_nc_tile_packed): band_data is
+    NC_SHORT with ``scale_factor``/``add_offset`` attributes, the on-disk
+    convention of real IMERG/ERA5 granules — the reference's xarray open
+    unpacks it implicitly on every `.nc4` read (imerg_pipeline.py:78).
+    The unpack (short·0.25 + 128) is integer-exact by construction, so
+    the same closed-form shifted-admin oracle applies bit-for-bit: a
+    scale/offset bug anywhere in the decode becomes a value divergence."""
+    from .operators.raster import zonal_pixel_stats
+
+    images = corpus.footprint_cols_for_images(
+        spark.read.parquet(corpus.materialized_images_fmt(spark, sf_dir, "nc_packed"))
+    )
+    return zonal_pixel_stats(images, corpus.admin_df(spark, offset=0.04), res=6)
+
+
+@register("zonal_pixel_stats_nc4_packed", _zps_oracle(offset=0.06, lossless=True))
+def zonal_pixel_stats_nc4_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CF packed shorts inside the NetCDF-4/HDF5 container
+    (hdf5.py encode_nc4_tile_packed) — byte-plane shuffle + deflate over
+    2-byte elements plus the scale_factor/add_offset unpack, i.e. the
+    exact layout of a real IMERG granule. Same oracle family as the nc4
+    twin at a distinct admin offset."""
+    from .operators.raster import zonal_pixel_stats
+
+    images = corpus.footprint_cols_for_images(
+        spark.read.parquet(corpus.materialized_images_fmt(spark, sf_dir, "nc4_packed"))
+    )
+    return zonal_pixel_stats(images, corpus.admin_df(spark, offset=0.06), res=6)
 
 
 # COG overview read: level-1 pixel value at column j is 2j + c exactly

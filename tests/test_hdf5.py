@@ -241,3 +241,18 @@ def test_nested_groups_roundtrip():
     assert set(f.datasets) == {"root_ds", "G/inner", "G/H/deep"}
     assert np.array_equal(f.datasets["G/inner"].data, b)
     assert np.array_equal(f.datasets["G/H/deep"].data, c)
+
+
+def test_nc4_cf_packed_roundtrip_exact():
+    """Packed shorts + shuffle + deflate in the HDF5 container decode
+    bit-exactly (the real-IMERG on-disk layout)."""
+    import numpy as np
+
+    from ds_raster_pipelines_spark import hdf5
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    blob = hdf5.encode_nc4_tile_packed(px, lon0=-30.0, lat_top=10.0)
+    assert np.array_equal(hdf5.decode_nc4_tile(blob), px)
+    # packed short payload deflates well below the float32 plain twin
+    assert len(blob) < len(hdf5.encode_nc4_tile(px, lon0=-30.0, lat_top=10.0))

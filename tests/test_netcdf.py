@@ -201,3 +201,38 @@ def test_encode_rejects_int64_overflow():
     # in-range int64 still encodes (as NC_INT)
     ok = nc.encode_nc({"x": 2}, [nc.NcVar("v", ("x",), np.array([1, 2], np.int64))])
     assert np.array_equal(nc.decode_nc(ok).variables["v"].data, [1, 2])
+
+
+def test_cf_packed_roundtrip_exact():
+    """CF packed-variable convention (scale_factor/add_offset shorts):
+    unpack must be integer-exact for uint8 pixels at the default
+    (0.25, 128.0) packing, via both the full parse and the header-template
+    memo path."""
+    import numpy as np
+
+    from ds_raster_pipelines_spark import netcdf
+
+    netcdf._TILE_TEMPLATES.clear()
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    blob = netcdf.encode_nc_tile_packed(px, lon0=12.0, lat_top=48.0)
+    assert np.array_equal(netcdf.decode_nc_tile(blob), px)  # full parse
+    px2 = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    blob2 = netcdf.encode_nc_tile_packed(px2, lon0=12.0, lat_top=48.0)
+    assert len(netcdf._TILE_TEMPLATES) == 1
+    assert np.array_equal(netcdf.decode_nc_tile(blob2), px2)  # memo path
+
+
+def test_cf_unpack_fill_value_and_partial_attrs():
+    import numpy as np
+
+    from ds_raster_pipelines_spark.netcdf import cf_unpack
+
+    a = np.array([-999, 0, 4], dtype=np.int16)
+    out = cf_unpack(a, {"scale_factor": 0.5, "add_offset": 10.0, "_FillValue": -999})
+    assert np.isnan(out[0]) and out[1] == 10.0 and out[2] == 12.0
+    # scale only / offset only
+    assert cf_unpack(np.array([4], dtype=np.int16), {"scale_factor": 2.0})[0] == 8.0
+    assert cf_unpack(np.array([4], dtype=np.int16), {"add_offset": 1.0})[0] == 5.0
+    # no attrs -> untouched dtype
+    assert cf_unpack(a, {}).dtype == np.int16

@@ -44,6 +44,7 @@ def test_priority_order_covers_graded_prefix():
         "bilinear_resample_means", "image_feature_buckets",
         "embedding_near_dup",
         # new in round 6 (added here as they land)
+        "zonal_pixel_stats_nc_packed", "zonal_pixel_stats_nc4_packed",
     }
     assert must_grade <= graded, must_grade - graded
 
