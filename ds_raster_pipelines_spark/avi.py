@@ -1,0 +1,235 @@
+"""From-scratch AVI (RIFF) video container codec — stdlib + numpy only.
+
+Video is the last first-class modality in the brief (image/audio landed in
+rounds 4-5). Real MJPEG-in-AVI is "a JPEG per frame inside a RIFF
+container"; this module implements the PUBLIC Microsoft AVI RIFF layout
+(the same `RIFF..AVI ` wire format ffmpeg/VfW read) with the repo's own
+8x8-DCT transform codec (codecs.encode_dct — JPEG-like: block DCT, Annex-K
+quantization, zigzag, deflate) as the per-frame payload. The stream
+fourcc is the honest custom tag ``DCT0`` (not ``MJPG`` — the frames are
+not Huffman-coded JFIF), so a spec-compliant reader knows the handler;
+everything else is spec AVI: ``avih``/``strh``/``strf`` headers, the
+``movi`` LIST of word-aligned ``00dc`` chunks, and the ``idx1`` index.
+
+Container layout (Microsoft "AVI RIFF File Reference"):
+
+    RIFF size 'AVI '
+      LIST size 'hdrl'
+        'avih' 56   main header (usec/frame, total frames, streams, w, h)
+        LIST size 'strl'
+          'strh' 56  stream header (fccType='vids', scale/rate, length)
+          'strf' 40  BITMAPINFOHEADER (w, h, bit count, compression)
+      LIST size 'movi'
+        '00dc' size payload [pad]     one chunk per frame, even-aligned
+      'idx1' size  16-byte entries (ckid, flags, offset, size)
+
+The sampling contract at scale: ``frame_payloads`` walks chunk HEADERS
+only — a 1-in-N frame sample reads N-times fewer payload bytes and
+decodes nothing it skips (the container walk is O(frames), the decode is
+O(sampled pixels) — same prune-before-decode discipline as the raster
+side, reference's "clip when initially reading").
+
+Reference parity: the reference repo has no video path (its rasters are
+COG/NetCDF); this module serves the builder brief's multimodal-columns
+requirement the same way WAV/mu-law/ADPCM served audio in round 5.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+AVIF_HASINDEX = 0x00000010
+AVIIF_KEYFRAME = 0x00000010
+
+_FOURCC_HANDLER = b"DCT0"  # honest custom handler tag (frames = codecs.encode_dct)
+
+
+def _chunk(fourcc: bytes, payload: bytes) -> bytes:
+    """RIFF chunk: fourcc + size + data, data padded to even length."""
+    pad = b"\x00" if len(payload) % 2 else b""
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _list(fourcc: bytes, payload: bytes) -> bytes:
+    return _chunk(b"LIST", fourcc + payload)
+
+
+def encode_avi(frames: list[bytes], w: int, h: int, fps: int = 10) -> bytes:
+    """Frame payloads (already codec-encoded) -> one AVI blob."""
+    if not frames:
+        raise ValueError("AVI needs at least one frame")
+    if not 1 <= fps <= 1_000_000:
+        raise ValueError("fps out of range")
+    max_sz = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<10I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        max_sz * fps,      # dwMaxBytesPerSec (advisory)
+        0,                 # dwPaddingGranularity
+        AVIF_HASINDEX,     # dwFlags
+        len(frames),       # dwTotalFrames
+        0,                 # dwInitialFrames
+        1,                 # dwStreams
+        max_sz,            # dwSuggestedBufferSize
+        w,
+        h,
+    ) + b"\x00" * 16  # dwReserved[4]
+    strh = (
+        b"vids"
+        + _FOURCC_HANDLER
+        + struct.pack(
+            "<IHHIIIIIIi",
+            0,            # dwFlags
+            0, 0,         # wPriority, wLanguage
+            0,            # dwInitialFrames
+            1,            # dwScale
+            fps,          # dwRate (rate/scale = fps)
+            0,            # dwStart
+            len(frames),  # dwLength (in frames)
+            max_sz,       # dwSuggestedBufferSize
+            -1,           # dwQuality (default)
+        )
+        + struct.pack("<I", 0)      # dwSampleSize (0: one sample = one frame)
+        + struct.pack("<4h", 0, 0, w, h)  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, w, h, 1, 8, _FOURCC_HANDLER, w * h, 0, 0, 0, 0
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih) + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi_payload = b""
+    index = b""
+    for f in frames:
+        # idx1 offsets are relative to the 'movi' fourcc position: the
+        # first chunk header sits 4 bytes past it (the common convention;
+        # readers must also accept absolute offsets — decode does)
+        index += b"00dc" + struct.pack(
+            "<III", AVIIF_KEYFRAME, 4 + len(movi_payload), len(f)
+        )
+        movi_payload += _chunk(b"00dc", f)
+    movi = _list(b"movi", movi_payload)
+    idx1 = _chunk(b"idx1", index)
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+@dataclass
+class AviMeta:
+    w: int
+    h: int
+    fps: int
+    n_frames: int
+    handler: bytes
+    # (abs_offset, size) of each frame's payload bytes within the blob
+    frames: list[tuple[int, int]]
+
+
+def _walk_chunks(buf: bytes, pos: int, end: int):
+    """Yield (fourcc, data_start, size) for each chunk in [pos, end)."""
+    while pos + 8 <= end:
+        fourcc = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        data = pos + 8
+        if data + size > end:
+            raise ValueError(f"chunk {fourcc!r} overruns its parent list")
+        yield fourcc, data, size
+        pos = data + size + (size % 2)  # even alignment
+
+
+def parse_avi(buf: bytes) -> AviMeta:
+    """Header + index walk: locates every frame payload WITHOUT touching
+    payload bytes (the scale contract — sampling decodes only what it
+    keeps). Prefers the idx1 index when present and falls back to a movi
+    scan; validates the two against each other when both exist."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not an AVI (RIFF/'AVI ' magic expected)")
+    (riff_size,) = struct.unpack_from("<I", buf, 4)
+    end = min(8 + riff_size, len(buf))
+    w = h = fps = n_frames = 0
+    handler = b""
+    movi_span: tuple[int, int] | None = None
+    idx_entries: list[tuple[int, int]] | None = None
+    for fourcc, data, size in _walk_chunks(buf, 12, end):
+        if fourcc == b"LIST":
+            kind = buf[data : data + 4]
+            if kind == b"hdrl":
+                for c2, d2, s2 in _walk_chunks(buf, data + 4, data + size):
+                    if c2 == b"avih":
+                        usec, _, _, _, n_frames, _, _, _, w, h = struct.unpack_from(
+                            "<10I", buf, d2
+                        )
+                        fps = round(1_000_000 / usec) if usec else 0
+                    elif c2 == b"LIST" and buf[d2 : d2 + 4] == b"strl":
+                        for c3, d3, s3 in _walk_chunks(buf, d2 + 4, d2 + s2):
+                            if c3 == b"strh" and buf[d3 : d3 + 4] == b"vids":
+                                handler = buf[d3 + 4 : d3 + 8]
+            elif kind == b"movi":
+                movi_span = (data, data + size)  # data points at 'movi'
+        elif fourcc == b"idx1":
+            idx_entries = []
+            for off in range(data, data + size, 16):
+                ckid = buf[off : off + 4]
+                _flags, ck_off, ck_size = struct.unpack_from("<III", buf, off + 4)
+                if ckid[2:4] in (b"dc", b"db"):
+                    idx_entries.append((ck_off, ck_size))
+    if movi_span is None:
+        raise ValueError("AVI without a movi list")
+    movi_data, movi_end = movi_span
+    scanned = [
+        (d, s)
+        for c, d, s in _walk_chunks(buf, movi_data + 4, movi_end)
+        if c[2:4] in (b"dc", b"db")
+    ]
+    frames = scanned
+    if idx_entries is not None:
+        # idx1 offsets: relative to the 'movi' fourcc (common) or absolute
+        # (some muxers) — detect by checking where the first entry lands
+        resolved = []
+        for ck_off, ck_size in idx_entries:
+            abs_hdr = movi_data + ck_off
+            if buf[abs_hdr : abs_hdr + 2] != b"00" and buf[ck_off : ck_off + 2] == b"00":
+                abs_hdr = ck_off  # absolute-offset muxer
+            resolved.append((abs_hdr + 8, ck_size))
+        if resolved != scanned:
+            raise ValueError("idx1 disagrees with the movi chunk walk")
+        frames = resolved
+    if n_frames and n_frames != len(frames):
+        raise ValueError(f"avih says {n_frames} frames, movi has {len(frames)}")
+    return AviMeta(w=w, h=h, fps=fps, n_frames=len(frames), handler=handler, frames=frames)
+
+
+def frame_payloads(buf: bytes, every_n: int = 1, offset: int = 0) -> list[bytes]:
+    """1-in-N frame sample: container walk + payload slice for KEPT frames
+    only (skipped frames' bytes are never copied or decoded)."""
+    if every_n < 1:
+        raise ValueError("every_n >= 1")
+    meta = parse_avi(buf)
+    return [bytes(buf[d : d + s]) for d, s in meta.frames[offset::every_n]]
+
+
+def encode_avi_dct(frames_px: list[np.ndarray], fps: int = 10, quality: int = 90) -> bytes:
+    """uint8 (h, w) frames -> AVI of DCT-coded payloads."""
+    from . import codecs
+
+    h, w = frames_px[0].shape
+    return encode_avi([codecs.encode_dct(f, quality) for f in frames_px], w, h, fps)
+
+
+def decode_avi_dct(buf: bytes, every_n: int = 1, offset: int = 0) -> list[np.ndarray]:
+    """Sampled decode: uint8 (h, w) pixel arrays for every Nth frame."""
+    from . import codecs
+
+    meta = parse_avi(buf)
+    if meta.handler != _FOURCC_HANDLER:
+        raise NotImplementedError(
+            f"AVI stream handler {meta.handler!r} not available in this environment"
+        )
+    return [
+        codecs.decode_dct(bytes(buf[d : d + s])) for d, s in meta.frames[offset::every_n]
+    ]
