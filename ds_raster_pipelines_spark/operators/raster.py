@@ -542,3 +542,113 @@ def resample_bilinear_stats(
     return images.mapInPandas(
         kernel, schema="i bigint, w2 int, h2 int, rs_mean_q bigint"
     )
+
+
+# ------------------------------------------- cross-CRS reprojection -------
+
+
+WEBMERC_MAX_LAT = 85.0511  # Web-Mercator domain clip (spec: ±85.051129)
+
+
+def merc_y(lat_deg: np.ndarray) -> np.ndarray:
+    """Unit-sphere Mercator northing: y = ln(tan(π/4 + φ/2)). The sphere
+    radius cancels out of every grid mapping below, so R never appears."""
+    return np.log(np.tan(np.pi / 4.0 + np.radians(lat_deg) / 2.0))
+
+
+def webmercator_row_map(
+    lat_top: float, span_deg: float, src_h: int, out_h: int
+) -> np.ndarray:
+    """Fractional SOURCE row index for each output row of an output grid
+    that is uniform in Web-Mercator northing over the tile's lat span
+    (the reproject_match analog for EPSG:4326 → EPSG:3857,
+    /root/reference/examples/mars_aws_seas5_grid.md:61-72). The x axis
+    needs no map: Mercator easting is linear in longitude, so for an
+    axis-aligned tile the warp is separable and columns pass through.
+
+    Pixel-center convention both ways (GDAL/rasterio): output row r sits
+    at northing y_t − (r+0.5)·(y_t−y_b)/out_h; source rows are uniform in
+    LATITUDE at lat_top − (s+0.5)·span/src_h. Clamped to [0, src_h−1]
+    (edge replicate). Mirrors the SQL oracle's formula term for term."""
+    lat_bot = lat_top - span_deg
+    if lat_top > WEBMERC_MAX_LAT or lat_bot < -WEBMERC_MAX_LAT:
+        raise ValueError("tile outside the Web-Mercator domain (|lat| > 85.0511)")
+    y_t = merc_y(np.float64(lat_top))
+    y_b = merc_y(np.float64(lat_bot))
+    r = np.arange(out_h, dtype=np.float64)
+    y_r = y_t - (r + 0.5) * (y_t - y_b) / out_h
+    phi = np.degrees(2.0 * np.arctan(np.exp(y_r)) - np.pi / 2.0)
+    u = (src_h / span_deg) * (lat_top - phi) - 0.5
+    return np.clip(u, 0.0, src_h - 1.0)
+
+
+def warp_rows(px: np.ndarray, u: np.ndarray, subpix: int = 256) -> np.ndarray:
+    """1-D vertical warp: bilinear along axis 0 at fractional source rows
+    ``u``, with source coordinates snapped to 1/subpix of a pixel first —
+    the fixed-subpixel-precision discipline of real warpers (GDAL does
+    the same), which ALSO makes every interpolated value an exact dyadic
+    rational: downstream fixed-point sums are bit-reproducible across
+    engines and partitionings."""
+    uq = np.rint(u * subpix) / subpix
+    lo = np.floor(uq).astype(np.int64)
+    hi = np.minimum(lo + 1, px.shape[0] - 1)
+    frac = (uq - lo)[:, None]
+    a = px.astype(np.float64)
+    return a[lo] + (a[hi] - a[lo]) * frac
+
+
+def reproject_webmercator(
+    px: np.ndarray, lat_top: float, span_deg: float = 0.25, out_h: int | None = None
+) -> np.ndarray:
+    """Equirectangular (EPSG:4326) tile → Web-Mercator (EPSG:3857) grid
+    over the same footprint. Separable closed form: row warp only."""
+    out_h = out_h or px.shape[0]
+    return warp_rows(px, webmercator_row_map(lat_top, span_deg, px.shape[0], out_h))
+
+
+def webmercator_inverse_row_map(
+    lat_top: float, span_deg: float, src_h: int, out_h: int
+) -> np.ndarray:
+    """The opposite direction (EPSG:3857-gridded source → uniform-latitude
+    output rows): fractional MERCATOR-grid row for each latitude-uniform
+    output row. Composing the two maps round-trips (pytest gate)."""
+    lat_bot = lat_top - span_deg
+    if lat_top > WEBMERC_MAX_LAT or lat_bot < -WEBMERC_MAX_LAT:
+        raise ValueError("tile outside the Web-Mercator domain (|lat| > 85.0511)")
+    y_t = merc_y(np.float64(lat_top))
+    y_b = merc_y(np.float64(lat_bot))
+    r = np.arange(out_h, dtype=np.float64)
+    lat_r = lat_top - (r + 0.5) * (span_deg / out_h)
+    y_r = merc_y(lat_r)
+    u = (src_h / (y_t - y_b)) * (y_t - y_r) - 0.5
+    return np.clip(u, 0.0, src_h - 1.0)
+
+
+def reproject_webmercator_sum256(images: DataFrame, quant_bits: int = 8) -> DataFrame:
+    """Graded reprojection surface: decode each tile, TRANSPOSE it (the
+    corpus gradient runs along x; the transpose makes pixel values vary
+    with the warped axis, so a row-map bug becomes a value divergence —
+    an unwarped-axis gradient would hide it), reproject to the
+    Web-Mercator grid over the tile's own footprint, and emit the warped
+    pixel sum in exact 1/256 fixed-point units as a bigint. With 1/256
+    subpixel snapping every warped value is dyadic, so the ×256 sum is an
+    exact integer — bit-reproducible across engines and partitionings.
+    ONE Arrow stage (decode + transpose + warp + sum fused)."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        from ..codecs import decode_tile
+
+        for pdf in batches:
+            out_i, out_s = [], []
+            for i, blob, fmt, w, h, lat_top in zip(
+                pdf["i"], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"], pdf["lat_top"]
+            ):
+                px = decode_tile(bytes(blob), fmt, int(w), int(h)).T
+                rp = reproject_webmercator(px, float(lat_top))
+                out_i.append(int(i))
+                out_s.append(int(np.rint(rp.sum() * 256.0)))
+            yield pd.DataFrame({"i": out_i, "rp_sum_256": out_s})
+
+    return images.mapInPandas(kernel, schema="i bigint, rp_sum_256 bigint")

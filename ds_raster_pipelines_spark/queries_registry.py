@@ -68,7 +68,7 @@ _PRIORITY = [
     "set_ops_nations", "pivot_priority_revenue", "rollup_pricing",
     # -- new in round 6 (inserted here as they land) ---------------------
     "zonal_pixel_stats_nc_packed", "zonal_pixel_stats_nc4_packed",
-    "video_frame_stats",
+    "video_frame_stats", "reproject_webmercator",
     # -- r5-green filler (graded last round; harmlessly re-graded) -------
     "flagship_zonal_decode", "zonal_pixel_stats", "pixel_histogram",
     "ensemble_mean", "validation_metadata",
@@ -1707,6 +1707,61 @@ def zonal_pixel_stats_nc4_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(corpus.materialized_images_fmt(spark, sf_dir, "nc4_packed"))
     )
     return zonal_pixel_stats(images, corpus.admin_df(spark, offset=0.06), res=6)
+
+
+# Cross-CRS reprojection oracle: the kernel transposes the gradient tile
+# (values y + c along the warped axis), so each warped pixel is exactly
+# u_q(r) + c with u_q = rint(256·u)/256 — the ×256 sum is the INTEGER
+# 64·S(k7) + 1048576·c where S(k7) = Σ_r round(256·u_r) depends only on
+# the tile's latitude class k7 = (7i) % 720. The SQL mirrors the numpy
+# row map term for term (unit-sphere Mercator, pixel-center convention,
+# [0,63] clamp); tiles outside the ±85.0511° Web-Mercator domain are
+# excluded by the exact integer predicate 20 <= k7 <= 699 in BOTH engines.
+_REPROJECT_ORACLE = """
+WITH dom AS (
+  SELECT o_orderkey AS i, (o_orderkey % 97) AS c, ((o_orderkey * 7) % 720) AS k7
+  FROM orders WHERE ((o_orderkey * 7) % 720) BETWEEN 20 AND 699
+),
+cls AS (
+  SELECT k7, (90.0 - 0.25 * k7) AS lat_top,
+         ln(tan(pi()/4 + radians(90.0 - 0.25 * k7) / 2)) AS y_t,
+         ln(tan(pi()/4 + radians(90.0 - 0.25 * k7 - 0.25) / 2)) AS y_b
+  FROM (SELECT DISTINCT k7 FROM dom)
+),
+u AS (
+  SELECT k7,
+         least(63.0, greatest(0.0,
+           256.0 * (lat_top
+                    - degrees(2 * atan(exp(y_t - (r.r + 0.5) * (y_t - y_b) / 64.0))
+                              - pi()/2))
+           - 0.5)) AS u
+  FROM cls, (SELECT unnest(generate_series(0, 63)) AS r) r
+),
+s AS (SELECT k7, sum(cast(round(u * 256.0) as bigint)) AS s256 FROM u GROUP BY k7)
+SELECT d.i AS i, cast(64 * s.s256 + 1048576 * d.c as bigint) AS rp_sum_256
+FROM dom d JOIN s USING (k7) ORDER BY i
+"""
+
+
+@register("reproject_webmercator", _REPROJECT_ORACLE)
+def reproject_webmercator_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE cross-CRS reprojection (EPSG:4326 equirectangular →
+    EPSG:3857 Web-Mercator), the reference's reproject_match analog
+    (examples/mars_aws_seas5_grid.md:61-72) beyond the same-CRS bilinear
+    resampler: closed-form separable warp (Mercator easting is linear in
+    longitude, so an axis-aligned tile reprojects as a 1-D row warp),
+    1/256 fixed-subpixel snapping for cross-engine bit-exactness, tiles
+    outside the ±85.0511° Mercator domain excluded by an integer
+    predicate. Decode + transpose + warp + fixed-point sum fused in ONE
+    Arrow stage over the lossless tif corpus."""
+    from .operators.raster import reproject_webmercator_sum256
+
+    images = (
+        spark.read.parquet(corpus.materialized_images_fmt(spark, sf_dir, "tif"))
+        .where(((F.col("i") * 7) % 720).between(20, 699))
+        .withColumn("lat_top", F.lit(90.0) - 0.25 * ((F.col("i") * 7) % 720))
+    )
+    return reproject_webmercator_sum256(images).orderBy("i")
 
 
 # COG overview read: level-1 pixel value at column j is 2j + c exactly

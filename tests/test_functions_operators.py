@@ -326,3 +326,52 @@ def test_asof_join_matches_bruteforce(spark):
                     assert pid in inner.index, (trial, pid)
             else:
                 assert got == v, (trial, pid)
+
+
+def test_webmercator_reprojection_properties():
+    """Cross-CRS warp kernel: monotone row map, brute-force agreement,
+    round-trip fidelity, domain guard."""
+    import numpy as np
+    import pytest
+
+    from ds_raster_pipelines_spark.codecs import psnr
+    from ds_raster_pipelines_spark.operators import raster
+
+    for lat_top in (85.0, 45.0, 10.0, 0.125, -30.0, -84.8):
+        u = raster.webmercator_row_map(lat_top, 0.25, 64, 64)
+        assert np.all(np.diff(u) > 0)  # strictly south-increasing
+        assert 0.0 <= u[0] and u[-1] <= 63.0
+        # Mercator stretches poleward: the half of the tile nearer the
+        # equator is sampled denser than the poleward half
+        mid = abs(u[32] - 31.5)
+        assert mid < 1.0  # map stays near-linear at tile scale
+
+    # brute-force per-pixel reimplementation must agree exactly
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    lat_top = 52.25
+    got = raster.reproject_webmercator(px, lat_top)
+    u = raster.webmercator_row_map(lat_top, 0.25, 64, 64)
+    uq = np.rint(u * 256) / 256
+    brute = np.empty((64, 64))
+    for r in range(64):
+        lo = int(np.floor(uq[r]))
+        hi = min(lo + 1, 63)
+        f = uq[r] - lo
+        for x in range(64):
+            brute[r, x] = px[lo, x] + (float(px[hi, x]) - px[lo, x]) * f
+    assert np.array_equal(got, brute)
+
+    # round-trip 4326 -> 3857 -> 4326 on smooth data: high fidelity
+    smooth = (np.arange(64)[:, None] + 7.0).repeat(64, axis=1)
+    fwd = raster.reproject_webmercator(smooth, lat_top)
+    back = raster.warp_rows(
+        fwd, raster.webmercator_inverse_row_map(lat_top, 0.25, 64, 64)
+    )
+    assert psnr(smooth, back) >= 60.0
+
+    # domain guard: poleward of the Web-Mercator clip raises
+    with pytest.raises(ValueError, match="Web-Mercator domain"):
+        raster.webmercator_row_map(89.0, 0.25, 64, 64)
+    with pytest.raises(ValueError, match="Web-Mercator domain"):
+        raster.webmercator_inverse_row_map(-85.3, 0.25, 64, 64)
