@@ -69,6 +69,7 @@ _PRIORITY = [
     # -- new in round 6 (inserted here as they land) ---------------------
     "zonal_pixel_stats_nc_packed", "zonal_pixel_stats_nc4_packed",
     "video_frame_stats", "reproject_webmercator",
+    "hll_distinct_orders", "quantile_sketch_price",
     # -- r5-green filler (graded last round; harmlessly re-graded) -------
     "flagship_zonal_decode", "zonal_pixel_stats", "pixel_histogram",
     "ensemble_mean", "validation_metadata",
@@ -1707,6 +1708,110 @@ def zonal_pixel_stats_nc4_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(corpus.materialized_images_fmt(spark, sf_dir, "nc4_packed"))
     )
     return zonal_pixel_stats(images, corpus.admin_df(spark, offset=0.06), res=6)
+
+
+# HLL sketch oracle: the ENTIRE pipeline re-expressed in SQL — same 60-bit
+# md5 hash, same register/rho integer identities (rho via binary string
+# length, no float log2), same exact-integer harmonic denominator s49, and
+# the same Python-computed alpha literal, so the one-row estimate matches
+# bit-for-bit (dense branch; 15k distinct >> 2.5m so linear counting does
+# not fire and no cross-libm ln() enters the compared value).
+_HLL_ALPHA_NUM = 0.7213 / (1.0 + 1.079 / 4096) * 4096 * 4096 * float(1 << 49)
+_HLL_ORACLE = f"""
+WITH h AS (
+  SELECT cast(('0x' || substring(md5(cast(o_orderkey as varchar)), 1, 15)) as bigint) AS h
+  FROM orders
+),
+reg AS (
+  SELECT h >> 48 AS idx,
+         max(CASE WHEN h % 281474976710656 = 0 THEN 49
+             ELSE 49 - length(printf('%b', h % 281474976710656)) END) AS rho
+  FROM h GROUP BY idx
+),
+agg AS (
+  SELECT count(*) AS nonzero,
+         sum(cast(power(2.0, 49 - rho) as bigint)) AS s_nonzero
+  FROM reg
+),
+s AS (
+  SELECT nonzero, s_nonzero + (4096 - nonzero) * 562949953421312 AS s49 FROM agg
+),
+est AS (
+  SELECT nonzero, s49,
+         CASE WHEN ({_HLL_ALPHA_NUM!r} / cast(s49 as double)) <= 10240.0
+                   AND nonzero < 4096
+              THEN 4096.0 * ln(4096.0 / cast(4096 - nonzero as double))
+              ELSE {_HLL_ALPHA_NUM!r} / cast(s49 as double) END AS e
+  FROM s
+)
+SELECT cast(4096 as bigint) AS m, cast(nonzero as bigint) AS nonzero,
+       cast(s49 as bigint) AS s49,
+       cast(round(e * 1000) as bigint) AS est_milli
+FROM est
+"""
+
+
+@register("hll_distinct_orders", _HLL_ORACLE)
+def hll_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch as a pure DataFrame composition
+    (operators/sketches.py): map-side 60-bit md5 → register/rho integer
+    extraction (shiftright + binary-string bitlength, no float in the
+    accumulated state) → ONE shuffle on ≤4096 register keys with partial
+    max → exact-integer harmonic denominator → one float division on one
+    row. Mergeable by construction (per-register max); the 100 TB answer
+    to COUNT(DISTINCT) without a global shuffle of the key space."""
+    from .operators.sketches import hll_distinct
+
+    orders = _pq(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("k")
+    )
+    return hll_distinct(orders, "k", p=12)
+
+
+_QSKETCH_ORACLE = """
+WITH b AS (
+  SELECT least(511, greatest(0,
+           cast(floor((l_extendedprice - 900.0) * 512 / 104100.0) as bigint))) AS bin
+  FROM lineitem
+),
+sk AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin),
+c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM sk),
+n AS (SELECT sum(cnt) AS n FROM sk),
+qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q),
+pick AS (
+  SELECT qs.q AS q, min(c.bin) AS bin
+  FROM qs, c, n
+  WHERE c.cum >= cast(ceil(qs.q * n.n) as bigint)
+  GROUP BY qs.q
+)
+SELECT p.q AS q, c.bin AS bin,
+       cast(c.cum - c.cnt as bigint) AS cum_before,
+       cast(c.cnt as bigint) AS cnt,
+       cast(n.n as bigint) AS n,
+       round(900.0 + (104100.0 / 512) *
+             (cast(c.bin as double)
+              + cast(cast(ceil(p.q * n.n) as bigint) - (c.cum - c.cnt) as double)
+                / cast(c.cnt as double)), 4) AS approx_value
+FROM pick p JOIN c ON p.bin = c.bin, n
+ORDER BY q
+"""
+
+
+@register("quantile_sketch_price", _QSKETCH_ORACLE)
+def quantile_sketch_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (fixed-grid histogram, deterministic
+    boundaries — exactly additive across partitions/partial sketches,
+    unlike randomized KLL compaction) over lineitem prices: ONE shuffle
+    on ≤512 bin keys with map-side partial counts, then quantile
+    extraction from the tiny sketch with exact integer rank evidence
+    (cum_before, cnt, n) alongside the interpolated value."""
+    from .operators.sketches import histogram_quantiles, histogram_sketch
+
+    li = _pq(spark, sf_dir, "lineitem")
+    sk = histogram_sketch(li, "l_extendedprice", 900.0, 105000.0, 512)
+    return histogram_quantiles(sk, [0.25, 0.5, 0.75, 0.95], 900.0, 105000.0, 512).orderBy(
+        "q"
+    )
 
 
 # Cross-CRS reprojection oracle: the kernel transposes the gradient tile

@@ -46,6 +46,7 @@ def test_priority_order_covers_graded_prefix():
         # new in round 6 (added here as they land)
         "zonal_pixel_stats_nc_packed", "zonal_pixel_stats_nc4_packed",
         "video_frame_stats", "reproject_webmercator",
+        "hll_distinct_orders", "quantile_sketch_price",
     }
     assert must_grade <= graded, must_grade - graded
 

@@ -1,0 +1,103 @@
+"""Sketch aggregates: mergeability (the property that makes them
+100 TB-viable) and accuracy gates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ds_raster_pipelines_spark.operators import sketches
+
+
+def _regs_dict(df):
+    return {r.idx: r.rho for r in df.collect()}
+
+
+def _hist_dict(df):
+    return {r.bin: r.cnt for r in df.collect()}
+
+
+def test_hll_merge_associative_and_equals_union(spark):
+    ids = spark.range(0, 9000).select(F.col("id").cast("string").alias("k"))
+    a = ids.where(F.col("k").cast("long") % 3 == 0)
+    b = ids.where(F.col("k").cast("long") % 3 == 1)
+    c = ids.where(F.col("k").cast("long") % 3 == 2)
+    ra, rb, rc = (sketches.hll_registers(x, "k") for x in (a, b, c))
+    left = sketches.hll_merge(sketches.hll_merge(ra, rb), rc)
+    right = sketches.hll_merge(ra, sketches.hll_merge(rb, rc))
+    union = sketches.hll_registers(ids, "k")
+    assert _regs_dict(left) == _regs_dict(right) == _regs_dict(union)
+
+
+def test_hll_dense_mode_accuracy(spark):
+    """p=12 → ~1.6% standard error; gate at 5% (3σ) for 30k distinct —
+    well past the 2.5m linear-counting threshold, so this exercises the
+    harmonic estimator, not the sparse fallback."""
+    n = 30000
+    ids = spark.range(0, n).select(F.col("id").cast("string").alias("k"))
+    row = sketches.hll_distinct(ids, "k").collect()[0]
+    assert abs(row.est_milli / 1000.0 - n) / n < 0.05
+    assert row.m == 4096 and 0 < row.nonzero <= 4096
+
+
+def test_hll_sparse_mode_is_linear_counting_and_tight(spark):
+    """Below 2.5m the estimator switches to linear counting — relative
+    error well under 1% at 500 distinct."""
+    n = 500
+    ids = spark.range(0, n).select(F.col("id").cast("string").alias("k"))
+    row = sketches.hll_distinct(ids, "k").collect()[0]
+    assert abs(row.est_milli / 1000.0 - n) / n < 0.01
+
+
+def test_hll_duplicates_do_not_move_the_sketch(spark):
+    ids = spark.range(0, 2000).select(F.col("id").cast("string").alias("k"))
+    dup = ids.unionByName(ids).unionByName(ids)
+    assert _regs_dict(sketches.hll_registers(ids, "k")) == _regs_dict(
+        sketches.hll_registers(dup, "k")
+    )
+
+
+def test_histogram_merge_associative_exact(spark):
+    li = spark.range(0, 10000).select(
+        ((F.col("id") * 37) % 9973).cast("double").alias("v")
+    )
+    a = li.where(F.col("v") < 3000)
+    b = li.where((F.col("v") >= 3000) & (F.col("v") < 7000))
+    c = li.where(F.col("v") >= 7000)
+    ska, skb, skc = (sketches.histogram_sketch(x, "v", 0.0, 10000.0, 64) for x in (a, b, c))
+    left = sketches.histogram_merge(sketches.histogram_merge(ska, skb), skc)
+    right = sketches.histogram_merge(ska, sketches.histogram_merge(skb, skc))
+    union = sketches.histogram_sketch(li, "v", 0.0, 10000.0, 64)
+    assert _hist_dict(left) == _hist_dict(right) == _hist_dict(union)
+    # counts are exactly additive: total preserved
+    assert sum(_hist_dict(union).values()) == 10000
+
+
+def test_histogram_quantiles_rank_guarantee(spark):
+    """approx_value's rank error is bounded by one bin's count: the true
+    quantile of the uniform ramp lies within ε = (hi−lo)/bins."""
+    n, bins, hi = 20000, 128, 20000.0
+    ramp = spark.range(0, n).select(F.col("id").cast("double").alias("v"))
+    sk = sketches.histogram_sketch(ramp, "v", 0.0, hi, bins)
+    rows = sketches.histogram_quantiles(sk, [0.1, 0.5, 0.9], 0.0, hi, bins).collect()
+    eps = hi / bins
+    for r in rows:
+        true_val = r.q * n
+        assert abs(r.approx_value - true_val) <= eps + 1.0, (r.q, r.approx_value)
+        # integer evidence is self-consistent
+        assert r.cum_before < r.q * r.n <= r.cum_before + r.cnt + 1
+
+
+def test_hll_register_bounds(spark):
+    regs = sketches.hll_registers(
+        spark.range(0, 5000).select(F.col("id").cast("string").alias("k")), "k"
+    ).collect()
+    for r in regs:
+        assert 0 <= r.idx < 4096
+        assert 1 <= r.rho <= 49
+
+
+def test_hll_p_validation(spark):
+    ids = spark.range(0, 10).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(ValueError):
+        sketches.hll_registers(ids, "k", p=3)

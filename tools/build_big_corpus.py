@@ -1,5 +1,7 @@
 """Background builder for the 128M-tile scaling corpus (resumable chunks)."""
-import sys, time
+import os, sys, time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ds_raster_pipelines_spark.session import get_spark
 from ds_raster_pipelines_spark import corpus
