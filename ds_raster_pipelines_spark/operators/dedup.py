@@ -527,3 +527,60 @@ def phash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def tokenize_word_ngrams(
+    df: DataFrame, n: int = 3, text_col: str = "text", out: str = "w"
+) -> DataFrame:
+    """doc_id + exploded distinct WORD n-grams (sliding windows of n
+    consecutive words joined by a space) — the shingle unit of standard
+    train/eval decontamination (the GPT-3/Llama n-gram-overlap recipe).
+    Pure Column exprs: split → sequence of window starts → slice +
+    array_join → explode → distinct."""
+    words = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select("doc_id", F.explode(grams).alias(out)).distinct()
+
+
+def decontaminate_overlap(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    min_overlap: int = 5,
+    max_df_eval: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/eval decontamination: (doc_id, eval_id, n_shared) for every
+    corpus doc sharing ≥ ``min_overlap`` distinct word n-grams with an
+    eval doc — the contamination report whose doc_ids get dropped (or
+    down-weighted) before training.
+
+    The 100 TB plan shape: eval sets are small by nature (10^3-10^5
+    docs), so the EVAL gram set — after the hot-shingle cap drops grams
+    appearing in > ``max_df_eval`` eval docs (boilerplate n-grams would
+    match everything and explode the join) — is BROADCAST. The corpus
+    side is tokenized map-side and semi-joined with zero corpus shuffle;
+    the only exchange is the per-(doc, eval) count over MATCHED rows,
+    which is bounded by the eval set's gram mass, not the corpus size."""
+    cg = tokenize_word_ngrams(corpus, n=n, text_col=text_col)
+    eg = tokenize_word_ngrams(eval_df, n=n, text_col=text_col).withColumnRenamed(
+        "doc_id", "eval_id"
+    )
+    hot_capped = eg.join(
+        eg.groupBy("w").agg(F.count(F.lit(1)).alias("df_ev")).where(
+            F.col("df_ev") <= max_df_eval
+        ).select("w"),
+        "w",
+    )
+    matched = cg.join(F.broadcast(hot_capped), "w")
+    return (
+        matched.groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_overlap)
+    )

@@ -70,6 +70,7 @@ _PRIORITY = [
     "zonal_pixel_stats_nc_packed", "zonal_pixel_stats_nc4_packed",
     "video_frame_stats", "reproject_webmercator",
     "hll_distinct_orders", "quantile_sketch_price",
+    "decontaminate_eval_overlap",
     # -- r5-green filler (graded last round; harmlessly re-graded) -------
     "flagship_zonal_decode", "zonal_pixel_stats", "pixel_histogram",
     "ensemble_mean", "validation_metadata",
@@ -1708,6 +1709,56 @@ def zonal_pixel_stats_nc4_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(corpus.materialized_images_fmt(spark, sf_dir, "nc4_packed"))
     )
     return zonal_pixel_stats(images, corpus.admin_df(spark, offset=0.06), res=6)
+
+
+# Decontamination oracle: word 3-gram overlap between the corpus and a
+# deterministic 5% eval sample (salt 'ev' — disjoint from the 's0'
+# deterministic_sample salt), eval-side hot-gram cap <= 10 mirrored in the
+# HAVING, pairs with >= 5 shared distinct grams. DuckDB list slicing is
+# 1-based inclusive: ws[i:i+2] is the 3-word window starting at i.
+_DECONTAM_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i.i:i.i+2], ' ') AS w
+  FROM w, (SELECT unnest(generate_series(1, 400)) AS i) i
+  WHERE i.i + 2 <= length(ws)
+),
+ev AS (
+  SELECT doc_id AS eval_id FROM documents
+  WHERE {md5_int_sql("('ev' || cast(doc_id as varchar))")} % 100 < 5
+),
+evg AS (SELECT g.w, ev.eval_id FROM g JOIN ev ON g.doc_id = ev.eval_id),
+keepg AS (SELECT w FROM evg GROUP BY w HAVING count(*) <= 10),
+evg2 AS (SELECT evg.w, evg.eval_id FROM evg JOIN keepg USING (w)),
+ov AS (
+  SELECT g.doc_id, e.eval_id, count(*) AS n_shared
+  FROM g JOIN evg2 e ON g.w = e.w GROUP BY g.doc_id, e.eval_id
+)
+SELECT doc_id, eval_id, cast(n_shared as bigint) AS n_shared
+FROM ov WHERE n_shared >= 5 ORDER BY doc_id, eval_id
+"""
+
+
+@register("decontaminate_eval_overlap", _DECONTAM_ORACLE)
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination (operators/dedup.decontaminate_overlap):
+    word 3-gram overlap report between the documents corpus and a
+    deterministic 5% eval sample. Plan shape for 100 TB: the eval gram
+    set (hot-gram-capped) is BROADCAST, so the corpus is tokenized
+    map-side and never shuffled — the only exchange aggregates matched
+    rows, bounded by the eval set's size, not the corpus's. Catches the
+    eval docs themselves (exact containment) AND near-duplicate
+    paraphrases that share >= 5 consecutive-word windows."""
+    from .functions.hashing import md5_int
+    from .operators.dedup import decontaminate_overlap
+
+    docs = _pq(spark, sf_dir, "documents")
+    eval_df = docs.where(
+        md5_int(F.concat(F.lit("ev"), F.col("doc_id").cast("string"))) % 100 < 5
+    )
+    return decontaminate_overlap(
+        docs, eval_df, n=3, min_overlap=5, max_df_eval=10
+    ).orderBy("doc_id", "eval_id")
 
 
 # HLL sketch oracle: the ENTIRE pipeline re-expressed in SQL — same 60-bit

@@ -338,3 +338,50 @@ def test_cache_scope_isolates_invocations(spark, docs):
         assert p1.count() == p2.count()
     # context exit released everything
     assert not any(df.storageLevel.useMemory for df in s1._dfs + s2._dfs)
+
+
+def test_decontaminate_overlap_constructed(spark):
+    """Constructed contamination: an eval doc verbatim in the corpus, a
+    paraphrase sharing a long span, an innocent doc, and a boilerplate
+    gram capped out by max_df_eval."""
+    from ds_raster_pipelines_spark.operators.dedup import decontaminate_overlap
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "prefix words then the quick brown fox jumps over something"),
+            (3, "completely unrelated content about spark physical plans"),
+            (4, "terms of service apply here"),
+        ],
+        "doc_id int, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog tonight"),
+            (101, "terms of service apply everywhere else entirely"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        (r.doc_id, r.eval_id): r.n_shared
+        for r in decontaminate_overlap(
+            corpus, eval_df, n=3, min_overlap=2, max_df_eval=10
+        ).collect()
+    }
+    assert out[(1, 100)] == 8  # verbatim: all 10-3+1 3-grams of the doc
+    assert out[(2, 100)] == 4  # paraphrase: the shared 6-word span
+    assert (3, 100) not in out and (3, 101) not in out
+    assert out[(4, 101)] == 2  # 'terms of service apply' span -> 2 grams
+
+    # hot-gram cap: a gram present in > max_df_eval eval docs is dropped
+    many_eval = spark.createDataFrame(
+        [(200 + k, f"common shared gram unique{k} tail{k} word{k}") for k in range(4)],
+        "doc_id int, text string",
+    )
+    probe = spark.createDataFrame(
+        [(9, "common shared gram and nothing else")], "doc_id int, text string"
+    )
+    hits = decontaminate_overlap(
+        probe, many_eval, n=3, min_overlap=1, max_df_eval=3
+    ).collect()
+    assert hits == []  # 'common shared gram' appears in 4 > 3 eval docs
