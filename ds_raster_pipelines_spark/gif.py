@@ -158,6 +158,12 @@ def _lzw_decode(comp: bytes, n_out: int) -> np.ndarray:
         if code == _EOI:
             break
         if prev_code < 0:
+            # first code after a Clear must be a root (or at least an
+            # already-defined code — but the table was just reset, so only
+            # roots exist): a stale 258..4095 code would expand leftover
+            # table contents from before the Clear instead of raising
+            if code >= next_code:
+                raise ValueError(f"corrupt LZW stream: code {code} > {next_code}")
             out += expand(code)
             prev_code = code
             continue

@@ -316,6 +316,11 @@ def encode_hdf5(
             node = node.setdefault(p, {})
             if not isinstance(node, dict):
                 raise ValueError(f"{name}: path component {p!r} is a dataset")
+        if isinstance(node.get(parts[-1]), dict):
+            # 'Grid' dataset after 'Grid/x' dataset would silently replace
+            # the whole subtree (the reverse order already raises above) —
+            # make the collision an error in both insertion orders
+            raise ValueError(f"{name}: name collides with group {parts[-1]!r}")
         node[parts[-1]] = hdr
 
     def emit(node: dict, group_attrs: dict) -> int:

@@ -71,6 +71,7 @@ _PRIORITY = [
     "video_frame_stats", "reproject_webmercator",
     "hll_distinct_orders", "quantile_sketch_price",
     "decontaminate_eval_overlap",
+    "zonal_pixel_stats_gif",  # gif.py changed r6 (LZW post-Clear guard)
     # -- r5-green filler (graded last round; harmlessly re-graded) -------
     "flagship_zonal_decode", "zonal_pixel_stats", "pixel_histogram",
     "ensemble_mean", "validation_metadata",
@@ -79,7 +80,7 @@ _PRIORITY = [
     "zonal_pixel_stats_nc4", "zonal_pixel_stats_tif", "cog_overview_zonal",
     "multiband_cube_nc_roundtrip", "wav_mulaw_stats",
     # -- tail: r5-green, code unchanged this round (rotates in next) -----
-    "zonal_pixel_stats_gif", "interval_bucket_join",
+    "interval_bucket_join",
     "cell_compact_multilevel", "zip_member_explode_real",
     "pip_zonal_bbox", "pip_zonal_raycast", "pip_all_touched",
     "join_customer_revenue", "knn_ring_halo", "anti_join_coverage",

@@ -240,6 +240,15 @@ def decode_wav(blob: bytes) -> np.ndarray:
         raise ValueError("WAV missing fmt/data chunk")
     if audio_format == 7:
         pcm = ulaw_decode(np.frombuffer(data, np.uint8)).astype(np.float64) / 32768.0
+        if n_channels and n_channels > 1:
+            # deinterleave + average, same contract as the PCM path (a
+            # stereo mu-law stream returned interleaved would silently
+            # break the documented 'channels averaged' promise)
+            pcm = (
+                pcm[: len(pcm) // n_channels * n_channels]
+                .reshape(-1, n_channels)
+                .mean(axis=1)
+            )
     elif audio_format == 0x11:
         if n_channels != 1:
             raise NotImplementedError("multi-channel IMA ADPCM")

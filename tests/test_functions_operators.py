@@ -375,3 +375,27 @@ def test_webmercator_reprojection_properties():
         raster.webmercator_row_map(89.0, 0.25, 64, 64)
     with pytest.raises(ValueError, match="Web-Mercator domain"):
         raster.webmercator_inverse_row_map(-85.3, 0.25, 64, 64)
+
+
+def test_decode_wav_multichannel_mulaw_averages():
+    """Stereo mu-law WAV: channels deinterleaved and averaged, matching
+    the PCM path's documented contract."""
+    import struct
+
+    import numpy as np
+
+    from ds_raster_pipelines_spark.sources import multimodal as mm
+
+    left = mm.mulaw_samples_for(3)
+    right = mm.mulaw_samples_for(3)  # identical channels -> mean == mono
+    inter = np.empty(2 * len(left), dtype="<i2")
+    inter[0::2], inter[1::2] = left, right
+    codes = mm.ulaw_encode(inter).tobytes()
+    fmt = struct.pack("<HHIIHHH", 7, 2, 8000, 16000, 2, 8, 0)
+    blob = mm._riff_wave(
+        [(b"fmt ", fmt), (b"fact", struct.pack("<I", len(left))), (b"data", codes)]
+    )
+    got = mm.decode_wav(blob)
+    mono = mm.decode_wav(mm.encode_wav_mulaw(left))
+    assert len(got) == len(mono)
+    assert np.array_equal(got, mono)

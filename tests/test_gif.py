@@ -78,3 +78,29 @@ def test_corpus_fmt_gif_decodes_to_ground_truth():
         px = pixels_for(i)
         blob = codecs.encode_tile(px, "gif")
         assert np.array_equal(codecs.decode_tile(blob, "gif", 64, 64), px)
+
+
+def test_lzw_first_code_after_clear_must_be_root():
+    """A corrupt stream whose first code after Clear is a stale table
+    entry (>= next_code) must raise, not expand leftover table state."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from ds_raster_pipelines_spark import gif
+
+    px = ((np.arange(64)[None, :] + 3)).astype(np.uint8).repeat(64, axis=0)
+    blob = bytearray(gif.encode_gif(px))
+    # fixed layout: header(6) + LSD(7) + GCT(768) + descriptor(10) +
+    # min-code-size(1) + sub-block length(1) -> first LZW byte at 793
+    data_start = 793
+    first = ((blob[data_start + 1] & 1) << 8) | blob[data_start]
+    assert first == 256  # encoder leads with Clear
+    # forge the code AFTER the Clear (bits 9..17) to stale entry 300:
+    # the first-code-after-Clear branch must reject it, not expand it
+    forged = 300
+    blob[data_start + 1] = (blob[data_start + 1] & 0x01) | ((forged & 0x7F) << 1)
+    blob[data_start + 2] = (blob[data_start + 2] & ~0x03) | (forged >> 7)
+    with pytest.raises(ValueError, match="corrupt LZW"):
+        gif.decode_gif(bytes(blob))

@@ -256,3 +256,16 @@ def test_nc4_cf_packed_roundtrip_exact():
     assert np.array_equal(hdf5.decode_nc4_tile(blob), px)
     # packed short payload deflates well below the float32 plain twin
     assert len(blob) < len(hdf5.encode_nc4_tile(px, lon0=-30.0, lat_top=10.0))
+
+
+def test_encode_hdf5_group_dataset_name_collision_both_orders():
+    import numpy as np
+    import pytest
+
+    from ds_raster_pipelines_spark.hdf5 import encode_hdf5
+
+    a = np.zeros(4, dtype=np.int32)
+    with pytest.raises(ValueError):
+        encode_hdf5(datasets={"Grid/x": a, "Grid": a})  # dataset after group
+    with pytest.raises(ValueError):
+        encode_hdf5(datasets={"Grid": a, "Grid/x": a})  # group after dataset

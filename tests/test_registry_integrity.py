@@ -47,7 +47,7 @@ def test_priority_order_covers_graded_prefix():
         "zonal_pixel_stats_nc_packed", "zonal_pixel_stats_nc4_packed",
         "video_frame_stats", "reproject_webmercator",
         "hll_distinct_orders", "quantile_sketch_price",
-        "decontaminate_eval_overlap",
+        "decontaminate_eval_overlap", "zonal_pixel_stats_gif",
     }
     assert must_grade <= graded, must_grade - graded
 
