@@ -25,7 +25,7 @@ import numpy as np
 LOSSLESS_FMTS = frozenset(
     {"raw", "png", "tif", "cog", "nc", "nc4", "nc_packed", "nc4_packed", "gif"}
 )
-LOSSY_FMTS = frozenset({"qnt", "dct"})
+LOSSY_FMTS = frozenset({"qnt", "dct", "jpg"})
 ALL_FMTS = LOSSLESS_FMTS | LOSSY_FMTS
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -226,6 +226,10 @@ def encode_tile(pixels: np.ndarray, fmt: str, meta: dict | None = None) -> bytes
         from . import gif
 
         return gif.encode_gif(pixels)
+    if fmt == "jpg":  # real baseline JFIF (jpeg.py, from scratch)
+        from . import jpeg
+
+        return jpeg.encode_jpeg(pixels)
     if fmt == "dct":  # JPEG-like lossy transform codec
         return encode_dct(pixels)
     raise ValueError(f"unknown fmt {fmt!r}")
@@ -255,9 +259,13 @@ def decode_tile(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         return gif.decode_gif(data)
     if fmt == "dct":
         return decode_dct(data)
-    if fmt in ("jpg", "jpeg", "webp"):
-        # Real lossy codecs need an imaging lib absent from this container;
-        # the 'qnt' format stands in for the lossy path (PSNR gate).
+    if fmt in ("jpg", "jpeg"):  # real baseline JFIF (jpeg.py, from scratch)
+        from . import jpeg
+
+        return jpeg.decode_jpeg(data)
+    if fmt == "webp":
+        # webp's VP8 intra-prediction codec is out of scope for a from-
+        # scratch build here; jpg covers the lossy container family.
         raise NotImplementedError(f"codec {fmt!r} not available in this environment")
     raise ValueError(f"unknown fmt {fmt!r}")
 

@@ -71,6 +71,7 @@ _PRIORITY = [
     "video_frame_stats", "reproject_webmercator",
     "hll_distinct_orders", "quantile_sketch_price",
     "decontaminate_eval_overlap",
+    "zonal_pixel_stats_jpg",  # real baseline JFIF codec (jpeg.py, new r6)
     "zonal_pixel_stats_gif",  # gif.py changed r6 (LZW post-Clear guard)
     # -- r5-green filler (graded last round; harmlessly re-graded) -------
     "flagship_zonal_decode", "zonal_pixel_stats", "pixel_histogram",
@@ -1658,6 +1659,26 @@ def zonal_pixel_stats_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(corpus.materialized_images_fmt(spark, sf_dir, "gif"))
     )
     return zonal_pixel_stats(images, corpus.admin_df(spark, offset=0.05), res=6)
+
+
+@register("zonal_pixel_stats_jpg", _zps_oracle(offset=0.09, lossless=True))
+def zonal_pixel_stats_jpg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-level zonal stats over a corpus stored as REAL baseline JFIF
+    JPEG streams (jpeg.py, from-scratch ITU-T T.81 codec: marker
+    segments, Annex-K quantization + standard Huffman tables, DC DPCM +
+    AC run-length entropy coding with byte stuffing). The decoder parses
+    its tables from each stream's own DQT/DHT segments — nothing is
+    assumed from the encoder. The transform stage shares the orthonormal
+    DCT + zigzag of the 'dct' format, so the smooth corpus gradients
+    round-trip BIT-exactly at q=90 (pytest covers all 97 pixel classes
+    exhaustively) and the lossless closed-form oracle applies: any drift
+    in the Huffman/DPCM/stuffing chain becomes a value divergence."""
+    from .operators.raster import zonal_pixel_stats
+
+    images = corpus.footprint_cols_for_images(
+        spark.read.parquet(corpus.materialized_images_fmt(spark, sf_dir, "jpg"))
+    )
+    return zonal_pixel_stats(images, corpus.admin_df(spark, offset=0.09), res=6)
 
 
 @register("zonal_pixel_stats_nc4", _zps_oracle(offset=0.07, lossless=True))
