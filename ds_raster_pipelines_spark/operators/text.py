@@ -157,3 +157,57 @@ def fingerprint(
         raise ValueError(hash)
     term = (h * ((F.col("pos") + 17) % 997 + 1)) % FP_P
     return words.groupBy("doc_id").agg(F.sum(term).alias(out))
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1), the
+    most-common heuristic filter a web-scale text pipeline runs before
+    training: per-doc top-word mass and duplicate-bigram mass. Pure
+    Column higher-order functions (transform/filter over the token
+    array) — map-side only, whole-stage codegen, zero shuffle until the
+    caller aggregates, so at 100 TB this is scan-bound.
+
+    Adds: ``n_tok``, ``top_cnt`` (count of the modal token), ``n_bi``
+    (bigram count), ``dup_bi`` (bigrams minus distinct bigrams).
+    Per-row cost is O(distinct·n) string compares; docs are capped at
+    ~10^3 tokens in any sane pipeline (chunk upstream if not).
+    """
+    w = F.split(F.col(text_col), " ")
+    n = F.size(w)
+    top_cnt = F.array_max(
+        F.transform(F.array_distinct(w), lambda d: F.size(F.filter(w, lambda x: x == d)))
+    )
+    bi = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.withColumns(
+        {
+            "n_tok": n,
+            "top_cnt": top_cnt,
+            "n_bi": F.size(bi),
+            "dup_bi": F.size(bi) - F.size(F.array_distinct(bi)),
+        }
+    )
+
+
+def repetition_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    max_top_frac: float = 0.2,
+    max_dup_bigram_frac: float = 0.05,
+) -> DataFrame:
+    """Drop docs whose modal-token mass or duplicate-bigram mass exceeds
+    the Gopher-style thresholds. Integer cross-multiplication (no float
+    division) so keep/drop decisions are bit-identical across engines."""
+    d = repetition_features(df, text_col)
+    # a/b > frac  <=>  a * (1/frac) > b  with 1/frac an exact integer
+    inv_top = round(1.0 / max_top_frac)
+    inv_bi = round(1.0 / max_dup_bigram_frac)
+    return d.where(
+        (F.col("top_cnt") * inv_top <= F.col("n_tok"))
+        & (F.col("dup_bi") * inv_bi <= F.col("n_bi"))
+    ).drop("n_tok", "top_cnt", "n_bi", "dup_bi")

@@ -72,6 +72,7 @@ _PRIORITY = [
     "hll_distinct_orders", "quantile_sketch_price",
     "decontaminate_eval_overlap",
     "zonal_pixel_stats_jpg",  # real baseline JFIF codec (jpeg.py, new r6)
+    "gopher_repetition_filter",
     "zonal_pixel_stats_gif",  # gif.py changed r6 (LZW post-Clear guard)
     # -- r5-green filler (graded last round; harmlessly re-graded) -------
     "flagship_zonal_decode", "zonal_pixel_stats", "pixel_histogram",
@@ -3550,4 +3551,62 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return lsh_near_dup_pairs(_pq(spark, sf_dir, "embeddings"), threshold=0.4).orderBy(
         "id_a", "id_b"
+    )
+
+
+# Gopher-style repetition signals (Rae et al. 2021 §A1.1) replicated in
+# DuckDB list-lambda algebra: same modal-token count, same bigram
+# construction (1-based adjacent concat), same integer cross-multiplied
+# thresholds (top-word > 20%, duplicate bigrams > 5%) — all-integer
+# output so the group keys and sums are bit-exact.
+_REPETITION_ORACLE = """
+WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+f AS (
+  SELECT len(w) AS n,
+         list_max(list_transform(list_distinct(w),
+                  d -> len(list_filter(w, x -> x = d)))) AS top_cnt,
+         CASE WHEN len(w) >= 2
+              THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+              ELSE CAST([] AS VARCHAR[]) END AS bi
+  FROM t
+),
+g AS (SELECT n, top_cnt, len(bi) AS n_bi,
+             len(bi) - len(list_distinct(bi)) AS dup_bi FROM f)
+SELECT CAST(top_cnt * 5 > n AS INT) AS fail_top,
+       CAST(dup_bi * 20 > n_bi AS INT) AS fail_dupbi,
+       count(*) AS n_docs,
+       cast(sum(n) as bigint) AS total_tokens,
+       cast(sum(top_cnt) as bigint) AS sum_top,
+       cast(sum(dup_bi) as bigint) AS sum_dup_bi
+FROM g GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("gopher_repetition_filter", _REPETITION_ORACLE)
+def gopher_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition-filter report (operators/text.py
+    repetition_features): per-doc modal-token and duplicate-bigram mass,
+    bucketed by which threshold fails. Reference analog: the quality
+    gates a web-scale pipeline runs before training (no direct reference
+    twin — LLM-data-pipeline brief). Plan at 100 TB: the signals are
+    pure Column higher-order functions (map-side, codegen, zero Python),
+    so the only exchange is the final 4-group aggregate — scan-bound."""
+    from .operators.text import repetition_features
+
+    d = repetition_features(_pq(spark, sf_dir, "documents"))
+    return (
+        d.withColumns(
+            {
+                "fail_top": (F.col("top_cnt") * 5 > F.col("n_tok")).cast("int"),
+                "fail_dupbi": (F.col("dup_bi") * 20 > F.col("n_bi")).cast("int"),
+            }
+        )
+        .groupBy("fail_top", "fail_dupbi")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("top_cnt").alias("sum_top"),
+            F.sum("dup_bi").alias("sum_dup_bi"),
+        )
+        .orderBy("fail_top", "fail_dupbi")
     )

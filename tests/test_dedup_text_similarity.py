@@ -385,3 +385,42 @@ def test_decontaminate_overlap_constructed(spark):
         probe, many_eval, n=3, min_overlap=1, max_df_eval=3
     ).collect()
     assert hits == []  # 'common shared gram' appears in 4 > 3 eval docs
+
+
+def test_repetition_filter_constructed(spark):
+    from ds_raster_pipelines_spark.operators.text import (
+        repetition_features,
+        repetition_filter,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    # clean: 8 distinct tokens, no repeated bigram
+                    "alpha beta gamma delta epsilon zeta eta theta",
+                    # modal-token spam: 'spam' is 5/8 > 20%
+                    "spam spam spam spam spam one two three",
+                    # duplicate-bigram loop: 'a b' bigram repeats heavily
+                    "a b a b a b a b a b a b a b a b a b a b",
+                    # single token: no bigrams, top_cnt == n (fails top)
+                    "solo",
+                ],
+            }
+        )
+    )
+    feats = {
+        r["doc_id"]: r
+        for r in repetition_features(df).collect()
+    }
+    assert feats[0]["n_tok"] == 8 and feats[0]["top_cnt"] == 1
+    assert feats[0]["dup_bi"] == 0 and feats[0]["n_bi"] == 7
+    assert feats[1]["top_cnt"] == 5  # modal token mass
+    assert feats[2]["n_bi"] == 19 and feats[2]["dup_bi"] == 17  # 2 distinct bigrams
+    assert feats[3]["n_tok"] == 1 and feats[3]["n_bi"] == 0 and feats[3]["dup_bi"] == 0
+
+    kept = {r["doc_id"] for r in repetition_filter(df).collect()}
+    assert kept == {0}  # 1 fails top-word, 2 fails dup-bigram, 3 fails top-word
+    # filter drops its scratch columns
+    assert set(repetition_filter(df).columns) == {"doc_id", "text"}

@@ -48,7 +48,7 @@ def test_priority_order_covers_graded_prefix():
         "video_frame_stats", "reproject_webmercator",
         "hll_distinct_orders", "quantile_sketch_price",
         "decontaminate_eval_overlap", "zonal_pixel_stats_gif",
-        "zonal_pixel_stats_jpg",
+        "zonal_pixel_stats_jpg", "gopher_repetition_filter",
     }
     assert must_grade <= graded, must_grade - graded
 
