@@ -72,7 +72,7 @@ _PRIORITY = [
     "hll_distinct_orders", "quantile_sketch_price",
     "decontaminate_eval_overlap",
     "zonal_pixel_stats_jpg",  # real baseline JFIF codec (jpeg.py, new r6)
-    "gopher_repetition_filter",
+    "gopher_repetition_filter", "flac_audio_stats",
     "zonal_pixel_stats_gif",  # gif.py changed r6 (LZW post-Clear guard)
     # -- r5-green filler (graded last round; harmlessly re-graded) -------
     "flagship_zonal_decode", "zonal_pixel_stats", "pixel_histogram",
@@ -3610,3 +3610,37 @@ def gopher_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fail_top", "fail_dupbi")
     )
+
+
+# Third real audio codec: FLAC (flac.py from scratch — fixed predictors,
+# partitioned Rice, CRC-8/16 + stream MD5). Lossless, so the per-file
+# stats equal the corpus generation formula exactly (flac_samples_for):
+# s_k = ((7i + 3k^2) % 4001) - 2000 over n = 96 + i % 32 samples.
+_FLAC_ORACLE = """
+WITH s AS (
+  SELECT o.o_orderkey AS i, k.k AS k,
+         (7 * o.o_orderkey + 3 * k.k * k.k) % 4001 - 2000 AS v
+  FROM orders o, (SELECT unnest(generate_series(0, 127)) AS k) k
+  WHERE k.k < 96 + o.o_orderkey % 32
+)
+SELECT i,
+       cast(count(*) as bigint) AS n_samples,
+       cast(sum(v) as bigint) AS sum_pcm,
+       cast(max(abs(v)) as bigint) AS peak_pcm
+FROM s GROUP BY i ORDER BY i
+"""
+
+
+@register("flac_audio_stats", _FLAC_ORACLE)
+def flac_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-audio modality over a REAL FLAC bitstream (flac.py,
+    from-scratch codec: STREAMINFO, UTF-8 frame numbers, fixed
+    predictors 0-4, partitioned Rice residuals, CRC-8/CRC-16 and MD5
+    all verified on decode). Lossless round-trip pins decode to the
+    closed-form sample algebra bit-for-bit. Plan at 100 TB: one Arrow
+    decode stage over stored blobs, partial agg before the per-file
+    exchange — identical shape to the wav/mulaw twins."""
+    from .sources.multimodal import flac_stats_exact, materialized_flac_corpus
+
+    media = spark.read.parquet(materialized_flac_corpus(spark, sf_dir))
+    return flac_stats_exact(media).orderBy("i")

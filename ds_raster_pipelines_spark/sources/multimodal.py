@@ -1,13 +1,13 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
-Image decode is real (codecs.py). Audio WAV/PCM decode is real too — a
-pure-numpy RIFF parser (uncompressed PCM needs no codec library).
-Compressed audio (mp3/ogg) and video decode need codec libraries absent
-from this container, so THOSE decode steps are stubbed behind
-NotImplementedError — but the Spark-side plumbing (schema, partitioning,
-Arrow batch shape, UDF signatures) is real and tested, with a
-deterministic fake feature extractor standing in for the codec so the
-pipeline shape executes end-to-end.
+Image decode is real (codecs.py). Audio decode is real across four
+representations: WAV/PCM (pure-numpy RIFF parser), G.711 mu-law,
+IMA ADPCM, and FLAC (flac.py — from-scratch fixed-predictor/Rice codec
+with CRC + MD5 verification). Video decode is real for AVI/RIFF with
+DCT frame payloads (avi.py). Perceptual-codec formats whose decoders
+need external libraries (mp3, h264/mp4) remain stubbed behind
+NotImplementedError — the Spark-side plumbing (schema, partitioning,
+Arrow batch shape, UDF signatures) is identical either way.
 
 Schema convention (one table per modality, or a union table with `mod`):
     media(media_id string, bytes binary, mod string, meta struct<...>)
@@ -278,6 +278,10 @@ def decode_audio(blob: bytes, codec: str) -> np.ndarray:
         return decode_wav(blob)
     if codec == "pcm16":
         return _fake_pcm(blob)  # raw little-endian int16 stream
+    if codec == "flac":
+        from ..flac import decode_flac
+
+        return decode_flac(blob).astype(np.float64) / 32768.0
     raise NotImplementedError(f"audio codec {codec!r} not available in this environment")
 
 
@@ -455,6 +459,77 @@ def materialized_mulaw_corpus(
         )
         build_mulaw_corpus(ids).write.mode("overwrite").parquet(path)
     return path
+
+
+def flac_samples_for(i: int) -> np.ndarray:
+    """Deterministic int16 stream for file i: n = 96 + i % 32 samples,
+    s_k = ((7*i + 3*k^2) % 4001) - 2000. Quadratic-with-wraps shape:
+    long runs where the order-2 fixed predictor leaves a constant
+    residual of 6 (Rice parameter ~3), punctuated by +-4001 jumps at the
+    mod wraps (escape-pressure) — exercises the codec's real decision
+    paths. FLAC is lossless, so the decoded aggregate has this exact
+    closed form in SQL (queries_registry flac_audio_stats)."""
+    n = 96 + i % 32
+    k = np.arange(n, dtype=np.int64)
+    return ((7 * i + 3 * k * k) % 4001 - 2000).astype("<i2")
+
+
+def build_flac_corpus(ids: DataFrame, id_col: str = "i") -> DataFrame:
+    """One real FLAC blob per id (flac.py from-scratch codec): the third
+    genuinely-compressed audio representation after mu-law and ADPCM —
+    and the first with frame CRCs + stream MD5 verified on decode."""
+    from ..flac import encode_flac
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = [
+                encode_flac(flac_samples_for(int(i)))
+                for i in pdf[id_col].astype(int)
+            ]
+            yield pd.DataFrame({"i": pdf[id_col].astype(np.int64), "bytes": blobs})
+
+    return ids.select(id_col).mapInPandas(kernel, schema="i bigint, bytes binary")
+
+
+def materialized_flac_corpus(
+    spark, sf_dir: str, cache_root: str = "/tmp/spark_graft_corpus"
+) -> str:
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .. import corpus as corpus_mod
+
+    key = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    path = f"{cache_root}/{corpus_mod.CORPUS_VERSION}/{key}_flac"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        ids = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select(F.col("o_orderkey").alias("i"))
+            .repartition(spark.sparkContext.defaultParallelism, "i")
+        )
+        build_flac_corpus(ids).write.mode("overwrite").parquet(path)
+    return path
+
+
+def flac_stats_exact(media: DataFrame) -> DataFrame:
+    """Integer-exact per-file stats over REAL FLAC decode (CRC-8/16 +
+    MD5 gates live on this path — a bitstream bug surfaces as a raise,
+    a predictor/Rice bug as a value divergence vs the oracle)."""
+    from ..flac import decode_flac
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"i": [], "n_samples": [], "sum_pcm": [], "peak_pcm": []}
+            for i, blob in zip(pdf["i"], pdf["bytes"]):
+                raw = decode_flac(bytes(blob)).astype(np.int64)
+                out["i"].append(int(i))
+                out["n_samples"].append(len(raw))
+                out["sum_pcm"].append(int(raw.sum()))
+                out["peak_pcm"].append(int(np.abs(raw).max()) if len(raw) else 0)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=AUDIO_EXACT_SCHEMA)
 
 
 def materialized_wav_corpus(
