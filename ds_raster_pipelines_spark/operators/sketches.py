@@ -184,3 +184,95 @@ def histogram_quantiles(
         )
         q_rows = picked if q_rows is None else q_rows.unionByName(picked)
     return q_rows
+
+
+# ------------------------------------------------------ count-min sketch --
+
+CMS_D_DEFAULT = 4  # hash rows
+CMS_W_DEFAULT = 1024  # buckets per row -> eps ~ e/w, delta ~ e^-d
+
+
+def _cms_buckets(value: F.Column, d: int, w: int) -> F.Column:
+    """Array of d (j, bucket) structs for a value — d seeded md5 hashes,
+    stateless and map-side (no global vocabulary, oracle-replicable)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.pmod(
+                    md5_int(F.concat(F.lit(f"cm{j}:"), value.cast("string"))),
+                    F.lit(w),
+                ).alias("bucket"),
+            )
+            for j in range(d)
+        ]
+    )
+
+
+def cms_counters(
+    df: DataFrame, col: str, d: int = CMS_D_DEFAULT, w: int = CMS_W_DEFAULT
+) -> DataFrame:
+    """The mergeable count-min state: (j, bucket, cnt).
+
+    Plan at 100 TB: explode is a map-side Generate; the groupBy's key
+    space is at most d*w rows (4096 default), so map-side partial
+    aggregation collapses every partition to <=d*w rows before the ONE
+    tiny exchange — the classic sketch contract (Cormode & Muthukrishnan
+    2005): stream through the data once, shuffle only the sketch."""
+    return (
+        df.select(F.explode(_cms_buckets(F.col(col), d, w)).alias("r"))
+        .groupBy(F.col("r.j").alias("j"), F.col("r.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*counter_frames: DataFrame) -> DataFrame:
+    """Merge sketches by per-cell sum (associative + commutative — the
+    mergeability test pins union-then-sketch == sketch-then-merge)."""
+    out = counter_frames[0]
+    for f in counter_frames[1:]:
+        out = out.unionByName(f)
+    return out.groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    counters: DataFrame,
+    keys: DataFrame,
+    col: str,
+    d: int = CMS_D_DEFAULT,
+    w: int = CMS_W_DEFAULT,
+) -> DataFrame:
+    """Point-estimate counts for ``keys`` (min over the d counters —
+    never an underestimate). The sketch side is <=d*w rows, so it is
+    BROADCAST: estimating any number of keys costs one map-side join,
+    no shuffle of the key set."""
+    kb = keys.select(
+        F.col(col), F.explode(_cms_buckets(F.col(col), d, w)).alias("r")
+    ).select(col, F.col("r.j").alias("j"), F.col("r.bucket").alias("bucket"))
+    return (
+        kb.join(F.broadcast(counters), ["j", "bucket"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+        .groupBy(col)
+        .agg(F.min("cnt").alias("est_count"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 20,
+    d: int = CMS_D_DEFAULT,
+    w: int = CMS_W_DEFAULT,
+) -> DataFrame:
+    """Top-k heavy hitters by count-min estimate with a deterministic
+    (est desc, value asc) tie-break. est >= true count always, and for
+    genuinely heavy keys the overestimate is bounded by eps*N w.h.p. —
+    the right tool when exact top-k would carry the full key space
+    through a shuffle."""
+    counters = cms_counters(df, col, d, w)
+    keys = df.select(col).distinct()
+    return (
+        cms_estimate(counters, keys, col, d, w)
+        .orderBy(F.col("est_count").desc(), F.col(col))
+        .limit(k)
+    )

@@ -72,7 +72,7 @@ _PRIORITY = [
     "hll_distinct_orders", "quantile_sketch_price",
     "decontaminate_eval_overlap",
     "zonal_pixel_stats_jpg",  # real baseline JFIF codec (jpeg.py, new r6)
-    "gopher_repetition_filter", "flac_audio_stats",
+    "gopher_repetition_filter", "flac_audio_stats", "cms_heavy_hitters",
     "zonal_pixel_stats_gif",  # gif.py changed r6 (LZW post-Clear guard)
     # -- r5-green filler (graded last round; harmlessly re-graded) -------
     "flagship_zonal_decode", "zonal_pixel_stats", "pixel_histogram",
@@ -3644,3 +3644,50 @@ def flac_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = spark.read.parquet(materialized_flac_corpus(spark, sf_dir))
     return flac_stats_exact(media).orderBy("i")
+
+
+# Count-min heavy hitters: the ENTIRE sketch pipeline replicated in SQL —
+# same d=4 seeded md5 hashes ('cm{j}:' prefixes), same w=1024 buckets,
+# same min-over-rows estimate, same (est desc, word) tie-break — so the
+# approximate answer (overestimates included) matches bit-for-bit.
+_CMS_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+j AS (SELECT unnest(generate_series(0, 3)) AS j),
+h AS (
+  SELECT w, j.j AS j,
+         {md5_int_sql("('cm' || cast(j.j as varchar) || ':' || w)")} % 1024 AS bucket
+  FROM tok, j
+),
+counters AS (SELECT j, bucket, count(*) AS cnt FROM h GROUP BY j, bucket),
+keys AS (SELECT DISTINCT w FROM tok),
+kb AS (
+  SELECT w, j.j AS j,
+         {md5_int_sql("('cm' || cast(j.j as varchar) || ':' || w)")} % 1024 AS bucket
+  FROM keys, j
+),
+est AS (
+  SELECT kb.w, min(coalesce(c.cnt, 0)) AS est
+  FROM kb LEFT JOIN counters c USING (j, bucket) GROUP BY kb.w
+)
+SELECT w AS word, cast(est as bigint) AS est_count
+FROM est ORDER BY est_count DESC, word LIMIT 20
+"""
+
+
+@register("cms_heavy_hitters", _CMS_ORACLE)
+def cms_heavy_hitters_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter words via a count-min sketch (operators/sketches.py
+    cms_*): completes the sketch family (HLL distinct, quantile
+    histogram, heavy hitters). Plan at 100 TB: tokens collapse map-side
+    into a <=4096-cell sketch before the one tiny exchange; the estimate
+    join BROADCASTS the sketch, so the distinct-keys side never
+    shuffles against it. Mergeable per-cell (pytest)."""
+    from .operators.sketches import cms_heavy_hitters
+
+    tok = (
+        _pq(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+    )
+    return cms_heavy_hitters(tok, "word", k=20)

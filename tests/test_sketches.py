@@ -101,3 +101,45 @@ def test_hll_p_validation(spark):
     ids = spark.range(0, 10).select(F.col("id").cast("string").alias("k"))
     with pytest.raises(ValueError):
         sketches.hll_registers(ids, "k", p=3)
+
+
+def test_cms_merge_equals_union(spark):
+    a = spark.range(0, 3000).select((F.col("id") % 37).cast("string").alias("v"))
+    b = spark.range(3000, 5000).select((F.col("id") % 53).cast("string").alias("v"))
+    whole = sketches.cms_counters(a.unionByName(b), "v")
+    merged = sketches.cms_merge(
+        sketches.cms_counters(a, "v"), sketches.cms_counters(b, "v")
+    )
+    df_w = {(r["j"], r["bucket"]): r["cnt"] for r in whole.collect()}
+    df_m = {(r["j"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert df_w == df_m
+
+
+def test_cms_never_underestimates_and_is_tight_when_sparse(spark):
+    # 40 distinct keys << 1024 buckets: collisions unlikely across 4 rows,
+    # so min-over-rows should be EXACT for nearly all keys; >= always.
+    df = spark.range(0, 8000).select((F.col("id") % 40).cast("string").alias("v"))
+    true = {r["v"]: r["c"] for r in df.groupBy("v").agg(F.count("*").alias("c")).collect()}
+    est = {
+        r["v"]: r["est_count"]
+        for r in sketches.cms_estimate(
+            sketches.cms_counters(df, "v"), df.select("v").distinct(), "v"
+        ).collect()
+    }
+    assert set(est) == set(true)
+    assert all(est[k] >= true[k] for k in true)  # CMS one-sided error
+    exact = sum(1 for k in true if est[k] == true[k])
+    assert exact >= 38  # at most a couple of 4-way collisions
+
+
+def test_cms_heavy_hitters_find_planted_keys(spark):
+    # plant two hot keys in a long tail
+    hot = spark.range(0, 5000).select(
+        F.when(F.col("id") % 2 == 0, F.lit("HOT_A")).otherwise(F.lit("HOT_B")).alias("v")
+    )
+    tail = spark.range(0, 2000).select(F.concat(F.lit("t"), F.col("id")).alias("v"))
+    top = sketches.cms_heavy_hitters(hot.unionByName(tail), "v", k=5).collect()
+    # both hot keys have true count 2500; collisions may perturb their
+    # relative order but never push them below the 1-count tail
+    assert {r["v"] for r in top[:2]} == {"HOT_A", "HOT_B"}
+    assert top[0]["est_count"] >= 2500 and top[1]["est_count"] >= 2500
