@@ -1,0 +1,119 @@
+"""Runtime join filters: Bloom-prune a huge fact table against a small
+dim BEFORE any shuffle — the standard 100 TB semi-join optimization
+(Spark's own runtime-filter / DPP family, Trino's dynamic filters).
+
+Shape: build a fixed-size bit array from the dim keys (ONE tiny job —
+the bitmap is O(m_bits) regardless of dim cardinality, 8192 bits = 128
+int64 words by default), embed it as a literal array in a pure-Column
+predicate, and filter the fact map-side at the scan. Rows surviving the
+bloom (true matches + eps false positives) then flow into the exact
+join, which removes the false positives — so results are IDENTICAL to
+the plain join while the shuffle carries ~selectivity·N rows instead of
+N. The bounded driver collect of the bitmap is the same class as a
+broadcast variable (documented contract, independent of data scale).
+
+No reference counterpart file — the reference joins in-memory xarray
+frames; this is the scale path for the same logical semi-join.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_int
+
+BLOOM_M_DEFAULT = 8192  # bits; 128 int64 words
+BLOOM_K_DEFAULT = 4  # hash functions -> fpp ~ (1-e^(-kn/m))^k
+
+# F.shiftleft needs a literal shift amount, so column-indexed bit masks
+# come from a 64-literal lookup instead (bit 63 as the signed-long value).
+_POW2 = [1 << i for i in range(63)] + [-(1 << 63)]
+
+
+def _bit_mask(bitpos: Column) -> Column:
+    """1 << (bitpos % 64) as a signed int64, for a Column bit position."""
+    return F.element_at(
+        F.array(*[F.lit(p) for p in _POW2]), F.pmod(bitpos, F.lit(64)).cast("int") + 1
+    )
+
+
+def _bit_positions(value: Column, m_bits: int, k: int) -> list[Column]:
+    """k seeded md5 bit positions — stateless, map-side, JVM-only."""
+    return [
+        F.pmod(
+            md5_int(F.concat(F.lit(f"bf{j}:"), value.cast("string"))),
+            F.lit(m_bits),
+        )
+        for j in range(k)
+    ]
+
+
+def bloom_bitmap(
+    dim: DataFrame,
+    key: str,
+    m_bits: int = BLOOM_M_DEFAULT,
+    k: int = BLOOM_K_DEFAULT,
+) -> list[int]:
+    """Build the bit array from the dim keys. One aggregation whose key
+    space is <= m_bits/64 words (map-side partial bit_or, tiny
+    exchange), then a BOUNDED collect: len(result) == m_bits/64 always,
+    so this is broadcast-sized by construction, never data-sized."""
+    assert m_bits % 64 == 0
+    pos = F.explode(F.array(*_bit_positions(F.col(key), m_bits, k)))
+    words = (
+        dim.select(pos.alias("p"))
+        .select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            _bit_mask(F.col("p")).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * (m_bits // 64)
+    for r in words:
+        bitmap[r["w"]] = r["bits"]
+    return bitmap
+
+
+def bloom_prune(
+    fact: DataFrame,
+    key: str,
+    bitmap: list[int],
+    m_bits: int = BLOOM_M_DEFAULT,
+    k: int = BLOOM_K_DEFAULT,
+) -> DataFrame:
+    """Filter fact rows whose key cannot be in the dim (some bloom bit
+    unset). Pure Column expression over a literal array — runs at the
+    scan, before any exchange; no false negatives (bloom guarantee), so
+    composing with the exact join preserves results bit-for-bit."""
+    arr = F.array(*[F.lit(int(w)) for w in bitmap])
+    conds = []
+    for p in _bit_positions(F.col(key), m_bits, k):
+        word = F.element_at(arr, (p / 64).cast("int") + 1)
+        conds.append(word.bitwiseAND(_bit_mask(p)) != 0)
+    return fact.where(reduce(lambda a, b: a & b, conds))
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int = BLOOM_M_DEFAULT,
+    k: int = BLOOM_K_DEFAULT,
+) -> DataFrame:
+    """Semi-join fact against dim: bloom-prune map-side, then the exact
+    (broadcast) semi join removes false positives. Identical rows to a
+    plain semi join; the exchange upstream of any later aggregation
+    carries only the pruned fraction."""
+    bitmap = bloom_bitmap(dim, dim_key, m_bits, k)
+    pruned = bloom_prune(fact, fact_key, bitmap, m_bits, k)
+    return pruned.join(
+        F.broadcast(dim.select(dim_key).distinct()),
+        pruned[fact_key] == F.col(dim_key),
+        "leftsemi",
+    )

@@ -49,7 +49,7 @@ def test_priority_order_covers_graded_prefix():
         "hll_distinct_orders", "quantile_sketch_price",
         "decontaminate_eval_overlap", "zonal_pixel_stats_gif",
         "zonal_pixel_stats_jpg", "gopher_repetition_filter",
-        "flac_audio_stats", "cms_heavy_hitters",
+        "flac_audio_stats", "cms_heavy_hitters", "bloom_semi_join_revenue",
     }
     assert must_grade <= graded, must_grade - graded
 

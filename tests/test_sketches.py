@@ -143,3 +143,37 @@ def test_cms_heavy_hitters_find_planted_keys(spark):
     # relative order but never push them below the 1-count tail
     assert {r["v"] for r in top[:2]} == {"HOT_A", "HOT_B"}
     assert top[0]["est_count"] >= 2500 and top[1]["est_count"] >= 2500
+
+
+# ---- bloom runtime filter (operators/runtime_filters.py) ----------------
+
+
+def test_bloom_prune_no_false_negatives_and_prunes(spark):
+    from ds_raster_pipelines_spark.operators import runtime_filters as rf
+
+    dim = spark.range(0, 50).select((F.col("id") * 7).cast("string").alias("k"))
+    fact = spark.range(0, 20000).select((F.col("id") % 1000).cast("string").alias("k"))
+    bitmap = rf.bloom_bitmap(dim, "k")
+    assert len(bitmap) == rf.BLOOM_M_DEFAULT // 64
+    pruned = rf.bloom_prune(fact, "k", bitmap)
+    dim_keys = {r["k"] for r in dim.collect()}
+    kept = [r["k"] for r in pruned.collect()]
+    # no false negatives: every true match survives
+    true_matches = [r["k"] for r in fact.collect() if r["k"] in dim_keys]
+    assert sorted(k for k in kept if k in dim_keys) == sorted(true_matches)
+    # actually prunes: 50 keys in 8192 bits -> fpp well under 1%
+    assert len(kept) < len(true_matches) + 0.05 * 20000
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark):
+    from ds_raster_pipelines_spark.operators import runtime_filters as rf
+
+    dim = spark.range(0, 30).select((F.col("id") * 13 + 1).alias("dk"))
+    fact = spark.range(0, 5000).select((F.col("id") % 400).alias("fk"), F.col("id").alias("v"))
+    got = rf.bloom_semi_join(fact, dim, "fk", "dk").orderBy("v").collect()
+    want = (
+        fact.join(dim.withColumnRenamed("dk", "fk").distinct(), "fk", "leftsemi")
+        .orderBy("v")
+        .collect()
+    )
+    assert [(r["fk"], r["v"]) for r in got] == [(r["fk"], r["v"]) for r in want]
