@@ -211,3 +211,93 @@ def repetition_filter(
         (F.col("top_cnt") * inv_top <= F.col("n_tok"))
         & (F.col("dup_bi") * inv_bi <= F.col("n_bi"))
     ).drop("n_tok", "top_cnt", "n_bi", "dup_bi")
+
+
+def char_ngrams(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Explode each document into its character n-grams — one pure-Column
+    higher-order expression (sequence + transform + explode), zero Python,
+    zero shuffle: the explode happens map-side at the scan partition.
+    Short texts (< n chars) yield no rows (explicit empty-array guard:
+    Spark's sequence(1, 0) would DESCEND, not return empty)."""
+    grams = F.when(
+        F.length(text_col) >= n,
+        F.expr(
+            f"transform(sequence(1, length({text_col}) - {n - 1}),"
+            f" i -> substring({text_col}, i, {n}))"
+        ),
+    ).otherwise(F.array())
+    return df.select("doc_id", F.explode(grams).alias("g"))
+
+
+def ngram_lm_scores(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    train_rate_pct: int = 50,
+    salt: str = "lm",
+) -> DataFrame:
+    """Char n-gram language-model scoring (the classic perplexity-style
+    quality filter for LLM training corpora — CCNet/Gopher lineage): fit
+    add-one-smoothed n-gram frequencies on a deterministic hash-split
+    train half, then score EVERY doc by total and per-gram log-probability.
+
+    Exactness: per-gram log-probs are rounded ONCE to integer micro-units
+    (round(ln((c+1)/(T+V)) * 1e6)), so doc scores are exact integer sums —
+    bit-identical across engines and parallelism (same trick as
+    tfidf_top_terms; a raw sum-of-doubles would drift per partition order).
+    At 100 TB move the sums to decimal(38,0) — per-gram micro values are
+    ~1.4e7, so int64 holds ~6.5e11 grams per group.
+
+    Plan shape at scale: ONE shuffle to count train grams (map-side
+    partial agg first), ONE shuffle for per-doc gram tf; the LM table is
+    vocab-bounded (≤ charset^n rows — independent of corpus size) so the
+    scoring join is a broadcast. T (train gram count) and V (vocab size)
+    are two driver-held scalars, same class as tfidf's n_docs.
+
+    Returns (doc_id, n_grams, logp_micro): total grams per doc, summed
+    micro log-prob. Reference has no LM scoring; this generalizes its
+    quality-gating approach (SURVEY §2 quality scores) to model-based.
+    """
+    from ..functions.hashing import md5_int
+
+    train = df.where(
+        md5_int(F.concat(F.lit(salt), F.col("doc_id").cast("string"))) % 100 < train_rate_pct
+    )
+    lm = char_ngrams(train, n, text_col).groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    tv = lm.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("t"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    denom = float(tv["t"] + tv["v"])
+    logp = F.round(F.log((F.col("cnt") + 1) / F.lit(denom)) * 1e6, 0).cast("long")
+    lm = lm.select("g", logp.alias("logp_micro"))
+    logp0 = F.round(F.log(F.lit(1.0) / F.lit(denom)) * 1e6, 0).cast("long")
+
+    tf = char_ngrams(df, n, text_col).groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    scored = tf.join(F.broadcast(lm), "g", "left").groupBy("doc_id").agg(
+        F.sum("tf").alias("n_grams"),
+        F.sum(F.col("tf") * F.coalesce(F.col("logp_micro"), logp0)).alias("logp_micro"),
+    )
+    return scored
+
+
+def perplexity_filter(
+    df: DataFrame,
+    max_avg_neg_logp: float = 8.0,
+    n: int = 3,
+    text_col: str = "text",
+    train_rate_pct: int = 50,
+    salt: str = "lm",
+) -> DataFrame:
+    """Keep docs whose average per-gram negative log-prob under the
+    corpus n-gram LM is ≤ the threshold (low perplexity = in-distribution
+    text; gibberish scores far below the LM and is dropped). The decision
+    is an integer cross-multiplication — -logp_micro ≤ thr_micro·n_grams —
+    so keep/drop is bit-identical across engines (no float division)."""
+    thr_micro = round(max_avg_neg_logp * 1e6)
+    s = ngram_lm_scores(df, n, text_col, train_rate_pct, salt)
+    keep = s.where(
+        (F.col("n_grams") > 0) & (-F.col("logp_micro") <= thr_micro * F.col("n_grams"))
+    )
+    return df.join(keep.select("doc_id"), "doc_id", "leftsemi")

@@ -73,7 +73,7 @@ _PRIORITY = [
     "decontaminate_eval_overlap",
     "zonal_pixel_stats_jpg",  # real baseline JFIF codec (jpeg.py, new r6)
     "gopher_repetition_filter", "flac_audio_stats", "cms_heavy_hitters",
-    "bloom_semi_join_revenue",
+    "bloom_semi_join_revenue", "ngram_lm_perplexity",
     "zonal_pixel_stats_gif",  # gif.py changed r6 (LZW post-Clear guard)
     # -- r5-green filler (graded last round; harmlessly re-graded) -------
     "flagship_zonal_decode", "zonal_pixel_stats", "pixel_histogram",
@@ -3732,4 +3732,84 @@ def bloom_semi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+# Char-trigram LM perplexity filter (CCNet/Gopher-lineage quality gate):
+# the oracle replays the ENTIRE pipeline — hash-split train half, add-one
+# smoothed gram log-probs rounded once to integer micro-units, per-doc
+# integer score sums, integer cross-multiplied keep decision — so any
+# divergence in the split, the smoothing, the rounding discipline, or
+# the unseen-gram fallback is a value mismatch, not noise.
+_NGRAM_LM_ORACLE = f"""
+WITH train AS (
+  SELECT text FROM documents
+  WHERE {md5_int_sql("('lm' || cast(doc_id as varchar))")} % 100 < 50
+),
+tg AS (
+  SELECT unnest(list_transform(generate_series(1, length(text) - 2),
+                               i -> substr(text, cast(i as int), 3))) AS g
+  FROM train WHERE length(text) >= 3
+),
+lm AS (SELECT g, count(*) AS cnt FROM tg GROUP BY g),
+tv AS (SELECT cast(sum(cnt) + count(*) as double) AS denom FROM lm),
+lmp AS (
+  SELECT g, cast(round(ln((cnt + 1.0) / (SELECT denom FROM tv)) * 1e6, 0) as bigint)
+            AS logp_micro
+  FROM lm
+),
+dg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, length(text) - 2),
+                               i -> substr(text, cast(i as int), 3))) AS g
+  FROM documents WHERE length(text) >= 3
+),
+tf AS (SELECT doc_id, g, count(*) AS tf FROM dg GROUP BY doc_id, g),
+sc AS (
+  SELECT tf.doc_id, sum(tf.tf) AS n_grams,
+         sum(tf.tf * coalesce(lmp.logp_micro,
+             cast(round(ln(1.0 / (SELECT denom FROM tv)) * 1e6, 0) as bigint)))
+           AS logp_micro
+  FROM tf LEFT JOIN lmp USING (g) GROUP BY tf.doc_id
+)
+SELECT d.lang,
+       count(*) AS n_docs,
+       cast(sum(sc.n_grams) as bigint) AS sum_grams,
+       cast(sum(sc.logp_micro) as bigint) AS sum_logp_micro,
+       cast(sum(CASE WHEN -sc.logp_micro <= 8000000 * sc.n_grams THEN 1 ELSE 0 END)
+            as bigint) AS n_keep
+FROM sc JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+@register("ngram_lm_perplexity", _NGRAM_LM_ORACLE)
+def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate (operators/text.py ngram_lm_scores): fit
+    a char-trigram LM on a deterministic md5-split train half, score all
+    docs in integer micro log-prob units, report per-language doc counts,
+    gram totals, score totals, and how many docs a perplexity filter at
+    avg -logp ≤ 8.0/gram would keep. Plan at 100 TB: the LM table is
+    vocab-bounded (≤ charset³ rows regardless of corpus size) so scoring
+    is a broadcast join; the only data-sized exchanges are the two gram
+    count-aggs, both with map-side partials. No reference twin — this
+    generalizes the reference's rule-based gating (SURVEY §2 V-family)
+    to the CCNet-style model-based filter an LLM corpus needs."""
+    from .operators.text import ngram_lm_scores
+
+    docs = _pq(spark, sf_dir, "documents")
+    s = ngram_lm_scores(docs)
+    thr = round(8.0 * 1e6)
+    return (
+        s.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").alias("sum_grams"),
+            F.sum("logp_micro").alias("sum_logp_micro"),
+            F.sum(
+                F.when(-F.col("logp_micro") <= thr * F.col("n_grams"), 1).otherwise(0)
+            ).alias("n_keep"),
+        )
+        .orderBy("lang")
     )

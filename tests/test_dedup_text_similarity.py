@@ -424,3 +424,34 @@ def test_repetition_filter_constructed(spark):
     assert kept == {0}  # 1 fails top-word, 2 fails dup-bigram, 3 fails top-word
     # filter drops its scratch columns
     assert set(repetition_filter(df).columns) == {"doc_id", "text"}
+
+
+def test_ngram_lm_perplexity_filter_constructed(spark):
+    from ds_raster_pipelines_spark.operators.text import (
+        char_ngrams,
+        ngram_lm_scores,
+        perplexity_filter,
+    )
+
+    normal = "the cat sat on the mat and the dog sat on the log "
+    rows = [(i, normal * 3) for i in range(20)]
+    rows.append((100, "zqxjkvbwpfzqxjkvbwpfzqxjkvbwpfzqxjkvbwpfzqxjkvbwpf"))
+    rows.append((101, "xx"))  # shorter than one trigram -> zero grams
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # gram explosion: n_grams == len-2 for len>=3, 0 otherwise
+    counts = {r["doc_id"]: r["count"] for r in char_ngrams(df).groupBy("doc_id").count().collect()}
+    assert counts[0] == len(normal) * 3 - 2
+    assert 101 not in counts  # empty-array guard (sequence(1,0) would descend)
+
+    s = {r["doc_id"]: r for r in ngram_lm_scores(df, train_rate_pct=100).collect()}
+    assert 101 not in s
+    # gibberish scores strictly worse per-gram than in-distribution text
+    avg_norm = s[0]["logp_micro"] / s[0]["n_grams"]
+    avg_gib = s[100]["logp_micro"] / s[100]["n_grams"]
+    assert avg_gib < avg_norm
+
+    kept = {r["doc_id"] for r in perplexity_filter(df, max_avg_neg_logp=6.0,
+                                                   train_rate_pct=100).collect()}
+    assert set(range(20)) <= kept
+    assert 100 not in kept and 101 not in kept

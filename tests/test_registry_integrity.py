@@ -50,6 +50,7 @@ def test_priority_order_covers_graded_prefix():
         "decontaminate_eval_overlap", "zonal_pixel_stats_gif",
         "zonal_pixel_stats_jpg", "gopher_repetition_filter",
         "flac_audio_stats", "cms_heavy_hitters", "bloom_semi_join_revenue",
+        "ngram_lm_perplexity",
     }
     assert must_grade <= graded, must_grade - graded
 
