@@ -73,9 +73,12 @@ _PRIORITY = [
     "decontaminate_eval_overlap",
     "zonal_pixel_stats_jpg",  # real baseline JFIF codec (jpeg.py, new r6)
     "gopher_repetition_filter", "flac_audio_stats", "cms_heavy_hitters",
-    "bloom_semi_join_revenue", "ngram_lm_perplexity",
-    "zonal_pixel_stats_gif",  # gif.py changed r6 (LZW post-Clear guard)
+    "bloom_semi_join_revenue", "ngram_lm_perplexity", "mp2_audio_stats",
     # -- r5-green filler (graded last round; harmlessly re-graded) -------
+    # gif leads the filler: gif.py's r6 change is a corrupt-stream guard
+    # only (pytest-gated; valid-stream decode unchanged), so it yields
+    # its prefix slot to the never-graded new queries above
+    "zonal_pixel_stats_gif",
     "flagship_zonal_decode", "zonal_pixel_stats", "pixel_histogram",
     "ensemble_mean", "validation_metadata",
     "grib_ensemble_mean", "grib_complex_bitmap_mean",
@@ -3813,3 +3816,34 @@ def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# Fifth real audio representation: MPEG-1 Layer II (mpeg_audio.py from
+# scratch — subband filterbank, B.2a-structured allocation, grouped
+# quantization, CRC-16). Lossy, so the gate is the input-hint contract:
+# every clip's decode must clear PSNR >= 40 dB vs the closed-form
+# original (measured ~65 dB), while frame/sample counts are exact
+# integers the oracle derives from the id alone. A filterbank, bit-
+# allocation, scalefactor or bitstream bug either raises (sync/CRC/range
+# checks) or drops PSNR below the gate = value divergence here.
+_MP2_ORACLE = """
+SELECT o_orderkey AS i,
+       cast(1152 * (2 + o_orderkey % 3) as bigint) AS n_samples,
+       cast(2 + o_orderkey % 3 as bigint) AS n_frames,
+       1 AS psnr_ok
+FROM orders ORDER BY i
+"""
+
+
+@register("mp2_audio_stats", _MP2_ORACLE)
+def mp2_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-codec audio modality over REAL MPEG-1 Layer II
+    bitstreams (mpeg_audio.py): free-format frames with CRC-protected
+    side info, grouped 3/5/9-level quantizers on faint subbands, 16-bit
+    quantizers on loud ones, computed near-PR PQMF filterbank (-62 dB).
+    ONE Python stage (Arrow decode kernel), presentation sort only —
+    same plan shape as the other audio paths at 100 TB."""
+    from .sources.multimodal import materialized_mp2_corpus, mp2_psnr_stats
+
+    media = spark.read.parquet(materialized_mp2_corpus(spark, sf_dir))
+    return mp2_psnr_stats(media).orderBy("i")

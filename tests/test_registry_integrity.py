@@ -47,10 +47,10 @@ def test_priority_order_covers_graded_prefix():
         "zonal_pixel_stats_nc_packed", "zonal_pixel_stats_nc4_packed",
         "video_frame_stats", "reproject_webmercator",
         "hll_distinct_orders", "quantile_sketch_price",
-        "decontaminate_eval_overlap", "zonal_pixel_stats_gif",
+        "decontaminate_eval_overlap",
         "zonal_pixel_stats_jpg", "gopher_repetition_filter",
         "flac_audio_stats", "cms_heavy_hitters", "bloom_semi_join_revenue",
-        "ngram_lm_perplexity",
+        "ngram_lm_perplexity", "mp2_audio_stats",
     }
     assert must_grade <= graded, must_grade - graded
 
