@@ -71,6 +71,9 @@ BENCH_QUERIES = [
     "wav_mulaw_stats",
     "interval_bucket_join",  # range join lowered to bucketed equi-join
     "cell_compact_multilevel",  # H3-style compact, flat closed form
+    # round-6 additions
+    "bloom_semi_join_revenue",  # runtime-filter semi join (scan-side prune)
+    "ngram_lm_perplexity",  # model-based quality gate, broadcast LM join
 ]
 
 # Fixed calibration probe: work whose cost is INDEPENDENT of engine code

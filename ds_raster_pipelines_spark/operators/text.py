@@ -301,3 +301,57 @@ def perplexity_filter(
         (F.col("n_grams") > 0) & (-F.col("logp_micro") <= thr_micro * F.col("n_grams"))
     )
     return df.join(keep.select("doc_id"), "doc_id", "leftsemi")
+
+
+# Conservative PII patterns valid with IDENTICAL semantics in Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded repeats, no
+# lookaround/backrefs. Order matters (emails can live inside URLs), so
+# redaction applies in this dict's order on both engines.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^ ]+",
+    "phone": r"\+[0-9]{7,15}",
+}
+
+
+def pii_flags(col: Column) -> dict[str, Column]:
+    """Per-type detection flags (int 0/1) — the audit half of the scrub:
+    a 100 TB pipeline first REPORTS incidence per slice, then redacts."""
+    return {k: col.rlike(p).cast("int") for k, p in PII_PATTERNS.items()}
+
+
+def redact_pii(col: Column, token: str = "[PII]") -> Column:
+    """Replace all PII spans with a fixed token, email -> url -> phone
+    order. Pure Column regexp_replace chain: map-side, codegen, zero
+    Python — the C4/CCNet-style scrub pass at corpus scale."""
+    out = col
+    for pat in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, token.replace("\\", "\\\\"))
+    return out
+
+
+def vocab_top_k(df: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
+    """Corpus-frequency vocabulary (tokenizer-prep step): top-k words by
+    (count DESC, word ASC) — the tie-break makes the vocab DETERMINISTIC
+    across engines and runs, which a training pipeline needs (a vocab
+    that flaps between runs invalidates every downstream token id). One
+    count shuffle + a bounded top-k (TakeOrdered, k rows to the driver)."""
+    toks = df.select(F.explode(F.split(F.col(text_col), " ")).alias("w")).where(F.col("w") != "")
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.orderBy(F.col("cnt").desc(), F.col("w")).limit(k).select("w")
+
+
+def oov_rates(df: DataFrame, vocab: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc token and out-of-vocabulary counts against a broadcast
+    vocab: (doc_id, n_tok, n_oov). The vocab is k rows by construction,
+    so the membership join never shuffles the corpus."""
+    toks = df.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("w")).where(
+        F.col("w") != ""
+    )
+    marked = toks.join(
+        F.broadcast(vocab.withColumn("_in", F.lit(1))), "w", "left"
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+    )

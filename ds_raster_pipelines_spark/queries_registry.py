@@ -65,7 +65,7 @@ _PRIORITY = [
     "decode_verify_gate", "wav_audio_stats", "quantile_summary",
     "q1_pricing_summary", "filename_date_extraction",
     "leadtime_arithmetic", "validation_bounds", "semi_join_suppliers",
-    "set_ops_nations", "pivot_priority_revenue", "rollup_pricing",
+    "rollup_pricing",
     # -- new in round 6 (inserted here as they land) ---------------------
     "zonal_pixel_stats_nc_packed", "zonal_pixel_stats_nc4_packed",
     "video_frame_stats", "reproject_webmercator",
@@ -74,11 +74,15 @@ _PRIORITY = [
     "zonal_pixel_stats_jpg",  # real baseline JFIF codec (jpeg.py, new r6)
     "gopher_repetition_filter", "flac_audio_stats", "cms_heavy_hitters",
     "bloom_semi_join_revenue", "ngram_lm_perplexity", "mp2_audio_stats",
-    # -- r5-green filler (graded last round; harmlessly re-graded) -------
-    # gif leads the filler: gif.py's r6 change is a corrupt-stream guard
-    # only (pytest-gated; valid-stream decode unchanged), so it yields
-    # its prefix slot to the never-graded new queries above
-    "zonal_pixel_stats_gif",
+    "pii_redaction_report", "vocab_oov_rate",
+    # -- below the graded fold this round -------------------------------
+    # never-graded new queries above outrank re-grades: gif.py's r6
+    # change is a corrupt-stream guard only (pytest-gated; valid-stream
+    # decode unchanged), and set_ops_nations / pivot_priority_revenue
+    # are pure-Catalyst relational queries untouched since r2 (their r4
+    # rows stay authoritative one extra round — the only two stale rows
+    # allowed to slip, chosen for zero custom-kernel surface)
+    "zonal_pixel_stats_gif", "set_ops_nations", "pivot_priority_revenue",
     "flagship_zonal_decode", "zonal_pixel_stats", "pixel_histogram",
     "ensemble_mean", "validation_metadata",
     "grib_ensemble_mean", "grib_complex_bitmap_mean",
@@ -3847,3 +3851,144 @@ def mp2_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = spark.read.parquet(materialized_mp2_corpus(spark, sf_dir))
     return mp2_psnr_stats(media).orderBy("i")
+
+
+# PII scrub (C4/CCNet-style): the synthetic corpus contains no PII, so
+# the graded query INJECTS deterministic spans (same CASE algebra on
+# both engines) and then audits + redacts them. What the oracle grades:
+# the detection/redaction regexes behave identically in Java regex and
+# RE2 on identical text, the flag counts, the exact post-redaction char
+# sums, and that redaction leaves ZERO residual matches.
+_PII_ORACLE = """
+WITH inj AS (
+  SELECT doc_id, lang,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || cast(doc_id as varchar) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' see https://ex.org/p/' || cast(doc_id as varchar)
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' call +141500' || cast(doc_id as varchar)
+                 ELSE '' END AS t
+  FROM documents
+),
+red AS (
+  SELECT doc_id, lang, t,
+         regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[PII]', 'g'),
+             'https?://[^ ]+', '[PII]', 'g'),
+             '\\+[0-9]{7,15}', '[PII]', 'g') AS r
+  FROM inj
+)
+SELECT lang,
+       count(*) AS n_docs,
+       cast(sum(CASE WHEN regexp_matches(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') THEN 1 ELSE 0 END) as bigint) AS n_email,
+       cast(sum(CASE WHEN regexp_matches(t, 'https?://[^ ]+') THEN 1 ELSE 0 END) as bigint) AS n_url,
+       cast(sum(CASE WHEN regexp_matches(t, '\\+[0-9]{7,15}') THEN 1 ELSE 0 END) as bigint) AS n_phone,
+       cast(sum(length(t)) as bigint) AS chars_before,
+       cast(sum(length(r)) as bigint) AS chars_after,
+       cast(sum(CASE WHEN regexp_matches(r, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')
+                      OR regexp_matches(r, 'https?://[^ ]+')
+                      OR regexp_matches(r, '\\+[0-9]{7,15}') THEN 1 ELSE 0 END) as bigint) AS n_residual
+FROM red GROUP BY lang ORDER BY lang
+"""
+
+
+@register("pii_redaction_report", _PII_ORACLE)
+def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit + scrub (operators/text.py pii_flags / redact_pii): per
+    language, incidence counts per PII type, exact char sums before and
+    after redaction, and the residual-match count (must be 0). Pure
+    Column regexp chain — map-side, zero Python, one 5-group exchange.
+    At 100 TB this is a scan-bound pass, the shape a C4-style cleanup
+    actually runs."""
+    from .operators.text import pii_flags, redact_pii
+
+    d = _pq(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit(" see https://ex.org/p/"), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.lit(" call +141500"), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    d = d.select("doc_id", "lang", t.alias("t")).withColumn("r", redact_pii(F.col("t")))
+    flags_t = pii_flags(F.col("t"))
+    flags_r = pii_flags(F.col("r"))
+    residual = (
+        (flags_r["email"] + flags_r["url"] + flags_r["phone"]) > 0
+    ).cast("int")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(flags_t["email"]).alias("n_email"),
+            F.sum(flags_t["url"]).alias("n_url"),
+            F.sum(flags_t["phone"]).alias("n_phone"),
+            F.sum(F.length("t")).alias("chars_before"),
+            F.sum(F.length("r")).alias("chars_after"),
+            F.sum(residual).alias("n_residual"),
+        )
+        .orderBy("lang")
+    )
+
+
+# Tokenizer-prep vocabulary + OOV audit: deterministic top-k vocab
+# (count DESC, word ASC — rank cannot flap across engines/runs), then
+# per-doc out-of-vocabulary rates against the broadcast vocab.
+_VOCAB_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tk AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+counts AS (SELECT w, count(*) AS cnt FROM tk GROUP BY w),
+vocab AS (SELECT w FROM counts ORDER BY cnt DESC, w LIMIT 50),
+nt AS (SELECT doc_id, count(*) AS n_tok FROM tk GROUP BY doc_id),
+oov AS (
+  SELECT doc_id, count(*) AS n_oov FROM tk
+  WHERE w NOT IN (SELECT w FROM vocab) GROUP BY doc_id
+)
+SELECT d.lang,
+       count(*) AS n_docs,
+       cast(sum(nt.n_tok) as bigint) AS sum_tok,
+       cast(sum(coalesce(oov.n_oov, 0)) as bigint) AS sum_oov,
+       cast(sum(CASE WHEN coalesce(oov.n_oov, 0) * 5 > nt.n_tok THEN 1 ELSE 0 END) as bigint)
+         AS n_high_oov
+FROM documents d JOIN nt USING (doc_id) LEFT JOIN oov USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+@register("vocab_oov_rate", _VOCAB_ORACLE)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep audit (operators/text.py vocab_top_k / oov_rates):
+    build the deterministic top-50 corpus vocabulary, then report per
+    language total tokens, OOV tokens, and docs with > 20% OOV (integer
+    cross-multiply — no float division). Plan: one token-count shuffle,
+    a bounded k-row TakeOrdered, then a BROADCAST membership join — the
+    corpus never shuffles for the audit itself."""
+    from .operators.text import oov_rates, vocab_top_k
+
+    d = _pq(spark, sf_dir, "documents")
+    rates = oov_rates(d, vocab_top_k(d))
+    return (
+        rates.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tok"),
+            F.sum("n_oov").alias("sum_oov"),
+            F.sum(F.when(F.col("n_oov") * 5 > F.col("n_tok"), 1).otherwise(0)).alias("n_high_oov"),
+        )
+        .orderBy("lang")
+    )

@@ -455,3 +455,49 @@ def test_ngram_lm_perplexity_filter_constructed(spark):
                                                    train_rate_pct=100).collect()}
     assert set(range(20)) <= kept
     assert 100 not in kept and 101 not in kept
+
+
+def test_pii_redaction_constructed(spark):
+    from ds_raster_pipelines_spark.operators.text import pii_flags, redact_pii
+
+    rows = [
+        (0, "write to a.b+c@ex-ample.org today"),
+        (1, "docs at https://ex.org/a?b=1#c and more"),
+        (2, "dial +12345678901 now"),
+        (3, "url with mail https://h.io/u@v.com trailing"),
+        (4, "clean text no pii at all"),
+        (5, "+123456 too short to be a phone"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        redact_pii(F.col("text")).alias("r"),
+        *[c.alias(k) for k, c in pii_flags(F.col("text")).items()],
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[0]["r"] == "write to [PII] today" and got[0]["email"] == 1
+    assert got[1]["r"] == "docs at [PII] and more" and got[1]["url"] == 1
+    assert got[2]["r"] == "dial [PII] now" and got[2]["phone"] == 1
+    # email-before-url order: the in-URL email is consumed first, then
+    # the remaining scheme prefix is caught by the url pattern
+    assert "@" not in got[3]["r"] and "http" not in got[3]["r"]
+    assert got[4]["r"] == rows[4][1]  # untouched
+    assert got[5]["phone"] == 0  # 6 digits < minimum 7
+    # idempotent: redacting redacted text changes nothing
+    again = df.select(redact_pii(redact_pii(F.col("text"))).alias("r2")).collect()
+    assert [r["r2"] for r in again] == [got[i]["r"] for i in range(6)]
+
+
+def test_vocab_top_k_deterministic_ties(spark):
+    from ds_raster_pipelines_spark.operators.text import oov_rates, vocab_top_k
+
+    df = spark.createDataFrame(
+        [(0, "aa bb cc dd"), (1, "aa bb cc"), (2, "aa bb"), (3, "zz zz zz xx")],
+        "doc_id long, text string",
+    )
+    v2 = [r["w"] for r in vocab_top_k(df, k=2).collect()]
+    assert v2 == ["aa", "bb"]  # aa/bb/zz all count 3; lexicographic tie-break
+    v4 = [r["w"] for r in vocab_top_k(df, k=4).collect()]
+    assert v4 == ["aa", "bb", "zz", "cc"]
+    rates = {r["doc_id"]: (r["n_tok"], r["n_oov"]) for r in oov_rates(df, vocab_top_k(df, k=2)).collect()}
+    assert rates[0] == (4, 2) and rates[3] == (4, 4)
