@@ -65,7 +65,6 @@ _PRIORITY = [
     "decode_verify_gate", "wav_audio_stats", "quantile_summary",
     "q1_pricing_summary", "filename_date_extraction",
     "leadtime_arithmetic", "validation_bounds", "semi_join_suppliers",
-    "rollup_pricing",
     # -- new in round 6 (inserted here as they land) ---------------------
     "zonal_pixel_stats_nc_packed", "zonal_pixel_stats_nc4_packed",
     "video_frame_stats", "reproject_webmercator",
@@ -74,15 +73,17 @@ _PRIORITY = [
     "zonal_pixel_stats_jpg",  # real baseline JFIF codec (jpeg.py, new r6)
     "gopher_repetition_filter", "flac_audio_stats", "cms_heavy_hitters",
     "bloom_semi_join_revenue", "ngram_lm_perplexity", "mp2_audio_stats",
-    "pii_redaction_report", "vocab_oov_rate",
+    "pii_redaction_report", "vocab_oov_rate", "zorder_layout_locality",
     # -- below the graded fold this round -------------------------------
     # never-graded new queries above outrank re-grades: gif.py's r6
     # change is a corrupt-stream guard only (pytest-gated; valid-stream
     # decode unchanged), and set_ops_nations / pivot_priority_revenue
-    # are pure-Catalyst relational queries untouched since r2 (their r4
-    # rows stay authoritative one extra round — the only two stale rows
-    # allowed to slip, chosen for zero custom-kernel surface)
+    # / rollup_pricing are pure-Catalyst relational queries untouched
+    # since r2 (their r4 rows stay authoritative one extra round — the
+    # only three stale rows allowed to slip, chosen for zero
+    # custom-kernel surface)
     "zonal_pixel_stats_gif", "set_ops_nations", "pivot_priority_revenue",
+    "rollup_pricing",
     "flagship_zonal_decode", "zonal_pixel_stats", "pixel_histogram",
     "ensemble_mean", "validation_metadata",
     "grib_ensemble_mean", "grib_complex_bitmap_mean",
@@ -3991,4 +3992,56 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("n_oov") * 5 > F.col("n_tok"), 1).otherwise(0)).alias("n_high_oov"),
         )
         .orderBy("lang")
+    )
+
+
+# Z-order layout locality (operators/layout.py): the oracle replays the
+# Morton bit-spread in raw SQL integer algebra, so a single wrong mask or
+# shift anywhere in the interleave = value divergence. The file counts
+# make the LAYOUT claim measurable: the same aligned bbox touches 1
+# Morton file vs 8 row-major files (64x64 grid, 64-cell files).
+from .operators.layout import zorder_sql as _zsql  # noqa: E402
+
+_ZORDER_ORACLE = f"""
+WITH g AS (
+  SELECT l_partkey % 64 AS ix, l_suppkey % 64 AS iy FROM lineitem
+),
+k AS (
+  SELECT ix, iy,
+         {_zsql("ix", "iy")} AS zkey,
+         iy * 64 + ix AS rmkey
+  FROM g
+),
+b AS (SELECT * FROM k WHERE ix BETWEEN 8 AND 15 AND iy BETWEEN 16 AND 23)
+SELECT (SELECT count(*) FROM b) AS n_rows_bbox,
+       (SELECT count(DISTINCT zkey // 64) FROM b) AS z_files_bbox,
+       (SELECT count(DISTINCT rmkey // 64) FROM b) AS rm_files_bbox,
+       (SELECT count(DISTINCT zkey // 64) FROM k) AS z_files_total,
+       (SELECT cast(sum(zkey) as bigint) FROM k) AS zkey_checksum
+"""
+
+
+@register("zorder_layout_locality", _ZORDER_ORACLE)
+def zorder_layout_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-layout locality audit: interleave the 2-D cell index into
+    the Z-order cluster key (pure Column bit algebra — codegen, no UDF)
+    and measure file-touch counts for an aligned bbox under Morton vs
+    row-major layout (64-cell files). At 100 TB the z_files/rm_files gap
+    IS the scan saving: per-file min/max key stats skip every file whose
+    Morton range misses the query rectangle."""
+    from .operators.layout import zorder_key
+
+    g = _pq(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 64).alias("ix"), (F.col("l_suppkey") % 64).alias("iy")
+    )
+    k = g.withColumn("zkey", zorder_key(F.col("ix"), F.col("iy"))).withColumn(
+        "rmkey", F.col("iy") * 64 + F.col("ix")
+    )
+    in_bbox = F.col("ix").between(8, 15) & F.col("iy").between(16, 23)
+    return k.agg(
+        F.sum(in_bbox.cast("long")).alias("n_rows_bbox"),
+        F.countDistinct(F.when(in_bbox, F.expr("zkey div 64"))).alias("z_files_bbox"),
+        F.countDistinct(F.when(in_bbox, F.expr("rmkey div 64"))).alias("rm_files_bbox"),
+        F.countDistinct(F.expr("zkey div 64")).alias("z_files_total"),
+        F.sum("zkey").alias("zkey_checksum"),
     )

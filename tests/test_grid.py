@@ -216,3 +216,62 @@ def test_uncompact_inverts_compact(spark):
     assert comp.count() < len(leaves)  # the aligned block collapsed
     back = sorted(r.cell_id for r in grid.uncompact_cells(comp, res=res).collect())
     assert back == leaves
+
+
+# ---- Z-order layout clustering (operators/layout.py) --------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def test_zorder_three_impls_agree(spark):
+    import pandas as pd
+
+    from ds_raster_pipelines_spark.operators import layout
+
+    rng = np.random.default_rng(3)
+    ix = rng.integers(0, 1 << 16, 500)
+    iy = rng.integers(0, 1 << 16, 500)
+    want = layout.zorder_np(ix, iy)
+    # numpy vs SQL twin
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"ix": ix, "iy": iy}))
+    got_sql = con.execute(
+        f"SELECT {layout.zorder_sql('ix', 'iy')} AS z FROM t"
+    ).df()["z"].to_numpy()
+    assert np.array_equal(got_sql, want)
+    # numpy vs Spark Column
+    df = spark.createDataFrame(pd.DataFrame({"ix": ix, "iy": iy}))
+    got_col = np.array(
+        [r["z"] for r in df.select(layout.zorder_key(F.col("ix"), F.col("iy")).alias("z")).collect()]
+    )
+    assert np.array_equal(got_col, want)
+
+
+def test_zorder_aligned_block_is_contiguous():
+    from ds_raster_pipelines_spark.operators.layout import zorder_np
+
+    xs, ys = np.meshgrid(np.arange(24, 32), np.arange(40, 48))
+    z = zorder_np(xs.ravel(), ys.ravel())
+    assert len(np.unique(z)) == 64
+    assert z.max() - z.min() == 63  # aligned 8x8 block = one contiguous range
+
+
+def test_cluster_by_zorder_partition_ranges_disjoint(spark):
+    import pandas as pd
+
+    from ds_raster_pipelines_spark.operators.layout import cluster_by_zorder
+
+    rng = np.random.default_rng(4)
+    df = spark.createDataFrame(
+        pd.DataFrame({"ix": rng.integers(0, 64, 5000), "iy": rng.integers(0, 64, 5000)})
+    )
+    out = cluster_by_zorder(df, "ix", "iy", partitions=8).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    stats = (
+        out.groupBy("pid").agg(F.min("zkey").alias("lo"), F.max("zkey").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    for a, b in zip(stats, stats[1:]):
+        assert a["hi"] <= b["lo"]  # contiguous non-overlapping key ranges
