@@ -233,9 +233,12 @@ class IncrementalRun:
                 path = os.path.join(self.data_dir, f"part={part}")
             else:
                 path = os.path.join(self._versions_dir, f"part={part}", f"v={sid}")
-            parts_df.append(
-                self.spark.read.parquet(path).withColumn("part", F.lit(part))
-            )
+            pdf = self.spark.read.parquet(path).withColumn("part", F.lit(part))
+            # schema AS OF the requested snapshot (Iceberg time travel reads
+            # with the snapshot's schema): columns added later are absent;
+            # columns added earlier that this version's files predate read
+            # as their declared default
+            parts_df.append(self._apply_evolutions(pdf, snapshot_id))
         return reduce(lambda a, b: a.unionByName(b), parts_df)
 
     def expire_snapshots(self, older_than_sid: int) -> int:
@@ -270,14 +273,210 @@ class IncrementalRun:
                     removed += 1
         return removed
 
+    # -- schema evolution (Iceberg add-column-with-default) -----------------
+
+    @property
+    def _schema_log(self) -> str:
+        return os.path.join(self.out_dir, "schema.jsonl")
+
+    def schema_versions(self) -> list[dict]:
+        """Append-only schema log: one row per ``add_column``, stamped with
+        the snapshot id at evolution time. Iceberg semantics: data files are
+        NEVER rewritten; files written before the column existed read it as
+        the declared default, files written after carry real values
+        (including genuine NULLs, which are preserved — the default applies
+        only to pre-evolution files, not to null cells)."""
+        import json
+
+        if not os.path.exists(self._schema_log):
+            return []
+        with open(self._schema_log) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def evolve_schema(self, name: str, dtype: str, default) -> dict:
+        """ADD COLUMN ``name dtype DEFAULT default`` as pure metadata —
+        O(1), no data rewrite (the Iceberg contract; reference pipelines
+        gain columns across dataset revisions, e.g. floodscan SFED→MFED
+        band additions)."""
+        import json
+
+        if any(ev["name"] == name for ev in self.schema_versions()):
+            raise ValueError(f"column {name!r} already added")
+        row = {
+            "name": name,
+            "type": dtype,
+            "default": default,
+            "snapshot_id": self.current_snapshot_id(),
+        }
+        os.makedirs(self.out_dir, exist_ok=True)
+        with open(self._schema_log, "a") as f:
+            f.write(json.dumps(row) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        return row
+
+    def _apply_evolutions(self, df: DataFrame, as_of_sid: int) -> DataFrame:
+        """Fill columns added strictly before ``as_of_sid`` that this
+        (partition-version) dataframe's files predate (an evolution is
+        stamped with the snapshot id current at evolution time, so it
+        becomes visible from the NEXT snapshot onward). Per-partition-
+        version granularity keeps genuine NULLs distinct from missing
+        columns."""
+        for ev in self.schema_versions():
+            if ev["snapshot_id"] >= as_of_sid:
+                continue
+            if ev["name"] not in df.columns:
+                df = df.withColumn(
+                    ev["name"], F.lit(ev["default"]).cast(ev["type"])
+                )
+        return df
+
+    # -- hidden partitioning (Iceberg partition transforms) -----------------
+
+    @property
+    def _spec_path(self) -> str:
+        return os.path.join(self.out_dir, "partition_spec.json")
+
+    def set_partition_spec(self, source: str, transform: str, n: int | None = None) -> dict:
+        """Declare a HIDDEN partition transform: the partition id is derived
+        from ``source`` by ``transform`` (``bucket(n)`` = pmod(xxhash64, n),
+        ``truncate(n)`` = floor-division width n, ``month`` = y*12+m on a
+        date). Users query by the source column; they never see or manage
+        the derived ``part`` — the engine maps predicates to partitions
+        (``prune_for``), the Iceberg idea that kills accidental full scans."""
+        import json
+
+        if transform not in ("bucket", "truncate", "month"):
+            raise ValueError(f"unknown transform {transform!r}")
+        if transform in ("bucket", "truncate") and not n:
+            raise ValueError(f"{transform} requires n")
+        spec = {"source": source, "transform": transform, "n": n}
+        os.makedirs(self.out_dir, exist_ok=True)
+        with open(self._spec_path, "w") as f:
+            json.dump(spec, f)
+        return spec
+
+    def partition_spec(self) -> dict | None:
+        import json
+
+        if not os.path.exists(self._spec_path):
+            return None
+        with open(self._spec_path) as f:
+            return json.load(f)
+
+    def partition_expr(self) -> F.Column:
+        """The transform as a pure Column (executor-side, codegen'd)."""
+        spec = self.partition_spec()
+        if spec is None:
+            raise ValueError("no partition spec set")
+        src = F.col(spec["source"])
+        if spec["transform"] == "bucket":
+            return F.pmod(F.xxhash64(src), F.lit(spec["n"])).cast("int")
+        if spec["transform"] == "truncate":
+            return F.floor(src / spec["n"]).cast("int")
+        return (F.year(src) * 12 + F.month(src) - 1).cast("int")
+
+    def transform_values(self, values: list) -> list[int]:
+        """Driver-side twin of ``partition_expr`` for pruning — evaluated
+        through the SAME Column expression over a bounded local relation,
+        so twin divergence is impossible by construction (values lists are
+        predicate literals: small)."""
+        import pandas as pd
+
+        spec = self.partition_spec()
+        local = self.spark.createDataFrame(
+            pd.DataFrame({spec["source"]: values})
+        )
+        return [r["p"] for r in local.select(self.partition_expr().alias("p")).collect()]
+
+    def prune_for(self, values: list) -> list[int]:
+        """Partition ids a query filtering ``source IN values`` must scan —
+        intersected with what the manifest says exists."""
+        want = set(self.transform_values(values))
+        have = {r["part"] for r in self.manifest().select("part").collect()}
+        return sorted(want & have)
+
+    def commit_transformed(self, df: DataFrame, cell_col: str | None = None) -> list[dict]:
+        """Commit ``df`` under the hidden partition spec: derive each row's
+        partition from the transform, commit each derived partition through
+        the normal lineage path. The distinct-part collect is bounded by the
+        partition count (Iceberg metadata scale, not data scale)."""
+        with_part = df.withColumn("__hp", self.partition_expr())
+        parts = sorted(
+            r["__hp"] for r in with_part.select("__hp").distinct().collect()
+        )
+        out = []
+        for p in parts:
+            out.append(
+                self.commit_partition(
+                    p, with_part.where(F.col("__hp") == p).drop("__hp"), cell_col
+                )
+            )
+        return out
+
     # -- reads -------------------------------------------------------------
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.data_dir)
+        """Current table state under the CURRENT schema. With no evolutions
+        this is the raw fast path; with evolutions it goes through the
+        per-partition-version reader so pre-evolution files surface declared
+        defaults while post-evolution NULLs stay NULL."""
+        if not self.schema_versions():
+            return self.spark.read.parquet(self.data_dir)
+        df = self.read_at(self.current_snapshot_id())
+        # current-table reads use the CURRENT schema (Iceberg: schema
+        # changes are metadata versions, not snapshots) — an evolution
+        # stamped at the head snapshot, with no commit after it yet, still
+        # surfaces here; no existing file can carry it, so a blanket add
+        # is exact
+        for ev in self.schema_versions():
+            if ev["name"] not in df.columns:
+                df = df.withColumn(
+                    ev["name"], F.lit(ev["default"]).cast(ev["type"])
+                )
+        return df
 
     def verify(self, cell_col: str | None = None) -> DataFrame:
         """Recompute per-partition lineage from the data and diff against
-        the manifest: zero rows = intact (detects partial/corrupt writes)."""
+        the manifest: zero rows = intact (detects partial/corrupt writes).
+
+        After a schema evolution the table's partitions legitimately carry
+        different file schemas (evolution never rewrites data), so each
+        partition must be re-checksummed under ITS OWN file schema — the
+        schema its manifest row was computed with. That path iterates
+        partitions on the driver, which is metadata scale (same bound as
+        commit itself), not data scale; the homogeneous-schema fast path
+        stays one distributed pass."""
+        if self.schema_versions():
+            import pandas as pd
+
+            m = {r["part"]: r.asDict() for r in self.manifest().collect()}
+            on_disk = (
+                {
+                    int(d.split("=")[1])
+                    for d in os.listdir(self.data_dir)
+                    if d.startswith("part=")
+                }
+                if os.path.exists(self.data_dir)
+                else set()
+            )
+            bad = []
+            for part in sorted(set(m) | on_disk):
+                if part not in m or part not in on_disk:
+                    bad.append(part)
+                    continue
+                pdf = self.spark.read.parquet(
+                    os.path.join(self.data_dir, f"part={part}")
+                ).withColumn("part", F.lit(part))
+                row = partition_manifest(pdf, "part", cell_col).collect()[0]
+                if (
+                    row["n_rows"] != m[part]["n_rows"]
+                    or row["checksum"] != m[part]["checksum"]
+                ):
+                    bad.append(part)
+            return self.spark.createDataFrame(
+                pd.DataFrame({"part": pd.array(bad, dtype="int32")}), "part int"
+            )
         data = self.spark.read.option("basePath", self.data_dir).parquet(self.data_dir)
         recomputed = partition_manifest(data, "part", cell_col)
         m = self.manifest()
