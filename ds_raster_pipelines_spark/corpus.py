@@ -417,29 +417,101 @@ def materialized_images_n(
 # ------------------------------------------------------- admin polygons ---
 
 
-def wkb_polygon_rect(min_lon: float, min_lat: float, max_lon: float, max_lat: float) -> bytes:
-    """Little-endian WKB POLYGON of an axis-aligned rectangle (CCW ring)."""
-    pts = [
+def rect_ring(min_lon: float, min_lat: float, max_lon: float, max_lat: float) -> list:
+    """Closed CCW ring of an axis-aligned rectangle, as (x, y) tuples."""
+    return [
         (min_lon, min_lat),
         (max_lon, min_lat),
         (max_lon, max_lat),
         (min_lon, max_lat),
         (min_lon, min_lat),
     ]
-    out = struct.pack("<BII", 1, 3, 1) + struct.pack("<I", len(pts))
-    for x, y in pts:
-        out += struct.pack("<dd", x, y)
-    return out
+
+
+def wkb_polygon(rings: list) -> bytes:
+    """Little-endian WKB POLYGON from closed rings (ring 0 = exterior,
+    rest = interior rings / holes). Each ring is a sequence of (x, y)."""
+    out = bytearray(struct.pack("<BII", 1, 3, len(rings)))
+    for ring in rings:
+        out += struct.pack("<I", len(ring))
+        for x, y in ring:
+            out += struct.pack("<dd", float(x), float(y))
+    return bytes(out)
+
+
+def wkb_multipolygon(parts: list) -> bytes:
+    """Little-endian WKB MULTIPOLYGON; ``parts`` is a list of polygons,
+    each a list of closed rings (exterior first)."""
+    out = bytearray(struct.pack("<BII", 1, 6, len(parts)))
+    for rings in parts:
+        out += wkb_polygon(rings)
+    return bytes(out)
+
+
+def wkb_polygon_rect(min_lon: float, min_lat: float, max_lon: float, max_lat: float) -> bytes:
+    """Little-endian WKB POLYGON of an axis-aligned rectangle (CCW ring)."""
+    return wkb_polygon([rect_ring(min_lon, min_lat, max_lon, max_lat)])
+
+
+def _read_rings(data: bytes, off: int) -> tuple[list[np.ndarray], int]:
+    (nrings,) = struct.unpack_from("<I", data, off)
+    off += 4
+    rings = []
+    for _ in range(nrings):
+        (npts,) = struct.unpack_from("<I", data, off)
+        off += 4
+        ring = np.frombuffer(data, dtype="<f8", count=npts * 2, offset=off)
+        rings.append(ring.reshape(npts, 2).copy())
+        off += npts * 16
+    return rings, off
+
+
+def parse_wkb_geometry(data: bytes) -> list[list[np.ndarray]]:
+    """WKB POLYGON or MULTIPOLYGON (little-endian) -> list of parts, each
+    part a list of (n, 2) float64 rings [exterior, hole, ...].
+
+    This is the full-fidelity parser the PIP family refines against
+    (reference consumes admin shapefiles — routinely MultiPolygons with
+    holes, ``examples/era5_cogs.md:164-172``). Even-odd ray-cast parity
+    across ALL rings of all parts classifies holed/multipart geometries
+    correctly as long as parts are disjoint and holes nest once (the
+    simple-features validity rules)."""
+    bo, typ = struct.unpack_from("<BI", data, 0)
+    if bo != 1:
+        raise ValueError("big-endian WKB unsupported")
+    if typ == 3:
+        rings, _ = _read_rings(data, 5)
+        if not rings:
+            raise ValueError("WKB POLYGON with zero rings")
+        return [rings]
+    if typ == 6:
+        (nparts,) = struct.unpack_from("<I", data, 5)
+        off = 9
+        parts = []
+        for _ in range(nparts):
+            bo2, typ2 = struct.unpack_from("<BI", data, off)
+            if bo2 != 1 or typ2 != 3:
+                raise ValueError("MULTIPOLYGON member is not a LE POLYGON")
+            rings, off = _read_rings(data, off + 5)
+            parts.append(rings)
+        if not parts:
+            raise ValueError("WKB MULTIPOLYGON with zero parts")
+        return parts
+    raise ValueError(f"unsupported WKB geometry type {typ}")
 
 
 def parse_wkb_polygon(data: bytes) -> np.ndarray:
-    """WKB POLYGON (single ring, little-endian) -> (n, 2) float64 ring."""
-    bo, typ, nrings = struct.unpack_from("<BII", data, 0)
-    if bo != 1 or typ != 3 or nrings < 1:
-        raise ValueError("unsupported WKB")
-    (npts,) = struct.unpack_from("<I", data, 9)
-    ring = np.frombuffer(data, dtype="<f8", count=npts * 2, offset=13)
-    return ring.reshape(npts, 2).copy()
+    """WKB POLYGON, SINGLE exterior ring only -> (n, 2) float64 ring.
+
+    Raises on interior rings or MULTIPOLYGON instead of silently dropping
+    holes (that produced wrong zonal answers pre-r7); full-fidelity
+    callers use :func:`parse_wkb_geometry`."""
+    parts = parse_wkb_geometry(data)
+    if len(parts) != 1 or len(parts[0]) != 1:
+        raise ValueError(
+            "geometry has holes or multiple parts; use parse_wkb_geometry"
+        )
+    return parts[0][0]
 
 
 def admin_rects(offset: float = 0.0) -> list[dict]:
@@ -498,6 +570,112 @@ def admin_sql_values(alias: str = "admin", offset: float = 0.0) -> str:
     )
     return (
         f"(VALUES\n    {rows}\n) AS {alias}(adm_id, min_lon, min_lat, max_lon, max_lat)"
+    )
+
+
+# ------------------------------------------- holed / multipart polygons ---
+# Deterministic fixture exercising the full WKB fidelity the reference's
+# admin shapefiles need (examples/era5_cogs.md:164-172): interior rings
+# (holes) and MULTIPOLYGON parts. All bounds are integers while tile
+# centroids sit at .125-offsets, so no point ever lies ON a ring — the
+# closed-BETWEEN oracle and the half-open engine agree exactly.
+
+_EMPTY_RECT = (1.0, 1.0, 0.0, 0.0)  # BETWEEN 1 AND 0 matches nothing
+
+
+def admin_holed_rects() -> list[dict]:
+    """12 geometries: every one has a 30x24-deg outer rect; j%3!=2 cuts a
+    rectangular hole; j%2==1 adds a disjoint second part (MULTIPOLYGON).
+    The numeric bounds ride along so the DuckDB oracle can express
+    membership as (in outer AND NOT in hole) OR in part2."""
+    out = []
+    for j in range(12):
+        c, r = j % 4, j // 4
+        lon0, lat0 = -160.0 + 44.0 * c, -70.0 + 45.0 * r
+        o = (lon0, lat0, lon0 + 30.0, lat0 + 24.0)
+        h = _EMPTY_RECT
+        if j % 3 != 2:
+            h = (
+                lon0 + 5.0 + (j % 4),
+                lat0 + 4.0 + (j % 3) * 2.0,
+                lon0 + 14.0 + (j % 5),
+                lat0 + 12.0 + (j % 2) * 3.0,
+            )
+        p = _EMPTY_RECT
+        if j % 2 == 1:
+            p = (
+                lon0 + 33.0,
+                lat0 + 2.0 + (j % 3) * 4.0,
+                lon0 + 40.0,
+                lat0 + 12.0 + (j % 3) * 4.0,
+            )
+        rings = [rect_ring(*o)]
+        if h is not _EMPTY_RECT:
+            rings.append(rect_ring(*h))
+        if p is not _EMPTY_RECT:
+            blob = wkb_multipolygon([rings, [rect_ring(*p)]])
+        else:
+            blob = wkb_polygon(rings)
+        out.append({"adm_id": f"HOL{j:03d}", "geom_wkb": blob, "o": o, "h": h, "p": p})
+    return out
+
+
+def admin_holed_df(spark: SparkSession) -> DataFrame:
+    """Engine-side holed admin table: adm_id + WKB ONLY — membership must
+    come from the geometry, not numeric hint columns."""
+    rows = admin_holed_rects()
+    return spark.createDataFrame(
+        pd.DataFrame({"adm_id": [r["adm_id"] for r in rows],
+                      "geom_wkb": [r["geom_wkb"] for r in rows]}),
+        schema="adm_id string, geom_wkb binary",
+    )
+
+
+def admin_holed_sql_values(alias: str = "adm") -> str:
+    rows = ",\n    ".join(
+        "('{a}', {b})".format(
+            a=r["adm_id"],
+            b=", ".join(repr(v) for v in (*r["o"], *r["h"], *r["p"])),
+        )
+        for r in admin_holed_rects()
+    )
+    return (
+        f"(VALUES\n    {rows}\n) AS {alias}(adm_id,"
+        " o_mnx, o_mny, o_mxx, o_mxy,"
+        " h_mnx, h_mny, h_mxx, h_mxy,"
+        " p_mnx, p_mny, p_mxx, p_mxy)"
+    )
+
+
+def admin_holed_signed_sql_values(alias: str = "adm") -> str:
+    """Signed-rectangle decomposition for PIXEL-window oracles: each
+    geometry unpivots to (outer, +1), (hole, -1), (part2, +1) rows (empty
+    sentinels dropped). A pixel-window contribution multiplied by sign
+    and summed reproduces the holed/multipart membership exactly, because
+    the hole rect is strictly inside the outer rect and parts are
+    disjoint."""
+    recs = []
+    for r in admin_holed_rects():
+        recs.append((r["adm_id"], 1, *r["o"]))
+        if r["h"] is not _EMPTY_RECT:
+            recs.append((r["adm_id"], -1, *r["h"]))
+        if r["p"] is not _EMPTY_RECT:
+            recs.append((r["adm_id"], 1, *r["p"]))
+    rows = ",\n    ".join(
+        f"('{a}', {s}, {mnx!r}, {mny!r}, {mxx!r}, {mxy!r})"
+        for a, s, mnx, mny, mxx, mxy in recs
+    )
+    return (
+        f"(VALUES\n    {rows}\n) AS {alias}(adm_id, sgn, min_lon, min_lat, max_lon, max_lat)"
+    )
+
+
+def admin_holed_sql_on(lon: str = "lon_c", lat: str = "lat_c") -> str:
+    """Oracle membership predicate for admin_holed_rects geometries."""
+    return (
+        f"(({lon} BETWEEN o_mnx AND o_mxx AND {lat} BETWEEN o_mny AND o_mxy"
+        f" AND NOT ({lon} BETWEEN h_mnx AND h_mxx AND {lat} BETWEEN h_mny AND h_mxy))"
+        f" OR ({lon} BETWEEN p_mnx AND p_mxx AND {lat} BETWEEN p_mny AND p_mxy))"
     )
 
 

@@ -232,6 +232,12 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 8000, block_size: int = 
     the decoder handles any order)."""
     x = np.ascontiguousarray(samples, dtype=np.int16).astype(np.int64)
     n = len(x)
+    # STREAMINFO packs total-samples into 36 bits and sample-rate into 20;
+    # out-of-range values would silently corrupt adjacent header fields
+    if n >= 1 << 36:
+        raise ValueError(f"total samples {n} exceeds STREAMINFO 36-bit field")
+    if not 0 < sample_rate < 1 << 20:
+        raise ValueError(f"sample_rate {sample_rate} exceeds STREAMINFO 20-bit field")
     md5 = hashlib.md5(x.astype("<i2").tobytes()).digest()
     out = bytearray(_MARKER)
     # STREAMINFO: last-block flag + type 0, length 34

@@ -28,42 +28,91 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import grid
-from ..corpus import parse_wkb_polygon
+from ..corpus import parse_wkb_geometry
 
 # ----------------------------------------------------------- cover stage ---
+#
+# Geometry representations (r7: holes + MULTIPOLYGON, VERDICT r6 item 1):
+#   * parts  : list[list[ndarray]] — parse_wkb_geometry output; part[0] is
+#              the exterior ring, the rest are interior rings (holes).
+#   * flat   : list[ndarray] — all rings of all parts concatenated; the
+#              even-odd refine only needs parity across ALL rings, so the
+#              part structure is irrelevant there (disjoint parts + simply
+#              nested holes, per simple-features validity).
+# Legacy single-ring ndarrays are normalized by the helpers below.
 
 
-def _is_axis_rect(ring: np.ndarray) -> bool:
-    """True if the ring is an axis-aligned rectangle (exact refine is then
-    a pure-JVM between-predicate — no Python stage needed)."""
+def _as_parts(g) -> list:
+    """Normalize to parts structure. A flat ring list becomes one part
+    PER RING — a superset cover (hole bboxes sit inside their exterior's
+    bbox anyway) that keeps genuine multiparts covered."""
+    if isinstance(g, np.ndarray):
+        return [[g]]
+    if g and isinstance(g[0], np.ndarray):
+        return [[r] for r in g]
+    return g
+
+
+def _as_flat_rings(g) -> list:
+    if isinstance(g, np.ndarray):
+        return [g]
+    if g and isinstance(g[0], np.ndarray):
+        return list(g)
+    return [r for part in g for r in part]
+
+
+def _is_axis_rect(ring) -> bool:
+    """True if the geometry is a single axis-aligned rectangle ring (exact
+    refine is then a pure-JVM between-predicate — no Python stage)."""
+    if isinstance(ring, list):
+        return len(ring) == 1 and _is_axis_rect(ring[0])
     if len(ring) != 5:
         return False
     xs, ys = set(ring[:, 0].tolist()), set(ring[:, 1].tolist())
     return len(xs) == 2 and len(ys) == 2
 
 
-def _cover_one(ring: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray]:
-    """Covering cells of one polygon ring + per-cell 'full' flag.
+def _cover_geometry(parts: list, res: int) -> tuple[np.ndarray, np.ndarray]:
+    """Covering cells of a (multi)polygon + per-cell 'full' flag.
 
-    full=True ⇒ the closed cell is entirely inside the polygon (all 4
-    corners inside and no polygon edge's bbox overlaps the cell — the
-    bbox test is conservative: it may flag interior cells near an edge
-    as boundary, never the reverse). Full cells skip the exact refine —
-    Raptor-style interior shortcut (at scale interior cells dominate)."""
-    a0, b0 = float(ring[:, 0].min()), float(ring[:, 1].min())
-    c0, d0 = float(ring[:, 0].max()), float(ring[:, 1].max())
-    cells = grid.cover_rect_np(a0, b0, c0, d0, res)
+    Cover = union over parts of the part-exterior bbox cover. full=True ⇒
+    the closed cell is entirely inside the geometry: all 4 corners
+    parity-inside across ALL rings (a corner in a hole is parity-outside)
+    and no ring edge's bbox — hole edges included — overlaps the cell.
+    Conservative: may flag interior cells near an edge as boundary, never
+    the reverse; a hole or a whole small part strictly inside a cell puts
+    its edges in the cell bbox, so that cell can never be 'full'. Full
+    cells skip the exact refine — Raptor-style interior shortcut (at
+    scale interior cells dominate)."""
+    parts = _as_parts(parts)
+    rings = [r for part in parts for r in part]
+    covers = []
+    for part in parts:
+        ext = part[0]
+        covers.append(
+            grid.cover_rect_np(
+                float(ext[:, 0].min()), float(ext[:, 1].min()),
+                float(ext[:, 0].max()), float(ext[:, 1].max()), res,
+            )
+        )
+    cells = np.unique(np.concatenate(covers)) if covers else np.array([], np.int64)
     a, b, c, d = grid.cell_bounds_np(cells)
     inside = np.ones(len(cells), dtype=bool)
     for cx, cy in ((a, b), (a, d), (c, b), (c, d)):
-        inside &= _points_in_ring(cx, cy, ring)
+        inside &= _points_in_rings(cx, cy, rings)
     near_edge = np.zeros(len(cells), dtype=bool)
-    x, y = ring[:, 0], ring[:, 1]
-    for e in range(len(ring) - 1):
-        ex0, ex1 = min(x[e], x[e + 1]), max(x[e], x[e + 1])
-        ey0, ey1 = min(y[e], y[e + 1]), max(y[e], y[e + 1])
-        near_edge |= (a <= ex1) & (c >= ex0) & (b <= ey1) & (d >= ey0)
+    for ring in rings:
+        x, y = ring[:, 0], ring[:, 1]
+        for e in range(len(ring) - 1):
+            ex0, ex1 = min(x[e], x[e + 1]), max(x[e], x[e + 1])
+            ey0, ey1 = min(y[e], y[e + 1]), max(y[e], y[e + 1])
+            near_edge |= (a <= ex1) & (c >= ex0) & (b <= ey1) & (d >= ey0)
     return cells, inside & ~near_edge
+
+
+def _cover_one(ring: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray]:
+    """Single-ring legacy wrapper over :func:`_cover_geometry`."""
+    return _cover_geometry([[ring]], res)
 
 
 def polygon_cover_cells(admin: DataFrame, res: int) -> DataFrame:
@@ -93,12 +142,10 @@ def polygon_cover_cells(admin: DataFrame, res: int) -> DataFrame:
             )
             # per-row loop is over GEOMETRIES (blobs) — plain column zip
             for adm_id, wkb, bb in zip(pdf["adm_id"], wkbs, bounds):
-                ring = (
-                    parse_wkb_polygon(wkb)
-                    if wkb is not None
-                    else parse_wkb_polygon(wkb_polygon_rect(*bb))
+                parts = parse_wkb_geometry(
+                    wkb if wkb is not None else wkb_polygon_rect(*bb)
                 )
-                cc, full = _cover_one(ring, res)
+                cc, full = _cover_geometry(parts, res)
                 adm_ids.append(adm_id)
                 cells.append(cc)
                 fulls.append(full)
@@ -117,50 +164,66 @@ def polygon_cover_cells(admin: DataFrame, res: int) -> DataFrame:
 # ---------------------------------------------------------- refine stage ---
 
 
-def _points_in_ring(
-    lon: np.ndarray, lat: np.ndarray, ring: np.ndarray, boundary: str = "half_open"
+def _points_in_rings(
+    lon: np.ndarray, lat: np.ndarray, rings: list, boundary: str = "half_open"
 ) -> np.ndarray:
-    """Vectorized even-odd ray cast (edges loop is over the few polygon
-    vertices; points are the vectorized axis).
+    """Vectorized even-odd ray cast over ALL rings of a (multi)polygon
+    (edge loops are over the few polygon vertices; points are the
+    vectorized axis). Parity across exterior + interior rings classifies
+    holes for free: a point inside a hole crosses both rings ⇒ even ⇒
+    outside; a point in any disjoint part crosses only that part's
+    exterior ⇒ odd ⇒ inside.
 
     ``boundary`` pins the on-edge convention (see pip_join):
     * ``half_open`` — the bare ray cast: for an axis-aligned rectangle,
-      left/bottom edges are inside, right/top are out. Points strictly
+      left/bottom edges are inside, right/top are out. For a hole the
+      convention MIRRORS: a point on the hole's left/bottom edge is
+      inside-the-hole, hence OUTSIDE the polygon. Points strictly
       interior/exterior are unaffected.
-    * ``closed`` — an explicit on-segment test forces every boundary
-      point inside.
+    * ``closed`` — an explicit on-segment test forces every point on ANY
+      ring (hole edges included) inside the polygon (rio.clip-style).
     """
     inside = np.zeros(lon.shape, dtype=bool)
-    x, y = ring[:, 0], ring[:, 1]
-    n = len(ring) - 1  # closed ring
-    for e in range(n):
-        x1, y1, x2, y2 = x[e], y[e], x[e + 1], y[e + 1]
-        crosses = (y1 > lat) != (y2 > lat)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            xint = x1 + (lat - y1) * (x2 - x1) / (y2 - y1)
-        inside ^= crosses & (lon < xint)
+    for ring in rings:
+        x, y = ring[:, 0], ring[:, 1]
+        for e in range(len(ring) - 1):  # closed ring
+            x1, y1, x2, y2 = x[e], y[e], x[e + 1], y[e + 1]
+            crosses = (y1 > lat) != (y2 > lat)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = x1 + (lat - y1) * (x2 - x1) / (y2 - y1)
+            inside ^= crosses & (lon < xint)
     if boundary == "closed":
         on_edge = np.zeros(lon.shape, dtype=bool)
-        for e in range(n):
-            x1, y1, x2, y2 = x[e], y[e], x[e + 1], y[e + 1]
-            collinear = (x2 - x1) * (lat - y1) == (y2 - y1) * (lon - x1)
-            in_seg = (
-                (lon >= min(x1, x2)) & (lon <= max(x1, x2))
-                & (lat >= min(y1, y2)) & (lat <= max(y1, y2))
-            )
-            on_edge |= collinear & in_seg
+        for ring in rings:
+            x, y = ring[:, 0], ring[:, 1]
+            for e in range(len(ring) - 1):
+                x1, y1, x2, y2 = x[e], y[e], x[e + 1], y[e + 1]
+                collinear = (x2 - x1) * (lat - y1) == (y2 - y1) * (lon - x1)
+                in_seg = (
+                    (lon >= min(x1, x2)) & (lon <= max(x1, x2))
+                    & (lat >= min(y1, y2)) & (lat <= max(y1, y2))
+                )
+                on_edge |= collinear & in_seg
         inside |= on_edge
     elif boundary != "half_open":
         raise ValueError(f"boundary={boundary!r} (want 'half_open' or 'closed')")
     return inside
 
 
+def _points_in_ring(
+    lon: np.ndarray, lat: np.ndarray, ring: np.ndarray, boundary: str = "half_open"
+) -> np.ndarray:
+    """Single-ring wrapper over :func:`_points_in_rings`."""
+    return _points_in_rings(lon, lat, [ring], boundary)
+
+
 def contains_wkb_udf(boundary: str = "half_open"):
-    """Exact PIP refine against a per-row WKB column. Groups the batch by
-    polygon so the ray cast runs vectorized once per distinct geometry per
-    batch. NOTE: prefer contains_indexed_udf — shipping WKB per candidate
-    row pays the binary→pandas conversion on every row; the indexed form
-    ships geometries once."""
+    """Exact PIP refine against a per-row WKB column (POLYGON with holes
+    or MULTIPOLYGON). Groups the batch by polygon so the ray cast runs
+    vectorized once per distinct geometry per batch. NOTE: prefer
+    contains_indexed_udf — shipping WKB per candidate row pays the
+    binary→pandas conversion on every row; the indexed form ships
+    geometries once."""
 
     @F.pandas_udf(T.BooleanType())
     def _contains(lon: pd.Series, lat: pd.Series, wkb: pd.Series) -> pd.Series:
@@ -170,8 +233,8 @@ def contains_wkb_udf(boundary: str = "half_open"):
         codes, uniques = pd.factorize(wkb, use_na_sentinel=True)
         for g, blob in enumerate(uniques):
             mask = codes == g
-            ring = parse_wkb_polygon(blob)
-            out[mask] = _points_in_ring(lon_v[mask], lat_v[mask], ring, boundary)
+            rings = _as_flat_rings(parse_wkb_geometry(blob))
+            out[mask] = _points_in_rings(lon_v[mask], lat_v[mask], rings, boundary)
         return pd.Series(out)
 
     return _contains
@@ -180,12 +243,14 @@ def contains_wkb_udf(boundary: str = "half_open"):
 contains_udf = contains_wkb_udf()  # the default half-open instance
 
 
-def contains_indexed_udf(rings: list[np.ndarray], boundary: str = "half_open"):
+def contains_indexed_udf(rings: list, boundary: str = "half_open"):
     """Exact PIP refine against a small geometry dictionary: candidates
-    carry only an int geometry index; the parsed rings ship to executors
-    once (closure/broadcast), not per row. Right-sized for admin-boundary
+    carry only an int geometry index; the parsed geometries (single ring
+    or flat ring-lists incl. holes/multiparts) ship to executors once
+    (closure/broadcast), not per row. Right-sized for admin-boundary
     workloads (1e2-1e5 polygons); for 1e7+ polygons switch to the
     per-row-WKB form with dictionary-encoded geometry batches."""
+    flats = [_as_flat_rings(g) for g in rings]
 
     @F.pandas_udf(T.BooleanType())
     def _contains(lon: pd.Series, lat: pd.Series, gi: pd.Series) -> pd.Series:
@@ -198,8 +263,8 @@ def contains_indexed_udf(rings: list[np.ndarray], boundary: str = "half_open"):
             if g < 0:  # interior-cell shortcut: inside by construction
                 out[mask] = True
             else:
-                out[mask] = _points_in_ring(
-                    lon_v[mask], lat_v[mask], rings[g], boundary
+                out[mask] = _points_in_rings(
+                    lon_v[mask], lat_v[mask], flats[g], boundary
                 )
         return pd.Series(out)
 
@@ -209,12 +274,13 @@ def contains_indexed_udf(rings: list[np.ndarray], boundary: str = "half_open"):
 # ------------------------------------------------------------- full join ---
 
 
-def cover_cells_driver(rings: list[np.ndarray], res: int) -> list[int]:
-    """Distinct covering cell ids at ``res`` for a list of rings, computed
+def cover_cells_driver(rings: list, res: int) -> list[int]:
+    """Distinct covering cell ids at ``res`` for a list of geometries
+    (single rings, flat ring-lists, or parts structures), computed
     driver-side (no Spark job) — used for partition-pruning isin lists."""
     out: set[int] = set()
-    for ring in rings:
-        cells, _ = _cover_one(ring, res)
+    for g in rings:
+        cells, _ = _cover_geometry(g, res)
         out.update(cells.tolist())
     return sorted(out)
 
@@ -259,12 +325,16 @@ def cover_local(spark, admin: DataFrame, res: int, max_polygons: int | None = No
             f"admin table exceeds {max_polygons} polygons; use the "
             "distributed cover (polygon_cover_cells / pip_join auto-switch)"
         )
-    rings = [parse_wkb_polygon(r["geom_wkb"]) for r in rows]
+    parts_list = [parse_wkb_geometry(r["geom_wkb"]) for r in rows]
+    # refine representation: flat ring list per geometry (holes included —
+    # even-odd parity handles them); cover keeps the parts structure
+    rings = [[rg for part in parts for rg in part] for parts in parts_list]
     recs = []
-    for gi, (r, ring) in enumerate(zip(rows, rings)):
-        cells, full = _cover_one(ring, res)
-        mnx, mny = float(ring[:, 0].min()), float(ring[:, 1].min())
-        mxx, mxy = float(ring[:, 0].max()), float(ring[:, 1].max())
+    for gi, (r, parts) in enumerate(zip(rows, parts_list)):
+        cells, full = _cover_geometry(parts, res)
+        allv = np.vstack([rg for part in parts for rg in part])
+        mnx, mny = float(allv[:, 0].min()), float(allv[:, 1].min())
+        mxx, mxy = float(allv[:, 0].max()), float(allv[:, 1].max())
         recs.extend(
             (r["adm_id"], int(c), bool(f), gi, mnx, mny, mxx, mxy)
             for c, f in zip(cells.tolist(), full.tolist())

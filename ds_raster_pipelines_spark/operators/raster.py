@@ -26,17 +26,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import grid
-from ..corpus import TILE_H, TILE_W, parse_wkb_polygon
-from .pip import _points_in_ring, polygon_cover_cells
+from ..corpus import TILE_H, TILE_W, parse_wkb_geometry
+from .pip import _is_axis_rect, _points_in_rings, polygon_cover_cells
 
 ZONAL_PIXEL_SCHEMA = "gi int, px_count bigint, px_sum bigint"
-
-
-def _is_axis_rect(ring: np.ndarray) -> bool:
-    if len(ring) != 5:
-        return False
-    xs, ys = set(ring[:, 0].tolist()), set(ring[:, 1].tolist())
-    return len(xs) == 2 and len(ys) == 2
 
 
 def zonal_pixel_stats(
@@ -82,7 +75,9 @@ def zonal_pixel_stats(
             "pre-partition the admin table (e.g. per region) and union the "
             "per-partition results"
         )
-    rings = [parse_wkb_polygon(r["geom_wkb"]) for r in rows]
+    # parts structure (holes + multiparts, r7); "rings" below = flattened
+    geoms = [parse_wkb_geometry(r["geom_wkb"]) for r in rows]
+    rings = [[rg for part in parts for rg in part] for parts in geoms]
     adm_ids = [r["adm_id"] for r in rows]
     half = span_deg / 2.0
 
@@ -105,7 +100,7 @@ def zonal_pixel_stats(
     cell_width = 360.0 / grid.nx_ny(res)[0]
     n_rings = max(1, int(np.ceil(span_deg / cell_width)))
     expanded: set[int] = set()
-    for c in cover_cells_driver(rings, res):
+    for c in cover_cells_driver(geoms, res):
         expanded.update(grid.grid_disk_np(c, n_rings))
     # pandas→Arrow local relation (the pickled-list path costs ~7 s per
     # evaluation on this box — see cover_local in pip.py)
@@ -123,12 +118,31 @@ def zonal_pixel_stats(
 
     # 2. decode + per-polygon masked reduction in one Arrow kernel
     rect_info = []
-    for g, ring in enumerate(rings):
-        if _is_axis_rect(ring):
+    for g, grings in enumerate(rings):
+        if _is_axis_rect(grings):
+            ring = grings[0]
             rect_info.append(
                 (g, ring[:, 0].min(), ring[:, 1].min(), ring[:, 0].max(), ring[:, 1].max())
             )
-    generic = [(g, r) for g, r in enumerate(rings) if not _is_axis_rect(r)]
+    # generic geometries carry their flat rings + per-PART exterior bboxes
+    # (the tile pre-check must hit any part, not the whole-geometry bbox —
+    # a 2-part geometry spanning the globe would otherwise ray-cast every
+    # tile in between)
+    generic = [
+        (
+            g,
+            rings[g],
+            [
+                (
+                    part[0][:, 0].min(), part[0][:, 1].min(),
+                    part[0][:, 0].max(), part[0][:, 1].max(),
+                )
+                for part in geoms[g]
+            ],
+        )
+        for g in range(len(rings))
+        if not _is_axis_rect(rings[g])
+    ]
 
     def kernel(batches):
         import pyarrow as pa
@@ -216,22 +230,23 @@ def zonal_pixel_stats(
                     out_gi.append(g)
                     out_cnt.append(block.size)
                     out_sum.append(int(block.sum(dtype=np.int64)))
-            # generic rings: vectorized bbox precheck, per-tile ray cast
-            for g, ring in generic:
-                rx0, ry0 = ring[:, 0].min(), ring[:, 1].min()
-                rx1, ry1 = ring[:, 0].max(), ring[:, 1].max()
-                hit = (
-                    (lon0 <= rx1)
-                    & (lon0 + span_deg >= rx0)
-                    & (lat_top - span_deg <= ry1)
-                    & (lat_top >= ry0)
-                )
+            # generic rings: vectorized per-part bbox precheck, per-tile
+            # ray cast over ALL rings (holes subtract by parity)
+            for g, grings, part_bboxes in generic:
+                hit = np.zeros(n, dtype=bool)
+                for rx0, ry0, rx1, ry1 in part_bboxes:
+                    hit |= (
+                        (lon0 <= rx1)
+                        & (lon0 + span_deg >= rx0)
+                        & (lat_top - span_deg <= ry1)
+                        & (lat_top >= ry0)
+                    )
                 for k in np.nonzero(hit)[0]:
                     w, h = int(ws[k]), int(hs[k])
                     gx = lon0[k] + (np.arange(w) + 0.5) * (span_deg / w)
                     gy = lat_top[k] - (np.arange(h) + 0.5) * (span_deg / h)
                     lon_g, lat_g = np.meshgrid(gx, gy)
-                    mask = _points_in_ring(lon_g.ravel(), lat_g.ravel(), ring).reshape(h, w)
+                    mask = _points_in_rings(lon_g.ravel(), lat_g.ravel(), grings).reshape(h, w)
                     if not mask.any():
                         continue
                     out_gi.append(g)

@@ -263,14 +263,21 @@ def cms_heavy_hitters(
     k: int = 20,
     d: int = CMS_D_DEFAULT,
     w: int = CMS_W_DEFAULT,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k heavy hitters by count-min estimate with a deterministic
     (est desc, value asc) tie-break. est >= true count always, and for
-    genuinely heavy keys the overestimate is bounded by eps*N w.h.p. —
-    the right tool when exact top-k would carry the full key space
-    through a shuffle."""
+    genuinely heavy keys the overestimate is bounded by eps*N w.h.p.
+
+    Key-space note: when ``candidates`` is None this falls back to
+    ``df.select(col).distinct()`` — an EXACT-key-space pass that does
+    shuffle the full key set (fine at candidate-friendly cardinalities;
+    it is the sketch *counters* that stay tiny). At 100 TB pass a
+    ``candidates`` DataFrame (e.g. keys surviving a per-partition
+    local-top-k pre-pass, or an external watchlist) so only the
+    candidate set is estimated and no full-key shuffle happens."""
     counters = cms_counters(df, col, d, w)
-    keys = df.select(col).distinct()
+    keys = candidates.select(col).distinct() if candidates is not None else df.select(col).distinct()
     return (
         cms_estimate(counters, keys, col, d, w)
         .orderBy(F.col("est_count").desc(), F.col(col))

@@ -203,13 +203,17 @@ def repetition_filter(
     """Drop docs whose modal-token mass or duplicate-bigram mass exceeds
     the Gopher-style thresholds. Integer cross-multiplication (no float
     division) so keep/drop decisions are bit-identical across engines."""
+    from fractions import Fraction
+
     d = repetition_features(df, text_col)
-    # a/b > frac  <=>  a * (1/frac) > b  with 1/frac an exact integer
-    inv_top = round(1.0 / max_top_frac)
-    inv_bi = round(1.0 / max_dup_bigram_frac)
+    # a/b <= num/den  <=>  a*den <= b*num — integer cross-multiplication,
+    # exact for ANY rational threshold (0.3 is exactly 3/10 here, not the
+    # silently-distorted 1/round(1/0.3)=1/3 a reciprocal round would give)
+    ft = Fraction(max_top_frac).limit_denominator(1_000_000)
+    fb = Fraction(max_dup_bigram_frac).limit_denominator(1_000_000)
     return d.where(
-        (F.col("top_cnt") * inv_top <= F.col("n_tok"))
-        & (F.col("dup_bi") * inv_bi <= F.col("n_bi"))
+        (F.col("top_cnt") * ft.denominator <= F.col("n_tok") * ft.numerator)
+        & (F.col("dup_bi") * fb.denominator <= F.col("n_bi") * fb.numerator)
     ).drop("n_tok", "top_cnt", "n_bi", "dup_bi")
 
 

@@ -468,10 +468,14 @@ class IncrementalRun:
                 pdf = self.spark.read.parquet(
                     os.path.join(self.data_dir, f"part={part}")
                 ).withColumn("part", F.lit(part))
-                row = partition_manifest(pdf, "part", cell_col).collect()[0]
+                res = partition_manifest(pdf, "part", cell_col).collect()
+                # an empty manifest result (partial/corrupt write left a
+                # zero-row part dir) IS the corruption verify() exists to
+                # flag — report a bad partition, don't crash on [0]
                 if (
-                    row["n_rows"] != m[part]["n_rows"]
-                    or row["checksum"] != m[part]["checksum"]
+                    not res
+                    or res[0]["n_rows"] != m[part]["n_rows"]
+                    or res[0]["checksum"] != m[part]["checksum"]
                 ):
                     bad.append(part)
             return self.spark.createDataFrame(

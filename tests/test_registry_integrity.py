@@ -29,33 +29,27 @@ def test_priority_order_covers_graded_prefix():
     )  # drift: update _PRIORITY when registering a query
     graded = set(qs[:50])
     must_grade = {
-        # the 36-query r5 tail (last driver row is r4 — VERDICT r5 item 2)
-        "zonal_weighted", "q1_pricing_summary", "filename_date_extraction",
-        "leadtime_arithmetic", "validation_bounds", "semi_join_suppliers",
-        "dedup_exact", "near_dup_jaccard", "minhash_lsh_candidates",
-        "near_dup_ngram", "minhash_lsh_md5", "minhash_dedup_verified",
-        "dedup_components", "simhash_fingerprints", "doc_fingerprint",
-        "deterministic_sample", "tfidf_top_terms", "token_stats_per_lang",
-        "quality_scores", "langid_confusion", "ann_cosine_topk",
-        "ann_lsh_bucketed", "ann_ivf_topk", "orientation_flip",
-        "zonal_pixel_stats_dct", "phash_near_dup", "quantile_summary",
-        # set_ops_nations / pivot_priority_revenue / rollup_pricing
-        # deliberately slip to r7 (pure-Catalyst, untouched since r2) so
-        # the never-graded r6 queries fit the 50-slot prefix — see
-        # _PRIORITY comment
-        "coarsen_resample",
-        "wav_audio_stats", "decode_verify_gate",
-        "bilinear_resample_means", "image_feature_buckets",
-        "embedding_near_dup",
-        # new in round 6 (added here as they land)
+        # the only rows older than r5 (VERDICT r6 item 2)
+        "set_ops_nations", "pivot_priority_revenue", "rollup_pricing",
+        "zonal_pixel_stats_gif",
+        # new in round 7 (added here as they land)
+        "pip_zonal_holed", "pip_zonal_holed_distributed",
+        "zonal_pixel_stats_holed",
+        # modules changed this round: corpus.py WKB parse, pip.py parity
+        # refine + cover, raster.py masked kernel, text.py Fraction
+        # thresholds, sketches.py candidate keys, incremental.py verify
+        # guard, flac.py header range guard
+        "flagship_zonal_decode", "zonal_pixel_stats", "pip_zonal_bbox",
+        "pip_zonal_raycast", "pip_all_touched", "zonal_weighted",
+        "orientation_flip", "pixel_histogram", "cog_overview_zonal",
+        "zonal_pixel_stats_tif", "zonal_pixel_stats_dct",
+        "zonal_pixel_stats_nc", "zonal_pixel_stats_nc4",
         "zonal_pixel_stats_nc_packed", "zonal_pixel_stats_nc4_packed",
-        "video_frame_stats", "reproject_webmercator",
-        "hll_distinct_orders", "quantile_sketch_price",
-        "decontaminate_eval_overlap",
-        "zonal_pixel_stats_jpg", "gopher_repetition_filter",
-        "flac_audio_stats", "cms_heavy_hitters", "bloom_semi_join_revenue",
-        "ngram_lm_perplexity", "mp2_audio_stats",
-        "pii_redaction_report", "vocab_oov_rate", "zorder_layout_locality",
+        "zonal_pixel_stats_jpg", "coarsen_resample",
+        "bilinear_resample_means", "reproject_webmercator",
+        "decode_verify_gate", "bbox_prune_count", "request_pruned_scan",
+        "gopher_repetition_filter", "cms_heavy_hitters",
+        "flac_audio_stats", "update_latest_tick",
     }
     assert must_grade <= graded, must_grade - graded
 
