@@ -57,7 +57,7 @@ _PRIORITY = [
     "zonal_pixel_stats_gif",
     # -- new in round 7 (inserted here as they land) ---------------------
     "pip_zonal_holed", "pip_zonal_holed_distributed",
-    "zonal_pixel_stats_holed",
+    "zonal_pixel_stats_holed", "video_frame_stats_mjpeg",
     # -- changed-module queries this round -------------------------------
     # corpus.py / pip.py / raster.py (WKB geometry, refine, masked kernel)
     "flagship_zonal_decode", "zonal_pixel_stats", "pip_zonal_bbox",
@@ -3037,6 +3037,22 @@ def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.multimodal import materialized_video_corpus, video_frame_stats
 
     media = spark.read.parquet(materialized_video_corpus(spark, sf_dir))
+    return video_frame_stats(media, every_n=2).orderBy("i", "frame_idx")
+
+
+@register("video_frame_stats_mjpeg", _VIDEO_ORACLE)
+def video_frame_stats_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Motion-JPEG video (r7, VERDICT r6 item 4): the same frame
+    stack stored as baseline JFIF streams (jpeg.py, from-scratch ITU-T
+    T.81 codec) inside MJPG-tagged 00dc chunks — the actual MJPEG wire
+    format. The smooth gradient frames round-trip the Huffman/DPCM/
+    stuffing chain BIT-exactly at q=90 (same property zonal_pixel_stats_jpg
+    grades), so the identical closed-form oracle applies; the kernel is
+    the same handler-dispatched 1-in-2 sampled walk (skipped frames'
+    JFIF bytes never touched)."""
+    from .sources.multimodal import materialized_video_corpus, video_frame_stats
+
+    media = spark.read.parquet(materialized_video_corpus(spark, sf_dir, codec="mjpeg"))
     return video_frame_stats(media, every_n=2).orderBy("i", "frame_idx")
 
 

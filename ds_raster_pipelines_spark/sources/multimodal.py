@@ -581,23 +581,24 @@ def video_frames_for(i: int) -> list[np.ndarray]:
     ]
 
 
-def build_video_corpus(ids: DataFrame, id_col: str = "i") -> DataFrame:
-    """One REAL AVI blob per id (avi.py RIFF container, DCT frame codec)."""
+def build_video_corpus(ids: DataFrame, id_col: str = "i", codec: str = "dct") -> DataFrame:
+    """One REAL AVI blob per id (avi.py RIFF container). ``codec`` picks
+    the per-frame payload: 'dct' (repo transform codec, fourcc DCT0) or
+    'mjpeg' (baseline JFIF per frame, fourcc MJPG — real Motion-JPEG)."""
     from .. import avi
+
+    enc = {"dct": avi.encode_avi_dct, "mjpeg": avi.encode_avi_mjpeg}[codec]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            blobs = [
-                avi.encode_avi_dct(video_frames_for(int(i)))
-                for i in pdf[id_col].astype(int)
-            ]
+            blobs = [enc(video_frames_for(int(i))) for i in pdf[id_col].astype(int)]
             yield pd.DataFrame({"i": pdf[id_col].astype(np.int64), "bytes": blobs})
 
     return ids.select(id_col).mapInPandas(kernel, schema="i bigint, bytes binary")
 
 
 def materialized_video_corpus(
-    spark, sf_dir: str, cache_root: str = "/tmp/spark_graft_corpus"
+    spark, sf_dir: str, cache_root: str = "/tmp/spark_graft_corpus", codec: str = "dct"
 ) -> str:
     import os
 
@@ -606,14 +607,15 @@ def materialized_video_corpus(
     from .. import corpus as corpus_mod
 
     key = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
-    path = f"{cache_root}/{corpus_mod.CORPUS_VERSION}/{key}_avi"
+    suffix = "_avi" if codec == "dct" else f"_avi_{codec}"
+    path = f"{cache_root}/{corpus_mod.CORPUS_VERSION}/{key}{suffix}"
     if not os.path.exists(f"{path}/_SUCCESS"):
         ids = (
             spark.read.parquet(f"{sf_dir}/orders.parquet")
             .select(F.col("o_orderkey").alias("i"))
             .repartition(spark.sparkContext.defaultParallelism, "i")
         )
-        build_video_corpus(ids).write.mode("overwrite").parquet(path)
+        build_video_corpus(ids, codec=codec).write.mode("overwrite").parquet(path)
     return path
 
 
@@ -630,7 +632,8 @@ def video_frame_stats(media: DataFrame, every_n: int = 2) -> DataFrame:
         for pdf in batches:
             out = {"i": [], "frame_idx": [], "n_px": [], "sum_px": []}
             for i, blob in zip(pdf["i"], pdf["bytes"]):
-                for j, px in enumerate(avi.decode_avi_dct(bytes(blob), every_n)):
+                # handler-dispatched: DCT0 and MJPG corpora alike
+                for j, px in enumerate(avi.decode_avi_frames(bytes(blob), every_n)):
                     out["i"].append(int(i))
                     out["frame_idx"].append(j * every_n)
                     out["n_px"].append(px.size)

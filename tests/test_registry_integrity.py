@@ -34,7 +34,7 @@ def test_priority_order_covers_graded_prefix():
         "zonal_pixel_stats_gif",
         # new in round 7 (added here as they land)
         "pip_zonal_holed", "pip_zonal_holed_distributed",
-        "zonal_pixel_stats_holed",
+        "zonal_pixel_stats_holed", "video_frame_stats_mjpeg",
         # modules changed this round: corpus.py WKB parse, pip.py parity
         # refine + cover, raster.py masked kernel, text.py Fraction
         # thresholds, sketches.py candidate keys, incremental.py verify
