@@ -302,6 +302,86 @@ def run_weak_scaling(sf_dir: str, levels: tuple[int, int] = (1, 4), base_tiles: 
     }
 
 
+DEDUP_DOCS = int(os.environ.get("SPARK_GRAFT_DEDUP_DOCS", "4000000"))
+
+
+def run_single_dedup(cpus: int) -> dict:
+    """One full minhash->LSH->verify->CC pass over the DEDUP_DOCS synthetic
+    documents corpus at the given parallelism (corpus.synthetic_docs plants
+    ~20% near-dup pairs at Jaccard ~0.75-0.9)."""
+    from ds_raster_pipelines_spark.session import get_spark
+    from ds_raster_pipelines_spark import corpus as corpus_mod
+    from ds_raster_pipelines_spark.operators.dedup import (
+        connected_components,
+        minhash_dedup_pairs,
+        release_cached,
+    )
+
+    spark = get_spark(f"dedup_{cpus}", cpus=cpus)
+    path = corpus_mod.materialized_docs_n(spark, DEDUP_DOCS)
+    docs = spark.read.parquet(path)
+    # warm: JIT, python-free codegen paths, page cache (one cheap pass)
+    docs.select("doc_id").limit(1000).count()
+    t0 = time.time()
+    pairs = minhash_dedup_pairs(docs, max_bucket=50)
+    pairs = pairs.persist()
+    n_pairs = pairs.count()
+    t_pairs = time.time() - t0
+    cc_stats: dict = {}
+    comp = connected_components(pairs.select("doc_a", "doc_b"), stats=cc_stats)
+    n_docs_clustered = comp.count()
+    dt = time.time() - t0
+    pairs.unpersist()
+    release_cached()
+    return {
+        "metric": "dedup_e2e_sec",
+        "value": round(dt, 3),
+        "unit": "sec",
+        "docs": DEDUP_DOCS,
+        "docs_per_sec": round(DEDUP_DOCS / dt, 1),
+        "pairs_verified": n_pairs,
+        "pairs_sec": round(t_pairs, 3),
+        "docs_in_clusters": n_docs_clustered,
+        "cc_rounds": cc_stats.get("rounds"),
+        "cpus": cpus,
+    }
+
+
+def run_dedup_scaling(levels: tuple[int, int] = SCALE_LEVELS) -> dict:
+    """Dedup/LLM-path scaling evidence (VERDICT r6 item 3): the same
+    minhash->LSH->verify->CC chain over the same >=4M-doc corpus at N vs
+    4N pinned cores — the corpus-scale twin of the graded (sf0.01-proven)
+    minhash_dedup_verified + dedup_components queries."""
+    from ds_raster_pipelines_spark.session import get_spark
+    from ds_raster_pipelines_spark import corpus as corpus_mod
+
+    corpus_mod.materialized_docs_n(get_spark("dedup_prep", cpus=32), DEDUP_DOCS)
+    results = {}
+    for cpus in levels:
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                   SPARK_GRAFT_DEDUP_DOCS=str(DEDUP_DOCS))
+        cmd = [sys.executable, __file__, "--single-dedup"]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    lo, hi = levels
+    thr_lo = results[lo]["docs_per_sec"]
+    thr_hi = results[hi]["docs_per_sec"]
+    assert results[lo]["pairs_verified"] == results[hi]["pairs_verified"], (
+        "dedup results differ across parallelism levels"
+    )
+    return {
+        "metric": "dedup_scaling_efficiency",
+        "value": round((thr_hi / thr_lo) / (hi / lo), 3),
+        "unit": "ratio",
+        "docs": DEDUP_DOCS,
+        "levels": {str(c): results[c] for c in levels},
+        "throughput_lo": thr_lo,
+        "throughput_hi": thr_hi,
+    }
+
+
 def run_single_flagship(sf_dir: str, cpus: int) -> dict:
     """One flagship run over the scaling corpus at the given parallelism."""
     from ds_raster_pipelines_spark.session import get_spark
@@ -454,6 +534,12 @@ def main() -> None:
         return
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(SF_DIR)))
+        return
+    if "--dedup-scaling" in sys.argv:
+        print(json.dumps(run_dedup_scaling()))
+        return
+    if "--single-dedup" in sys.argv:
+        print(json.dumps(run_single_dedup(CPUS)))
         return
     if "--single-flagship" in sys.argv:
         print(json.dumps(run_single_flagship(SF_DIR, CPUS)))

@@ -722,3 +722,114 @@ def footprint_cols_for_images(df: DataFrame, i_col: str = "i") -> DataFrame:
             "lat_top": F.lit(90.0) - F.lit(0.25) * ((i * 7) % 720),
         }
     )
+
+
+# ----------------------------------------------- big synthetic documents ---
+# Corpus-scale text for the dedup/LLM-path scaling bench (VERDICT r6
+# item 3): the graded dedup family is oracle-proven at sf0.01/sf0.1 (5k
+# docs); this builder makes the SAME statistical shape at >=4M docs so the
+# minhash->LSH->verify->CC chain can be benched compute-dominated.
+# Generation is pure Column exprs (JVM codegen, zero Python) and
+# deterministic from doc_id alone, so the corpus is identical across
+# parallelism levels and chunked builds.
+
+_DOC_VOCAB = [
+    "spark", "batch", "part", "line", "column", "order", "small", "sort",
+    "fast", "value", "scan", "vector", "query", "agg", "table", "hash",
+    "slow", "filter", "customer", "stream", "key", "group", "join", "row",
+    "page", "index", "merge", "cache", "disk", "block", "shard", "range",
+    "plan", "stage", "task", "node", "core", "byte", "word", "text",
+    "tile", "pixel", "band", "cell", "zone", "grid", "point", "ring",
+    "frame", "codec", "audio", "image", "token", "model", "train", "eval",
+    "clean", "score", "count", "label", "sample", "bucket", "probe", "salt",
+]
+
+
+def synthetic_docs(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """ids -> (doc_id, text, lang, source, n_chars), schema-compatible
+    with the driver's documents table.
+
+    Near-dup structure (what a dedup bench must have): every doc with
+    doc_id % 5 == 4 is a MUTATED COPY of doc_id - 2 — same word sequence
+    except positions k % 11 == 3 are re-drawn from the copy's own id, so
+    the pair's Jaccard is ~0.75-0.9 (above the 0.5 verify threshold,
+    below exact-dup). ~20% of docs therefore near-duplicate another doc
+    two ids away — ids land in different partitions under range
+    partitioning, so candidate pairs genuinely cross partitions."""
+    v = F.array(*[F.lit(w) for w in _DOC_VOCAB])
+    nv = len(_DOC_VOCAB)
+
+    def pick(*seed):
+        # token = stem + hash-derived numeric suffix: ~6.4M distinct
+        # tokens (64 stems x 99991 suffixes), so UNRELATED docs share ~no
+        # words — without this, a 64-word vocabulary at 4M docs makes
+        # every LSH bucket a giant collision cluster and the bench would
+        # measure the hot-bucket cap, not the join
+        h = F.abs(F.xxhash64(*seed))
+        return F.concat(
+            F.element_at(v, (h % nv + 1).cast("int")),
+            F.lit("_"),
+            (h % 99991).cast("string"),
+        )
+
+    i = F.col(id_col)
+    is_dup = (i % 5 == 4) & (i >= 2)
+    base = F.when(is_dup, i - 2).otherwise(i)
+    n_words = F.lit(22) + F.pmod(base, F.lit(17))
+    words = F.transform(
+        F.sequence(F.lit(0), (n_words - 1).cast("int")),
+        lambda k: F.when(is_dup & (k % 11 == 3), pick(i, k, F.lit("mut")))
+        .otherwise(pick(base, k)),
+    )
+    text = F.array_join(words, " ")
+    return ids.select(
+        i.alias("doc_id"),
+        text.alias("text"),
+        F.element_at(F.array(F.lit("en"), F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("zh")),
+                     (F.pmod(i, F.lit(5)) + 1).cast("int")).alias("lang"),
+        F.concat(F.lit("src"), F.pmod(i, F.lit(10)).cast("string")).alias("source"),
+        F.length(text).cast("long").alias("n_chars"),
+    )
+
+
+def materialized_docs_n(
+    spark: SparkSession, n: int, cache_root: str = "/tmp/spark_graft_corpus"
+) -> str:
+    """Materialize an n-doc synthetic documents table (resumable chunked
+    append jobs, same lineage-manifest discipline as
+    materialized_images_n)."""
+    import os
+    import shutil
+
+    path = f"{cache_root}/{CORPUS_VERSION}/docs_{n}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        chunk = int(os.environ.get("SPARK_GRAFT_DOCS_CHUNK", "8000000"))
+        tmp = f"{path}.__building__"
+        manifest = f"{tmp}/_CHUNKS_DONE"
+        done: set[int] = set()
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                done = {int(line.split()[0]) for line in f if line.strip()}
+            for root, dirs, _files in os.walk(tmp):
+                for d in list(dirs):
+                    if d == "_temporary":
+                        shutil.rmtree(os.path.join(root, d))
+                        dirs.remove(d)
+        elif os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        for lo in range(0, n, chunk):
+            if lo in done:
+                continue
+            ids = spark.range(lo, min(lo + chunk, n), 1,
+                              spark.sparkContext.defaultParallelism)
+            synthetic_docs(ids.withColumnRenamed("id", "doc_id")).write.mode(
+                "append"
+            ).parquet(tmp)
+            with open(manifest, "a") as f:
+                f.write(f"{lo} {min(lo + chunk, n)}\n")
+        os.remove(manifest)
+        os.rename(tmp, path)
+        open(f"{path}/_SUCCESS", "a").close()
+    return path

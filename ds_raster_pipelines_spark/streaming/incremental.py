@@ -201,7 +201,11 @@ class IncrementalRun:
         return sid
 
     def _last_commit_sid(self, part: int) -> int | None:
-        sids = [s["snapshot_id"] for s in self.snapshots() if s["part"] == part]
+        sids = [
+            s["snapshot_id"]
+            for s in self.snapshots()
+            if s["part"] == part and s.get("operation", "commit") == "commit"
+        ]
         return max(sids) if sids else None
 
     def _archive_current(self, part: int) -> None:
@@ -226,14 +230,15 @@ class IncrementalRun:
             raise ValueError(f"no snapshot <= {snapshot_id}")
         visible: dict[int, int] = {}
         for s in log:
-            visible[s["part"]] = s["snapshot_id"]
+            if s.get("operation", "commit") == "commit":
+                visible[s["part"]] = s["snapshot_id"]
         parts_df = []
         for part, sid in sorted(visible.items()):
             if self._last_commit_sid(part) == sid:
                 path = os.path.join(self.data_dir, f"part={part}")
             else:
                 path = os.path.join(self._versions_dir, f"part={part}", f"v={sid}")
-            pdf = self.spark.read.parquet(path).withColumn("part", F.lit(part))
+            pdf = self._read_version(path, part, version_sid=sid, as_of_sid=snapshot_id)
             # schema AS OF the requested snapshot (Iceberg time travel reads
             # with the snapshot's schema): columns added later are absent;
             # columns added earlier that this version's files predate read
@@ -255,8 +260,11 @@ class IncrementalRun:
         # an archived version v of part p is still needed iff some kept
         # snapshot s >= older_than_sid resolves p -> v
         needed: set[tuple[int, int]] = set()
-        log = self.snapshots()
-        all_sids = [s["snapshot_id"] for s in log]
+        full_log = self.snapshots()
+        # versions resolve through COMMIT rows only, but every kept
+        # snapshot id (delete snapshots included) is a time-travel target
+        log = [s for s in full_log if s.get("operation", "commit") == "commit"]
+        all_sids = [s["snapshot_id"] for s in full_log]
         for keep_sid in [s for s in all_sids if s >= older_than_sid]:
             vis: dict[int, int] = {}
             for s in log:
@@ -272,6 +280,148 @@ class IncrementalRun:
                     shutil.rmtree(os.path.join(pfull, vdir))
                     removed += 1
         return removed
+
+    # -- row-level deletes (Iceberg merge-on-read) ---------------------------
+    #
+    # Two delete shapes, same as the Iceberg v2 spec:
+    # * POSITION deletes address physical rows as (file name, row index in
+    #   file) — resolved here via Spark's hidden ``_metadata`` struct
+    #   (file_path + row_index). Addressed by file BASENAME, which is
+    #   stable across the archive rename (_versions/part=N/v=sid) — so a
+    #   position delete keeps applying to the same rows under time travel,
+    #   and self-invalidates when compaction rewrites the files (dead file
+    #   names simply match nothing), exactly Iceberg's behavior.
+    # * EQUALITY deletes record (column, values) and apply to partition
+    #   versions committed STRICTLY BEFORE the delete snapshot (the
+    #   sequence-number rule): a partition rewritten after the delete has
+    #   already had the rows removed — re-applying would be wrong if a
+    #   deleted key is legitimately re-inserted later.
+    #
+    # Reads are MERGE-ON-READ: data files are never touched by a delete —
+    # the scan anti-joins the (tiny, broadcast) delete files. A
+    # delete-heavy partition is rewritten by ``compact_partition``.
+    # Lineage/verify() checksums remain over the raw data files by design:
+    # verify certifies durable bytes; deletes are metadata layered on top.
+
+    @property
+    def _deletes_dir(self) -> str:
+        return os.path.join(self.out_dir, "deletes")
+
+    def delete_entries(self) -> list[dict]:
+        return [
+            s for s in self.snapshots()
+            if s.get("operation") in ("position_delete", "equality_delete")
+        ]
+
+    def _append_delete_snapshot(self, operation: str, n_rows: int, **extra) -> int:
+        import json
+
+        sid = self.current_snapshot_id() + 1
+        row = {
+            "snapshot_id": sid,
+            "parent_id": sid - 1,
+            "operation": operation,
+            "part": -1,
+            "n_rows": int(n_rows),
+            "checksum": 0,
+            **extra,
+        }
+        with open(self._snapshot_log, "a") as f:
+            f.write(json.dumps(row) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        return sid
+
+    def delete_rows(self, predicate: F.Column) -> dict:
+        """POSITION delete: resolve ``predicate`` against the CURRENT
+        table state (prior deletes already applied — re-deleting a dead
+        row is a no-op by construction) to (file name, row index) pairs,
+        written as one parquet delete file. O(matched rows) metadata; no
+        data file is rewritten. The PII-erasure primitive."""
+        sid = self.current_snapshot_id() + 1
+        path = os.path.join(self._deletes_dir, f"pos-{sid}")
+        hits = self.read(_with_meta=True).where(predicate).select("_file", "_pos")
+        hits.coalesce(1).write.mode("overwrite").parquet(path)
+        n = self.spark.read.parquet(path).count()
+        real_sid = self._append_delete_snapshot("position_delete", n, path=f"pos-{sid}")
+        assert real_sid == sid, "concurrent writer detected (single-writer contract)"
+        return {"snapshot_id": sid, "operation": "position_delete", "n_rows": n}
+
+    def delete_where(self, column: str, values: list) -> dict:
+        """EQUALITY delete: record (column, values) as a delete file;
+        applies at read to partition versions committed strictly before
+        this snapshot."""
+        import pandas as pd
+
+        sid = self.current_snapshot_id() + 1
+        path = os.path.join(self._deletes_dir, f"eq-{sid}")
+        vals = pd.DataFrame({"v": list(values)})
+        self.spark.createDataFrame(vals).coalesce(1).write.mode("overwrite").parquet(path)
+        real_sid = self._append_delete_snapshot(
+            "equality_delete", len(vals), path=f"eq-{sid}", column=column
+        )
+        assert real_sid == sid, "concurrent writer detected (single-writer contract)"
+        return {"snapshot_id": sid, "operation": "equality_delete", "n_rows": len(vals)}
+
+    def _read_version(
+        self, path: str, part: int, version_sid: int, as_of_sid: int,
+        keep_meta: bool = False,
+    ) -> DataFrame:
+        """One partition version with the deletes visible at ``as_of_sid``
+        merged in (anti-joins against broadcast-small delete files).
+        ``keep_meta`` retains the (_file, _pos) address columns — the
+        position-delete writer needs them."""
+        deletes = [d for d in self.delete_entries() if d["snapshot_id"] <= as_of_sid]
+        pdf = self.spark.read.parquet(path)
+        if deletes or keep_meta:
+            pdf = pdf.select(
+                "*",
+                F.substring_index(F.col("_metadata.file_path"), "/", -1).alias("_file"),
+                F.col("_metadata.row_index").alias("_pos"),
+            )
+        pdf = pdf.withColumn("part", F.lit(part))
+        for d in deletes:
+            dpath = os.path.join(self._deletes_dir, d["path"])
+            if d["operation"] == "position_delete":
+                dels = self.spark.read.parquet(dpath).withColumn(
+                    "_file", F.substring_index(F.col("_file"), "/", -1)
+                )
+                pdf = pdf.join(F.broadcast(dels), ["_file", "_pos"], "left_anti")
+            else:  # equality: only versions committed before the delete
+                if version_sid < d["snapshot_id"] and d["column"] in pdf.columns:
+                    dels = self.spark.read.parquet(dpath).select(
+                        F.col("v").alias(d["column"])
+                    )
+                    pdf = pdf.join(F.broadcast(dels), d["column"], "left_anti")
+        return pdf if keep_meta or not deletes else pdf.drop("_file", "_pos")
+
+    def compact_partition(self, part: int, cell_col: str | None = None) -> dict:
+        """Rewrite a delete-heavy partition: materialize its merged read
+        (data minus visible deletes) and commit it as a NEW version
+        through the normal lineage path. Post-compaction the partition's
+        commit snapshot is newer than every existing delete, so equality
+        deletes stop applying by the sequence rule and position deletes
+        self-invalidate (new file names); time travel still reconstructs
+        every pre-compaction state from the archived version."""
+        sid = self._last_commit_sid(part)
+        if sid is None:
+            raise ValueError(f"partition {part} has no committed version")
+        path = os.path.join(self.data_dir, f"part={part}")
+        merged = self._read_version(
+            path, part, version_sid=sid, as_of_sid=self.current_snapshot_id()
+        ).drop("part")
+        # STAGE the merged rows to a scratch dir before commit_partition
+        # overwrites the source files (a lazy read overwriting its own
+        # input self-clobbers), then commit from the staged copy —
+        # distributed end to end, no driver materialization
+        import shutil
+
+        tmp = os.path.join(self.out_dir, f"_compact_part={part}")
+        merged.write.mode("overwrite").parquet(tmp)
+        try:
+            return self.commit_partition(part, self.spark.read.parquet(tmp), cell_col)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     # -- schema evolution (Iceberg add-column-with-default) -----------------
 
@@ -416,11 +566,34 @@ class IncrementalRun:
 
     # -- reads -------------------------------------------------------------
 
-    def read(self) -> DataFrame:
+    def read(self, _with_meta: bool = False) -> DataFrame:
         """Current table state under the CURRENT schema. With no evolutions
-        this is the raw fast path; with evolutions it goes through the
-        per-partition-version reader so pre-evolution files surface declared
-        defaults while post-evolution NULLs stay NULL."""
+        and no deletes this is the raw fast path; with evolutions it goes
+        through the per-partition-version reader so pre-evolution files
+        surface declared defaults while post-evolution NULLs stay NULL;
+        with row-level deletes the scan merges them on read."""
+        if _with_meta or self.delete_entries():
+            from functools import reduce
+
+            head = self.current_snapshot_id()
+            visible: dict[int, int] = {}
+            for s in self.snapshots():
+                if s.get("operation", "commit") == "commit":
+                    visible[s["part"]] = s["snapshot_id"]
+            parts_df = []
+            for part, sid in sorted(visible.items()):
+                path = os.path.join(self.data_dir, f"part={part}")
+                pdf = self._read_version(
+                    path, part, version_sid=sid, as_of_sid=head, keep_meta=_with_meta
+                )
+                parts_df.append(self._apply_evolutions(pdf, head + 1))
+            if not parts_df:
+                raise ValueError("empty table: nothing committed yet")
+            df = reduce(lambda a, b: a.unionByName(b), parts_df)
+            for ev in self.schema_versions():
+                if ev["name"] not in df.columns:
+                    df = df.withColumn(ev["name"], F.lit(ev["default"]).cast(ev["type"]))
+            return df
         if not self.schema_versions():
             return self.spark.read.parquet(self.data_dir)
         df = self.read_at(self.current_snapshot_id())
