@@ -514,7 +514,88 @@ def run_skew(n_tiles: int = 32_000_000, hot_pct: int = 20, n_salt: int = 32) -> 
     return results
 
 
+def run_pip_skew(n_points: int = 8_000_000, hot_pct: int = 25, n_salt: int = 32) -> dict:
+    """Salted DISTRIBUTED PIP evidence (VERDICT r6 item 7): plant a hot
+    cell holding ~hot_pct% of the points, run pip_join_distributed in the
+    beyond-broadcast regime (broadcast + AQE off — the 1e6-polygon plan
+    shape) salted vs unsalted, assert identical per-admin results, and
+    report the wall-time ratio."""
+    from pyspark.sql import functions as F
+
+    from ds_raster_pipelines_spark import corpus as corpus_mod
+    from ds_raster_pipelines_spark.operators.pip import pip_join_distributed
+    from ds_raster_pipelines_spark.session import get_spark
+
+    spark = get_spark(
+        "pip_skew", cpus=CPUS,
+        extra_conf={
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.enabled": "false",
+        },
+    )
+    # hot point: a fixed location deep inside admin rect A00 (one res-5
+    # cell); cold points spread uniformly — deterministic from id
+    adm = corpus_mod.admin_df(spark)
+    i = F.col("id")
+    is_hot = F.pmod(i, F.lit(100)) < hot_pct
+    pts = spark.range(0, n_points, 1, CPUS).select(
+        i.alias("pid"),
+        F.when(is_hot, F.lit(-150.123)).otherwise(
+            -180.0 + F.pmod(i * 37.0001, F.lit(360.0))
+        ).alias("lon_c"),
+        F.when(is_hot, F.lit(-55.377)).otherwise(
+            -90.0 + F.pmod(i * 17.0003, F.lit(180.0))
+        ).alias("lat_c"),
+    )
+
+    def agg(j):
+        return j.groupBy("adm_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("pid").alias("s")
+        )
+
+    def timed(fn) -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            _materialize(fn())
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    def unsalted():
+        return agg(pip_join_distributed(pts, adm, res=5))
+
+    def salted():
+        return agg(pip_join_distributed(
+            pts, adm, res=5, n_salt=n_salt,
+            hot_threshold=max(1000, n_points // 100),
+        ))
+
+    _materialize(unsalted())  # warm
+    t_un = timed(unsalted)
+    _materialize(salted())
+    t_sa = timed(salted)
+    a = unsalted().orderBy("adm_id").toPandas()
+    b = salted().orderBy("adm_id").toPandas()
+    identical = bool(a.equals(b))
+    assert identical, "salted distributed PIP changed results"
+    return {
+        "metric": "pip_skew_salted_speedup",
+        "value": round(t_un / t_sa, 3),
+        "unit": "ratio",
+        "points": n_points,
+        "hot_pct": hot_pct,
+        "n_salt": n_salt,
+        "unsalted_sec": t_un,
+        "salted_sec": t_sa,
+        "identical": identical,
+    }
+
+
 def main() -> None:
+    if "--pip-skew" in sys.argv:
+        n = int(os.environ.get("SPARK_GRAFT_PIP_SKEW_POINTS", "8000000"))
+        print(json.dumps(run_pip_skew(n_points=n)))
+        return
     if "--skew" in sys.argv:
         n = int(os.environ.get("SPARK_GRAFT_SKEW_TILES", "32000000"))
         print(json.dumps(run_skew(n_tiles=n)))

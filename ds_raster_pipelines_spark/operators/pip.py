@@ -439,6 +439,9 @@ def pip_join_distributed(
     lat_col: str = "lat_c",
     cover: DataFrame | None = None,
     boundary: str = "half_open",
+    n_salt: int | None = None,
+    hot_cells: DataFrame | None = None,
+    hot_threshold: int | None = None,
 ) -> DataFrame:
     """PIP join for LARGE polygon tables (beyond MAX_LOCAL_POLYGONS): no
     driver collect, no geometry closure.
@@ -457,11 +460,31 @@ def pip_join_distributed(
 
     Semantics match pip_join(refine='wkb'): interior ('full') cells skip
     the ray cast, edge cells get the exact even-odd test.
+
+    EXPLICIT skew handling (north rule): pass ``n_salt`` (with
+    ``hot_cells`` or ``hot_threshold``) to salt the points⨝cover shuffle
+    on hot cell ids — dense polygon areas concentrate cover rows on few
+    cells, and in the beyond-broadcast regime (1e6+ polygons, where this
+    plan is the only option) one hot cell otherwise pins its whole
+    candidate set on one task. Hot cells spread n_salt ways; cover rows
+    for hot cells replicate once per salt; results are IDENTICAL to the
+    unsalted join (bench.py --pip-skew asserts this), only the shuffle
+    layout changes. AQE's skew split remains the runtime fallback when
+    salting is off.
     """
     pts = points.withColumn("cell_id", grid.encode_col(F.col(lon_col), F.col(lat_col), res))
     if cover is None:
         cover = polygon_cover_cells(admin, res)
-    cand = pts.join(cover, "cell_id")
+    if n_salt is not None:
+        from .skew import salted_join
+
+        cand = salted_join(
+            pts, cover, "cell_id", n_salt,
+            salt_expr=F.xxhash64(F.col(lon_col), F.col(lat_col)),
+            hot=hot_cells, threshold=hot_threshold,
+        )
+    else:
+        cand = pts.join(cover, "cell_id")
     withwkb = cand.join(admin.select("adm_id", "geom_wkb"), "adm_id")
     refine = contains_wkb_udf(boundary)
     keep = F.col("full") | refine(F.col(lon_col), F.col(lat_col), F.col("geom_wkb"))
