@@ -26,6 +26,13 @@ SF = "/root/testdata/sf0.001"
 
 SANCTIONED_CARTESIAN = {"ann_cosine_topk"}
 CONSTRUCTION_EXECUTES = {"dedup_components", "multiband_cube_nc_roundtrip"}
+# The fully DISTRIBUTED PIP plan has exactly two Arrow stages by design —
+# geometry-parse cover over the POLYGON table + ray-cast refine over the
+# CANDIDATE table (operators/pip.py pip_join_distributed docstring). They
+# run over different, small-row relations: no byte column crosses the
+# JVM<->Python boundary twice, which is what the 1-stage invariant
+# protects (chaining byte-carrying kernels measured >10x the kernel cost).
+SANCTIONED_TWO_ARROW = {"pip_zonal_holed_distributed"}
 
 _PY_STAGE = re.compile(r"MapInArrow|MapInPandas|FlatMapGroupsInPandas|EvalPython")
 
@@ -45,7 +52,7 @@ def test_every_query_plan_holds_invariants(spark):
         if "CartesianProduct" in plan and name not in SANCTIONED_CARTESIAN:
             failures.append(f"{name}: CartesianProduct")
         n_py = len(_PY_STAGE.findall(plan))
-        if n_py > 1:
+        if n_py > (2 if name in SANCTIONED_TWO_ARROW else 1):
             failures.append(f"{name}: {n_py} Python stages")
     assert not failures, failures
 
