@@ -58,6 +58,7 @@ _PRIORITY = [
     # -- new in round 7 (inserted here as they land) ---------------------
     "pip_zonal_holed", "pip_zonal_holed_distributed",
     "zonal_pixel_stats_holed", "video_frame_stats_mjpeg",
+    "delete_merge_on_read",
     # -- changed-module queries this round -------------------------------
     # corpus.py / pip.py / raster.py (WKB geometry, refine, masked kernel)
     "flagship_zonal_decode", "zonal_pixel_stats", "pip_zonal_bbox",
@@ -4191,3 +4192,54 @@ def zonal_pixel_stats_holed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(corpus.materialized_images(spark, sf_dir))
     )
     return zonal_pixel_stats(images, corpus.admin_holed_df(spark), res=5)
+
+
+_DELETE_MOR_ORACLE = """
+SELECT cast(o_orderkey % 2 as int) AS part,
+       cast(count(*) as bigint) AS n_rows,
+       cast(sum(o_orderkey % 100) as bigint) AS sum_v
+FROM orders
+WHERE o_orderkey % 97 <> 0 AND o_orderkey % 100 <> 42
+GROUP BY part ORDER BY part
+"""
+
+
+@register("delete_merge_on_read", _DELETE_MOR_ORACLE)
+def delete_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level deletes graded through the driver gate (r7): commit an
+    orders-derived table as 2 snapshot partitions, EQUALITY-delete keys
+    (o_orderkey % 97 == 0 — the PII-erasure shape), POSITION-delete rows
+    by predicate (v == 42), COMPACT one of the two partitions, then read
+    merged-on-read. The oracle is the pure-SQL twin of the surviving
+    rows, so a delete that under/over-applies — or a compaction that
+    loses or duplicates rows — is a value divergence, not just a pytest
+    failure. Construction executes jobs (commits/deletes are effects);
+    listed in CONSTRUCTION_EXECUTES."""
+    import shutil
+
+    from .streaming.incremental import IncrementalRun
+
+    key = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    base = f"/tmp/spark_graft_corpus/{corpus.CORPUS_VERSION}/{key}_deltbl"
+    shutil.rmtree(base, ignore_errors=True)
+    run = IncrementalRun(spark, base)
+    src = _pq(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.pmod(F.col("o_orderkey"), F.lit(100)).alias("v"),
+    )
+    for p in range(2):
+        run.commit_partition(p, src.where(F.pmod(F.col("k"), F.lit(2)) == p), cell_col="k")
+    # equality delete: the key list is bounded (|orders|/97) and collected
+    # deterministically — the PII request arrives as an explicit key list
+    pii = sorted(
+        r["k"] for r in src.where(F.pmod(F.col("k"), F.lit(97)) == 0).collect()
+    )
+    run.delete_where("k", pii)
+    run.delete_rows(F.col("v") == 42)
+    run.compact_partition(0, cell_col="k")
+    return (
+        run.read()
+        .groupBy(F.col("part").cast("int").alias("part"))
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_v"))
+        .orderBy("part")
+    )

@@ -35,6 +35,7 @@ def test_priority_order_covers_graded_prefix():
         # new in round 7 (added here as they land)
         "pip_zonal_holed", "pip_zonal_holed_distributed",
         "zonal_pixel_stats_holed", "video_frame_stats_mjpeg",
+        "delete_merge_on_read",
         # modules changed this round: corpus.py WKB parse, pip.py parity
         # refine + cover, raster.py masked kernel, text.py Fraction
         # thresholds, sketches.py candidate keys, incremental.py verify
