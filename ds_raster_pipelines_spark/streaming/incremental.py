@@ -609,6 +609,42 @@ class IncrementalRun:
                 )
         return df
 
+    def read_cell_range(self, lo: int, hi: int, _with_meta: bool = False) -> DataFrame:
+        """MANIFEST-PRUNED read: scan only partitions whose lineage
+        [min_cell, max_cell] intersects [lo, hi] — the Iceberg manifest
+        file-skipping idea on this layer's own per-partition stats. The
+        prune is a driver-side pass over the (partition-count-sized)
+        manifest; skipped partitions' files are never listed, let alone
+        read. Deletes/evolutions still merge on read for the kept
+        partitions. Rows inside a kept partition that fall outside the
+        range are NOT filtered here (min/max is a file-skipping bound, not
+        a predicate) — callers compose `.where()` for exactness, same as
+        a parquet reader with row-group stats."""
+        keep = [
+            int(r["part"])
+            for r in self.manifest().collect()
+            if r["min_cell"] is not None
+            and r["min_cell"] <= hi and r["max_cell"] >= lo
+        ]
+        if not keep:
+            raise ValueError(f"no partition intersects cell range [{lo}, {hi}]")
+        from functools import reduce
+
+        head = self.current_snapshot_id()
+        parts_df = []
+        for part in sorted(keep):
+            path = os.path.join(self.data_dir, f"part={part}")
+            pdf = self._read_version(
+                path, part, version_sid=self._last_commit_sid(part) or 0,
+                as_of_sid=head, keep_meta=_with_meta,
+            )
+            parts_df.append(self._apply_evolutions(pdf, head + 1))
+        df = reduce(lambda a, b: a.unionByName(b), parts_df)
+        for ev in self.schema_versions():
+            if ev["name"] not in df.columns:
+                df = df.withColumn(ev["name"], F.lit(ev["default"]).cast(ev["type"]))
+        return df
+
     def verify(self, cell_col: str | None = None) -> DataFrame:
         """Recompute per-partition lineage from the data and diff against
         the manifest: zero rows = intact (detects partial/corrupt writes).

@@ -133,3 +133,25 @@ def test_metrics_and_verify_untouched_by_deletes(spark, tmp_path):
     # lineage is over durable data files (merge-on-read contract)
     assert run.metrics()["rows_total"] == m0["rows_total"]
     assert not run.verify(cell_col="k").count()
+
+
+def test_read_cell_range_prunes_partitions(spark, tmp_path):
+    """Manifest-range pruning: only intersecting partitions' files are
+    listed; deletes still merge on read for kept partitions."""
+    run = _mk(spark, tmp_path, parts=(0, 1, 2), rows_per_part=10)
+    # parts hold k in [0..9], [1000..1009], [2000..2009]
+    pruned = run.read_cell_range(1000, 1999)
+    assert _keys(pruned) == list(range(1000, 1010))
+    # file-skipping proof: every input file comes from part=1
+    assert all("part=1" in f for f in pruned.inputFiles())
+    run.delete_rows(F.col("k") == 1003)
+    assert 1003 not in _keys(run.read_cell_range(1000, 1999))
+    # a range spanning two parts keeps exactly those two (inputFiles also
+    # lists the tiny delete files — look only at data-partition paths)
+    two = run.read_cell_range(5, 1005)
+    data_parts = {
+        f.split("/part=")[1][0] for f in two.inputFiles() if "/part=" in f
+    }
+    assert data_parts == {"0", "1"}
+    with pytest.raises(ValueError, match="no partition"):
+        run.read_cell_range(5000, 6000)
