@@ -57,6 +57,10 @@ BENCH_QUERIES = [
     "cog_overview_zonal",
     "multiband_cube_baseline",
     "caption_propagation",
+    # round-7 paths
+    "pip_zonal_holed",
+    "zonal_pixel_stats_holed",
+    "video_frame_stats_mjpeg",
     # round-4 real-container paths
     "zonal_pixel_stats_nc",
     "zonal_pixel_stats_dct",
