@@ -670,6 +670,27 @@ def admin_holed_signed_sql_values(alias: str = "adm") -> str:
     )
 
 
+def admin_holed_shapefile_zip() -> bytes:
+    """``admin_holed_rects`` as a zipped ESRI shapefile (hol.shp/.shx/.dbf)
+    — byte-deterministic, the exact shape of the reference's admin ingest
+    (``hti.shp.zip`` → extract → ``gpd.read_file``,
+    ``examples/era5_cogs.md:164-172``). Holes/parts survive only through
+    ring winding, so the zipped fixture grades the shapefile codec's
+    winding→nesting logic against the same hole-aware oracle."""
+    from . import shapefile, ziparchive
+
+    rows = admin_holed_rects()
+    shp, shx = shapefile.write_shp(
+        [parse_wkb_geometry(r["geom_wkb"]) for r in rows]
+    )
+    dbf = shapefile.write_dbf(
+        [("ADM_ID", "C", 12, 0)], [(r["adm_id"],) for r in rows]
+    )
+    return ziparchive.encode_zip(
+        [("hol.shp", shp), ("hol.shx", shx), ("hol.dbf", dbf)]
+    )
+
+
 def admin_holed_sql_on(lon: str = "lon_c", lat: str = "lat_c") -> str:
     """Oracle membership predicate for admin_holed_rects geometries."""
     return (

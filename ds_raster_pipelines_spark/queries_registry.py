@@ -58,7 +58,7 @@ _PRIORITY = [
     # -- new in round 7 (inserted here as they land) ---------------------
     "pip_zonal_holed", "pip_zonal_holed_distributed",
     "zonal_pixel_stats_holed", "video_frame_stats_mjpeg",
-    "delete_merge_on_read",
+    "delete_merge_on_read", "shapefile_zonal",
     # -- changed-module queries this round -------------------------------
     # corpus.py / pip.py / raster.py (WKB geometry, refine, masked kernel)
     "flagship_zonal_decode", "zonal_pixel_stats", "pip_zonal_bbox",
@@ -4192,6 +4192,41 @@ def zonal_pixel_stats_holed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(corpus.materialized_images(spark, sf_dir))
     )
     return zonal_pixel_stats(images, corpus.admin_holed_df(spark), res=5)
+
+
+@register("shapefile_zonal", _HOLED_ORACLE)
+def shapefile_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's REAL admin-boundary ingest, end-to-end on
+    from-scratch codecs: zipped shapefile → zip decode (ziparchive) →
+    .shp/.dbf parse (shapefile.py — ring winding classifies exteriors vs
+    holes, holes re-nest to their containing exterior, multiple
+    exteriors → MULTIPOLYGON) → WKB → PIP join → zonal stats.  Mirrors
+    ``hti.shp.zip`` → ``gpd.read_file`` → clip/zonal
+    (reference ``examples/era5_cogs.md:164-177``).  The geometry set is
+    admin_holed_rects serialized THROUGH the shapefile format, so the
+    oracle (= pip_zonal_holed's) catches any winding/nesting/DBF mistake
+    as a value divergence: a codec that misreads winding turns holes
+    into islands and over-counts every holed zone.  The parse runs
+    distributed (mapInPandas over blob rows) — at corpus scale this is
+    10k country archives exploding map-side with no shuffle."""
+    import pandas as pd
+
+    from .operators.pip import pip_join
+    from .operators.zonal import zonal_stats
+    from .sources.shapefiles import zipped_shapefile_features
+
+    blobs = spark.createDataFrame(
+        pd.DataFrame({"src": ["hol.shp.zip"],
+                      "blob": [corpus.admin_holed_shapefile_zip()]}),
+        schema="src string, blob binary",
+    )
+    feats = zipped_shapefile_features(blobs).select(
+        F.col("attrs")["ADM_ID"].alias("adm_id"), "geom_wkb"
+    )
+    joined = pip_join(
+        _holed_points(spark, sf_dir), feats, res=5, refine="wkb"
+    )
+    return zonal_stats(joined, "mean_value", fixed_scale=2).orderBy("adm_id")
 
 
 _DELETE_MOR_ORACLE = """
