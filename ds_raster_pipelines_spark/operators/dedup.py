@@ -584,3 +584,71 @@ def decontaminate_overlap(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_overlap)
     )
+
+
+def positional_word_ngrams(
+    df: DataFrame, n: int, text_col: str = "text", out: str = "gram"
+) -> DataFrame:
+    """(doc_id, pos, gram) for EVERY word-window start, 0-based, NOT
+    distinct — the positional shingle stream exact-substring dedup needs
+    (repeats inside one doc are duplicates too). Pure Column exprs."""
+    words = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select("doc_id", F.posexplode(grams).alias("pos", out))
+
+
+def duplicated_spans(
+    df: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring dedup report (the Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" recipe, Spark-shaped):
+    per doc, the maximal spans of tokens covered by some ``n``-token
+    window that occurs ≥ ``min_count`` times corpus-wide (across OR
+    within docs). Returns (doc_id, n_dup_spans, dup_tokens,
+    max_span_tokens) — dup_tokens is the EXACT size of the union of
+    duplicated windows (adjacent/overlapping windows coalesce), i.e. the
+    token mass a span-removal pass would cut.
+
+    Scale shape (the suffix-array paper's job, re-expressed in joins):
+    positional grams explode map-side; window occurrence counts are one
+    hash-keyed agg WITH map-side partials (grams hash to 64-bit md5 ints
+    before the shuffle — ship 8 bytes, not the n-word string); duplicated
+    positions join back on the same hash key; span coalescing is a
+    per-doc gap-and-island (lag + running sum) — partitioned by doc_id,
+    so no single-partition stage anywhere. Windows coalesce when the
+    next start is ≤ prev start + n (their token ranges touch), making
+    dup_tokens exact under overlap."""
+    from ..functions.hashing import md5_int
+
+    g = positional_word_ngrams(df, n, text_col).select(
+        "doc_id", "pos", md5_int(F.col("gram")).alias("h")
+    )
+    dup = (
+        g.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .select("h")
+    )
+    duppos = g.join(dup, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = duppos.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos", 1).over(w) > n, 1).otherwise(0),
+    ).withColumn("island", F.sum("brk").over(w))
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("lo"), F.max("pos").alias("hi")
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("hi") - F.col("lo") + n).alias("dup_tokens"),
+        F.max(F.col("hi") - F.col("lo") + n).alias("max_span_tokens"),
+    )

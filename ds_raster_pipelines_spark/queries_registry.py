@@ -58,7 +58,7 @@ _PRIORITY = [
     # -- new in round 7 (inserted here as they land) ---------------------
     "pip_zonal_holed", "pip_zonal_holed_distributed",
     "zonal_pixel_stats_holed", "video_frame_stats_mjpeg",
-    "delete_merge_on_read", "shapefile_zonal",
+    "delete_merge_on_read", "shapefile_zonal", "exact_substring_spans",
     # -- changed-module queries this round -------------------------------
     # corpus.py / pip.py / raster.py (WKB geometry, refine, masked kernel)
     "flagship_zonal_decode", "zonal_pixel_stats", "pip_zonal_bbox",
@@ -4227,6 +4227,59 @@ def shapefile_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         _holed_points(spark, sf_dir), feats, res=5, refine="wkb"
     )
     return zonal_stats(joined, "mean_value", fixed_scale=2).orderBy("adm_id")
+
+
+_SUBSTR_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+pg AS (
+  SELECT doc_id, i.i - 1 AS pos,
+         {md5_int_sql("array_to_string(ws[i.i:i.i+7], ' ')")} AS h
+  FROM w, (SELECT unnest(generate_series(1, 400)) AS i) i
+  WHERE i.i + 7 <= length(ws)
+),
+dup AS (SELECT h FROM pg GROUP BY h HAVING count(*) >= 2),
+dp AS (SELECT doc_id, pos FROM pg JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+              THEN 1 ELSE 0 END AS brk
+  FROM dp
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, island, min(pos) AS lo, max(pos) AS hi
+  FROM isl2 GROUP BY doc_id, island
+)
+SELECT doc_id,
+       cast(count(*) as bigint) AS n_dup_spans,
+       cast(sum(hi - lo + 8) as bigint) AS dup_tokens,
+       cast(max(hi - lo + 8) as int) AS max_span_tokens
+FROM spans GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("exact_substring_spans", _SUBSTR_ORACLE)
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022): per-doc maximal spans of
+    tokens covered by an 8-word window occurring ≥2 times corpus-wide —
+    within-doc repeats count, unlike the distinct-shingle MinHash family.
+    The suffix-array job re-expressed as joins: positional grams hash to
+    md5 ints map-side (8-byte shuffle keys), one counted agg finds
+    duplicated windows, a join-back + per-doc gap-and-island (lag +
+    running sum, partitioned by doc_id) coalesces overlapping windows so
+    dup_tokens is the EXACT union size. The oracle replays every stage
+    including the island arithmetic, so an off-by-one in the coalesce
+    threshold (> n vs ≥ n) or a distinct() that drops within-doc repeats
+    is a value divergence."""
+    from .operators.dedup import duplicated_spans
+
+    return duplicated_spans(
+        _pq(spark, sf_dir, "documents"), n=8, min_count=2
+    ).orderBy("doc_id")
 
 
 _DELETE_MOR_ORACLE = """

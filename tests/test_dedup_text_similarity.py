@@ -501,3 +501,71 @@ def test_vocab_top_k_deterministic_ties(spark):
     assert v4 == ["aa", "bb", "zz", "cc"]
     rates = {r["doc_id"]: (r["n_tok"], r["n_oov"]) for r in oov_rates(df, vocab_top_k(df, k=2)).collect()}
     assert rates[0] == (4, 2) and rates[3] == (4, 4)
+
+
+def test_duplicated_spans_constructed(spark):
+    """Hand-computable exact-substring spans (n=3, min_count=2):
+    - d1/d2 share the 5-token run "a b c d e" -> one island of window
+      starts {0,1,2} in each -> span = (2-0)+3 = 5 tokens;
+    - d3 repeats "x y z" WITHIN itself at starts 0 and 4 (gap 4 > n=3
+      breaks the island) -> two 3-token spans, within-doc repeats count;
+    - d4 shares nothing long enough -> absent from the report."""
+    import pandas as pd
+
+    from ds_raster_pipelines_spark.operators.dedup import duplicated_spans
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "a b c d e q r s",
+                    "p a b c d e t u",
+                    "x y z w x y z v",
+                    "m n o k l j h g",
+                ],
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in duplicated_spans(docs, n=3, min_count=2).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    # d1: "a b c d e" at word 0 -> starts 0,1,2 coalesce (diff 1 <= n)
+    assert out[1]["n_dup_spans"] == 1 and out[1]["dup_tokens"] == 5
+    # d2: same run shifted one right -> identical span size
+    assert out[2]["n_dup_spans"] == 1 and out[2]["dup_tokens"] == 5
+    assert out[2]["max_span_tokens"] == 5
+    # d3: "x y z" at starts 0 and 4; 4 - 0 = 4 > n=3 -> two islands
+    assert out[3]["n_dup_spans"] == 2 and out[3]["dup_tokens"] == 6
+    assert out[3]["max_span_tokens"] == 3
+
+
+def test_duplicated_spans_coalesce_boundary(spark):
+    """Window starts exactly n apart TOUCH (prev covers [p, p+n-1], next
+    starts at p+n) -> must coalesce into one span of 2n tokens; n+1 apart
+    leaves a 1-token gap -> two spans. Pins the > n (not >= n) break."""
+    import pandas as pd
+
+    from ds_raster_pipelines_spark.operators.dedup import duplicated_spans
+
+    # "a b c" at starts 0 and 3 (touching), doc 2 the same pair at 0 and 4
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "a b c a b c q1 r1 s1 t1",  # starts 0,3 -> one 6-token span
+                    "a b c w a b c r2 s2 t2",   # starts 0,4 -> two 3-token spans
+                    "a b c u3 v3 w3 x3 y3 z3",  # supplies the duplicate copies
+                ],
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in duplicated_spans(docs, n=3, min_count=2).collect()
+    }
+    assert out[1]["n_dup_spans"] == 1 and out[1]["dup_tokens"] == 6
+    assert out[2]["n_dup_spans"] == 2 and out[2]["dup_tokens"] == 6
