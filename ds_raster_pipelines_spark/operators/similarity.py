@@ -306,3 +306,75 @@ def lsh_near_dup_pairs(
         .where(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
     )
+
+
+def kmeans_clusters(
+    corpus: DataFrame, k: int = 8, iters: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    """SemDeDup-style embedding clustering: Lloyd's k-means with fully
+    deterministic, engine-replicable arithmetic (the clustering stage of
+    semantic dedup — cluster first, then near-dup only within clusters).
+
+    * seeds: the ``k`` hash-min vectors (md5 order — stateless, oracle-
+      replicable), cid = seed rank;
+    * assignment: argmin INTEGER squared L2 over quantized components,
+      (d2, cid)-lexicographic tie-break — no floats anywhere in the
+      decision, so membership is bit-identical across engines and
+      parallelism levels;
+    * update: per-component floor(sum/count) keeps centroids integer
+      every round (floor of an exact small-int double ratio is
+      deterministic).
+
+    Returns (assignments(vec_id, cid, d2), centroids(cid, ce)).
+
+    Scale shape: assignment joins a BROADCAST k-row centroid relation —
+    the corpus never shuffles for it; the update is one (cid, component)
+    agg with map-side partials (k*dim groups). ``iters`` is fixed and
+    small; at corpus scale checkpoint each round's centroids like
+    connected_components does (the lazy plan re-derives round t-1 inside
+    round t, fine for small iters, wrong for 20)."""
+    from ..functions.hashing import md5_int
+
+    vecs = corpus.select("vec_id", quantize(F.col("embedding")).alias("qe"))
+    w0 = Window.orderBy("_h", "vec_id")
+    cents = (
+        corpus.select("vec_id", "embedding")
+        .withColumn("_h", md5_int(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .limit(k)
+        .withColumn("cid", (F.row_number().over(w0) - 1).cast("int"))
+        .select("cid", quantize(F.col("embedding")).alias("ce"))
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with(F.col("qe"), F.col("ce"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        ww = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        return (
+            vecs.crossJoin(F.broadcast(cents))  # k-row broadcast product
+            .withColumn("d2", d2)
+            .withColumn("_rk", F.row_number().over(ww))
+            .where(F.col("_rk") == 1)
+            .select("vec_id", "qe", "cid", "d2")
+        )
+
+    for _ in range(iters):
+        comp = assign(cents).select("cid", F.posexplode("qe").alias("i", "v"))
+        cents = (
+            comp.groupBy("cid", "i")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .withColumn(
+                "cv", F.floor(F.col("s").cast("double") / F.col("n")).cast("long")
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("ce")
+            )
+        )
+    return assign(cents).select("vec_id", "cid", "d2"), cents

@@ -59,6 +59,7 @@ _PRIORITY = [
     "pip_zonal_holed", "pip_zonal_holed_distributed",
     "zonal_pixel_stats_holed", "video_frame_stats_mjpeg",
     "delete_merge_on_read", "shapefile_zonal", "exact_substring_spans",
+    "kmeans_embedding_clusters",
     # -- changed-module queries this round -------------------------------
     # corpus.py / pip.py / raster.py (WKB geometry, refine, masked kernel)
     "flagship_zonal_decode", "zonal_pixel_stats", "pip_zonal_bbox",
@@ -4280,6 +4281,92 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_spans(
         _pq(spark, sf_dir, "documents"), n=8, min_count=2
     ).orderBy("doc_id")
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd's-iteration SQL, generated by the same loop shape as
+    the Spark operator so the two cannot drift: seeds → (assign → update)
+    × iters → final assign → per-cluster integer summary."""
+    q = [f"""
+WITH vq AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint)) AS qe
+  FROM embeddings
+),
+dims AS (SELECT unnest(generate_series(1, {dim})) AS i),
+vd AS (SELECT vec_id, i, qe[i] AS v FROM vq, dims),
+seeds AS (
+  SELECT vec_id, cast(row_number() OVER (ORDER BY h, vec_id) - 1 as int) AS cid
+  FROM (SELECT vec_id, {md5_int_sql("cast(vec_id as varchar)")} AS h FROM embeddings)
+  ORDER BY h, vec_id LIMIT {k}
+),
+cd0 AS (SELECT s.cid, vd.i, vd.v AS cv FROM seeds s JOIN vd ON s.vec_id = vd.vec_id)"""]
+    for t in range(iters):
+        q.append(f""",
+d{t} AS (
+  SELECT vd.vec_id, cd{t}.cid, sum((vd.v - cd{t}.cv) * (vd.v - cd{t}.cv)) AS d2
+  FROM vd JOIN cd{t} USING (i) GROUP BY vd.vec_id, cd{t}.cid
+),
+a{t} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+    FROM d{t}
+  ) WHERE rk = 1
+),
+cd{t + 1} AS (
+  SELECT a{t}.cid, vd.i,
+         cast(floor(cast(sum(vd.v) as double) / count(*)) as bigint) AS cv
+  FROM a{t} JOIN vd USING (vec_id) GROUP BY a{t}.cid, vd.i
+)""")
+    q.append(f""",
+df AS (
+  SELECT vd.vec_id, cd{iters}.cid,
+         sum((vd.v - cd{iters}.cv) * (vd.v - cd{iters}.cv)) AS d2
+  FROM vd JOIN cd{iters} USING (i) GROUP BY vd.vec_id, cd{iters}.cid
+),
+af AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT vec_id, cid, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+    FROM df
+  ) WHERE rk = 1
+)
+SELECT cid AS cluster,
+       cast(count(*) as bigint) AS n_vecs,
+       cast(sum(vec_id) as bigint) AS sum_vec_id,
+       cast(min(vec_id) as bigint) AS min_vec_id,
+       cast(sum(d2) as bigint) AS ssd
+FROM af GROUP BY cid ORDER BY cluster""")
+    return "".join(q)
+
+
+@register("kmeans_embedding_clusters", _kmeans_oracle())
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic clustering: 2 Lloyd's rounds of k=8
+    k-means over integer-quantized embeddings — hash-min seeds, integer
+    squared-L2 argmin with (d2, cid) tie-break, floor(sum/count) integer
+    centroids. Every membership decision is integer arithmetic, so the
+    oracle (the SAME iteration loop unrolled to SQL by _kmeans_oracle)
+    must agree bit-exactly on cluster populations AND the total
+    within-cluster squared distance — a drifted centroid, a float
+    comparison, or a wrong tie-break moves ssd. This is the clustering
+    stage of semantic dedup (cluster first, near-dup within clusters
+    only) and the offline trainer for ivf_topk's coarse quantizer."""
+    from .operators.similarity import kmeans_clusters
+
+    assignments, _ = kmeans_clusters(_pq(spark, sf_dir, "embeddings"), k=8, iters=2)
+    return (
+        assignments.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("vec_id").alias("sum_vec_id"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.sum("d2").alias("ssd"),
+        )
+        .withColumnRenamed("cid", "cluster")
+        .orderBy("cluster")
+    )
 
 
 _DELETE_MOR_ORACLE = """

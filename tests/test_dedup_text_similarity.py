@@ -569,3 +569,62 @@ def test_duplicated_spans_coalesce_boundary(spark):
     }
     assert out[1]["n_dup_spans"] == 1 and out[1]["dup_tokens"] == 6
     assert out[2]["n_dup_spans"] == 2 and out[2]["dup_tokens"] == 6
+
+
+def _md5i(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+
+def test_kmeans_planted_clusters_recovered(spark):
+    """k=3 k-means over 3 well-separated planted clusters recovers the
+    plant exactly when the 3 hash-min seeds (deterministic: md5 of
+    vec_id) land in distinct plants — the test ASSIGNS plants by seed
+    rank so they do, then asserts bit-deterministic full recovery and
+    that every later-round centroid stayed in its plant."""
+    import numpy as np
+    import pandas as pd
+
+    from ds_raster_pipelines_spark.operators.similarity import kmeans_clusters
+
+    ids = list(range(60))
+    by_hash = sorted(ids, key=lambda v: (_md5i(str(v)), v))
+    plant = {}
+    for rank, vid in enumerate(by_hash):
+        plant[vid] = rank % 3  # seeds (ranks 0,1,2) get plants 0,1,2
+    centers = {0: np.full(8, 50.0), 1: np.full(8, -50.0),
+               2: np.array([50.0, -50.0] * 4)}
+    rng = np.random.RandomState(11)
+    rows = [
+        (vid, (centers[plant[vid]] + rng.uniform(-0.5, 0.5, 8))
+              .astype("float32").tolist())
+        for vid in ids
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    assign, cents = kmeans_clusters(df, k=3, iters=2)
+    got = {r["vec_id"]: r["cid"] for r in assign.collect()}
+    assert len(got) == 60
+    # cluster ids are seed ranks, and seed rank r was planted to plant r
+    assert all(got[vid] == plant[vid] for vid in ids)
+    # centroids stay inside their plant's quantized ball
+    for r in cents.collect():
+        c = np.asarray(r["ce"], dtype=np.float64) / 1000.0
+        assert np.linalg.norm(c - centers[r["cid"]]) < 2.0
+
+
+def test_kmeans_deterministic_across_parallelism(spark):
+    import numpy as np
+    import pandas as pd
+
+    from ds_raster_pipelines_spark.operators.similarity import kmeans_clusters
+
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.uniform(-1, 1, 16).astype("float32").tolist()) for i in range(90)]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    outs = []
+    for parts in (1, 13):
+        df = spark.createDataFrame(pdf).repartition(parts)
+        a, _ = kmeans_clusters(df, k=5, iters=2)
+        outs.append(sorted((r["vec_id"], r["cid"], r["d2"]) for r in a.collect()))
+    assert outs[0] == outs[1]
