@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "pip_zonal_holed",
     "zonal_pixel_stats_holed",
     "video_frame_stats_mjpeg",
+    "shapefile_zonal",
+    "exact_substring_spans",
+    "kmeans_embedding_clusters",
     # round-4 real-container paths
     "zonal_pixel_stats_nc",
     "zonal_pixel_stats_dct",

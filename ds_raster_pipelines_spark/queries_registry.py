@@ -59,7 +59,7 @@ _PRIORITY = [
     "pip_zonal_holed", "pip_zonal_holed_distributed",
     "zonal_pixel_stats_holed", "video_frame_stats_mjpeg",
     "delete_merge_on_read", "shapefile_zonal", "exact_substring_spans",
-    "kmeans_embedding_clusters",
+    "kmeans_embedding_clusters", "bucketed_colocated_join",
     # -- changed-module queries this round -------------------------------
     # corpus.py / pip.py / raster.py (WKB geometry, refine, masked kernel)
     "flagship_zonal_decode", "zonal_pixel_stats", "pip_zonal_bbox",
@@ -4366,6 +4366,45 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("cid", "cluster")
         .orderBy("cluster")
+    )
+
+
+@register("bucketed_colocated_join", _JOIN_REV_ORACLE)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join_customer_revenue's big⨝big twin on BUCKETED layout: both
+    sides materialized once as Hive-bucketed + per-bucket-sorted tables
+    on the join key (operators/layout.write_bucketed), then sort-merge
+    joined with ZERO Exchange and ZERO Sort in the query plan — the
+    shuffle is paid once at write time and amortized over every
+    subsequent join on that key (the brief's "co-locate joins via
+    bucketing"; plan shape pytest-asserted in test_functions_operators).
+    The broadcast twin answers one query fast; the bucketed layout is
+    what you stage when the SAME fact⨝fact key is joined daily at 100 TB
+    and neither side broadcasts. Construction executes (one-time table
+    writes); listed in CONSTRUCTION_EXECUTES."""
+    from .operators.layout import bucketed_join, write_bucketed
+
+    key = sf_dir.rstrip("/").replace("/", "_").replace(".", "_").lstrip("_")
+    t_o, t_c = f"bkt_orders_{key}", f"bkt_customer_{key}"
+    if not spark.catalog.tableExists(t_o):
+        write_bucketed(
+            _pq(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+            t_o, "o_custkey",
+        )
+    if not spark.catalog.tableExists(t_c):
+        write_bucketed(
+            _pq(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+            t_c, "c_custkey",
+        )
+    return (
+        bucketed_join(spark, t_o, t_c, "o_custkey", "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            (F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+             .cast("double") / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
     )
 
 

@@ -399,3 +399,39 @@ def test_decode_wav_multichannel_mulaw_averages():
     mono = mm.decode_wav(mm.encode_wav_mulaw(left))
     assert len(got) == len(mono)
     assert np.array_equal(got, mono)
+
+
+def test_bucketed_join_is_shuffle_and_sort_free(spark):
+    """Two same-spec bucketed tables must sort-merge-join with ZERO
+    Exchange and ZERO per-query Sort — the layout pays the shuffle once
+    at write time (operators/layout.write_bucketed). A broadcast would
+    also show no Exchange, so the join is merge-hinted and the plan must
+    actually be a SortMergeJoin over bucketed scans."""
+    import pandas as pd
+
+    from ds_raster_pipelines_spark.operators.layout import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    n = 5000
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [i % 97 for i in range(n)], "v": list(range(n))})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k2": list(range(97)), "w": [i * 10 for i in range(97)]})
+    )
+    write_bucketed(left, "t_bkt_left", "k", n_buckets=8)
+    write_bucketed(right, "t_bkt_right", "k2", n_buckets=8)
+    joined = bucketed_join(spark, "t_bkt_left", "t_bkt_right", "k", "k2")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+    assert "Sort " not in plan.replace("SortMergeJoin", ""), plan
+    # result parity with the plain join
+    got = sorted((r["k"], r["v"], r["w"]) for r in joined.collect())
+    exp = sorted(
+        (r["k"], r["v"], r["w"])
+        for r in left.join(right, left["k"] == right["k2"]).collect()
+    )
+    assert got == exp

@@ -25,7 +25,12 @@ import pytest
 SF = "/root/testdata/sf0.001"
 
 SANCTIONED_CARTESIAN = {"ann_cosine_topk"}
-CONSTRUCTION_EXECUTES = {"dedup_components", "multiband_cube_nc_roundtrip", "delete_merge_on_read"}
+CONSTRUCTION_EXECUTES = {
+    "dedup_components",
+    "multiband_cube_nc_roundtrip",
+    "delete_merge_on_read",
+    "bucketed_colocated_join",  # one-time bucketed-table writes
+}
 # The fully DISTRIBUTED PIP plan has exactly two Arrow stages by design —
 # geometry-parse cover over the POLYGON table + ray-cast refine over the
 # CANDIDATE table (operators/pip.py pip_join_distributed docstring). They
