@@ -359,3 +359,45 @@ def oov_rates(df: DataFrame, vocab: DataFrame, text_col: str = "text") -> DataFr
         F.count(F.lit(1)).alias("n_tok"),
         F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    domain_col: str = "lang",
+    key_col: str = "doc_id",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Temperature-resampled training mix (τ = 0.5): downsample each
+    domain to m_i = n_i^τ · n_min^(1-τ) docs — the multilingual-mix
+    recipe (upweight low-resource domains relative to their share;
+    m_min = n_min, so the smallest domain keeps everything). Keep-rates
+    are basis points r_i = floor(scale · sqrt(n_min / n_i)) and a row
+    survives iff md5(domain ‖ ':' ‖ key) % scale < r_i — the same
+    hash-threshold discipline as deterministic_sample: reproducible
+    across runs/engines/parallelism, stable under repartition, and
+    per-domain salted so strata are independent.
+
+    τ is pinned to 0.5 because sqrt is IEEE-correctly-rounded in BOTH
+    engines (pow is not guaranteed to be), keeping the keep/drop
+    decision bit-exact cross-engine. Scale shape: one tiny domain-count
+    agg, a 1-row min broadcast, then a broadcast rate join — the corpus
+    itself never shuffles. Returns rows + (n_docs, rate_bp) columns."""
+    from ..functions.hashing import md5_int
+
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    nmin = counts.agg(F.min("n_docs").alias("_nmin"))
+    rates = (
+        counts.crossJoin(F.broadcast(nmin))  # 1-row broadcast product
+        .withColumn(
+            "rate_bp",
+            F.floor(
+                F.lit(float(scale))
+                * F.sqrt(F.col("_nmin").cast("double") / F.col("n_docs"))
+            ).cast("long"),
+        )
+        .drop("_nmin")
+    )
+    h = md5_int(
+        F.concat(F.col(domain_col), F.lit(":"), F.col(key_col).cast("string"))
+    )
+    return df.join(F.broadcast(rates), domain_col).where(h % scale < F.col("rate_bp"))

@@ -60,6 +60,7 @@ _PRIORITY = [
     "zonal_pixel_stats_holed", "video_frame_stats_mjpeg",
     "delete_merge_on_read", "shapefile_zonal", "exact_substring_spans",
     "kmeans_embedding_clusters", "bucketed_colocated_join",
+    "temperature_mixture_sample",
     # -- changed-module queries this round -------------------------------
     # corpus.py / pip.py / raster.py (WKB geometry, refine, masked kernel)
     "flagship_zonal_decode", "zonal_pixel_stats", "pip_zonal_bbox",
@@ -4405,6 +4406,53 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+_TEMP_MIX_ORACLE = f"""
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+mn AS (SELECT min(n) AS nmin FROM counts),
+rates AS (
+  SELECT lang, n,
+         cast(floor(10000.0 * sqrt(cast(nmin as double) / n)) as bigint) AS rate_bp
+  FROM counts, mn
+),
+kept AS (
+  SELECT d.lang, d.doc_id
+  FROM documents d JOIN rates r USING (lang)
+  WHERE {md5_int_sql("(d.lang || ':' || cast(d.doc_id as varchar))")} % 10000
+        < r.rate_bp
+)
+SELECT k.lang, cast(r.n as bigint) AS n_docs, r.rate_bp,
+       cast(count(*) as bigint) AS n_kept,
+       cast(sum(k.doc_id) as bigint) AS sum_doc_id
+FROM kept k JOIN rates r USING (lang)
+GROUP BY k.lang, r.n, r.rate_bp
+ORDER BY k.lang
+"""
+
+
+@register("temperature_mixture_sample", _TEMP_MIX_ORACLE)
+def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction: τ=0.5 temperature resampling over the
+    lang domain (the multilingual rebalancing recipe — en is ~3x the
+    other langs in the corpus, so it downsamples to sqrt(n_min/n_en)
+    while the smallest lang keeps 100%). Keep/drop is hash-threshold
+    per (domain, key), so the mix is reproducible and incremental-safe;
+    sqrt keeps the rate arithmetic IEEE-identical across engines (pow is
+    not correctly-rounded, sqrt is). Oracle replays counts → rates →
+    membership → per-lang summary; a wrong rate floor, salt, or modulus
+    shifts n_kept/sum_doc_id."""
+    from .operators.text import temperature_mixture_sample as tms
+
+    kept = tms(_pq(spark, sf_dir, "documents"))
+    return (
+        kept.groupBy("lang", "n_docs", "rate_bp")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("lang")
     )
 
 

@@ -628,3 +628,29 @@ def test_kmeans_deterministic_across_parallelism(spark):
         a, _ = kmeans_clusters(df, k=5, iters=2)
         outs.append(sorted((r["vec_id"], r["cid"], r["d2"]) for r in a.collect()))
     assert outs[0] == outs[1]
+
+
+def test_temperature_mixture_sample(spark):
+    """tau=0.5 rebalance: the smallest domain keeps EVERYTHING
+    (rate_bp == scale), a domain 4x its size keeps ~sqrt(1/4) = 50%;
+    membership is stable under repartition (hash-threshold, no RNG)."""
+    import pandas as pd
+
+    from ds_raster_pipelines_spark.operators.text import (
+        temperature_mixture_sample,
+    )
+
+    rows = [("small", i) for i in range(50)] + [("big", 1000 + i) for i in range(200)]
+    pdf = pd.DataFrame(rows, columns=["lang", "doc_id"])
+    df = spark.createDataFrame(pdf)
+    kept = temperature_mixture_sample(df).collect()
+    rates = {r["lang"]: r["rate_bp"] for r in kept}
+    assert rates["small"] == 10_000  # n_min domain keeps all
+    assert rates["big"] == 5_000     # floor(1e4 * sqrt(50/200))
+    n_small = sum(1 for r in kept if r["lang"] == "small")
+    n_big = sum(1 for r in kept if r["lang"] == "big")
+    assert n_small == 50
+    assert 60 <= n_big <= 140  # ~50% of 200, hash-binomial spread
+    # repartition invariance
+    kept13 = temperature_mixture_sample(df.repartition(13)).collect()
+    assert sorted(r["doc_id"] for r in kept13) == sorted(r["doc_id"] for r in kept)
