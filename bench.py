@@ -324,7 +324,15 @@ def run_single_dedup(cpus: int) -> dict:
         release_cached,
     )
 
-    spark = get_spark(f"dedup_{cpus}", cpus=cpus)
+    # Shuffle partitions are sized to the DATA, not the core count: the
+    # minhash chain's per-partition state (band signatures + candidate
+    # pairs) at 4M docs / 4 partitions drives TaskMemoryManager into
+    # 1 GiB page requests, which 4 concurrent tasks cannot all satisfy
+    # on a 16g heap (GCLocker alloc failures — measured). ~125k docs per
+    # partition keeps pages ~100 MB; the SAME count at both scaling legs
+    # keeps the plans identical, so the N-vs-4N reading stays clean.
+    parts = max(4 * cpus, DEDUP_DOCS // 125_000)
+    spark = get_spark(f"dedup_{cpus}", cpus=cpus, shuffle_partitions=parts)
     path = corpus_mod.materialized_docs_n(spark, DEDUP_DOCS)
     docs = spark.read.parquet(path)
     # warm: JIT, python-free codegen paths, page cache (one cheap pass)
