@@ -265,6 +265,7 @@ def run_scaling(sf_dir: str, levels: tuple[int, int] = SCALE_LEVELS) -> dict:
             cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
         results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        print(f"leg cpus={cpus}: {json.dumps(results[cpus])}", file=sys.stderr)
     lo, hi = levels
     thr_lo = results[lo]["tiles_per_sec"]
     thr_hi = results[hi]["tiles_per_sec"]
@@ -380,6 +381,9 @@ def run_dedup_scaling(levels: tuple[int, int] = SCALE_LEVELS) -> dict:
             cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
         results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        # a leg can run for hours — surface it the moment it lands, so a
+        # later leg's failure cannot silently discard this one's result
+        print(f"leg cpus={cpus}: {json.dumps(results[cpus])}", file=sys.stderr)
     lo, hi = levels
     thr_lo = results[lo]["docs_per_sec"]
     thr_hi = results[hi]["docs_per_sec"]
