@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "shapefile_zonal",
     "exact_substring_spans",
     "kmeans_embedding_clusters",
+    "bucketed_colocated_join",  # one-time table writes land in the warm pass
+    "temperature_mixture_sample",
     # round-4 real-container paths
     "zonal_pixel_stats_nc",
     "zonal_pixel_stats_dct",
