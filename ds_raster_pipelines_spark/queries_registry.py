@@ -60,7 +60,7 @@ _PRIORITY = [
     "zonal_pixel_stats_holed", "video_frame_stats_mjpeg",
     "delete_merge_on_read", "shapefile_zonal", "exact_substring_spans",
     "kmeans_embedding_clusters", "bucketed_colocated_join",
-    "temperature_mixture_sample",
+    "temperature_mixture_sample", "semdedup_prune",
     # -- changed-module queries this round -------------------------------
     # corpus.py / pip.py / raster.py (WKB geometry, refine, masked kernel)
     "flagship_zonal_decode", "zonal_pixel_stats", "pip_zonal_bbox",
@@ -4284,10 +4284,12 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
-    """Unrolled Lloyd's-iteration SQL, generated by the same loop shape as
-    the Spark operator so the two cannot drift: seeds → (assign → update)
-    × iters → final assign → per-cluster integer summary."""
+def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd's-iteration CTE chain (shared by the kmeans and
+    semdedup oracles), generated by the same loop shape as the Spark
+    operator so the two cannot drift: seeds → (assign → update) × iters
+    → final assignment ``af(vec_id, cid, d2)``; quantized components are
+    exposed as ``vd(vec_id, i, v)``."""
     q = [f"""
 WITH vq AS (
   SELECT vec_id,
@@ -4332,14 +4334,48 @@ af AS (
            row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
     FROM df
   ) WHERE rk = 1
-)
+)""")
+    return "".join(q)
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    return _kmeans_ctes(k, iters, dim) + """
 SELECT cid AS cluster,
        cast(count(*) as bigint) AS n_vecs,
        cast(sum(vec_id) as bigint) AS sum_vec_id,
        cast(min(vec_id) as bigint) AS min_vec_id,
        cast(sum(d2) as bigint) AS ssd
-FROM af GROUP BY cid ORDER BY cluster""")
-    return "".join(q)
+FROM af GROUP BY cid ORDER BY cluster"""
+
+
+def _semdedup_oracle(k: int = 8, iters: int = 2, bp: int = 4500) -> str:
+    """kmeans CTE chain + within-cluster pair search: a row is a dup iff
+    some lower-id row in its cluster clears the squared-cosine integer
+    cross-multiplication (hugeint — the exact twin of the Spark side's
+    decimal(38,0))."""
+    return _kmeans_ctes(k, iters) + f""",
+nrm AS (SELECT vec_id, sum(v*v) AS n2 FROM vd GROUP BY vec_id),
+cpairs AS (
+  SELECT a1.vec_id AS ia, a2.vec_id AS ib
+  FROM af a1 JOIN af a2 ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id),
+pdot AS (
+  SELECT p.ia, p.ib, sum(va.v * vb.v) AS dot
+  FROM cpairs p JOIN vd va ON va.vec_id = p.ia
+                JOIN vd vb ON vb.vec_id = p.ib AND vb.i = va.i
+  GROUP BY p.ia, p.ib),
+dup AS (
+  SELECT DISTINCT pdot.ib AS vec_id
+  FROM pdot JOIN nrm na ON na.vec_id = pdot.ia
+            JOIN nrm nb ON nb.vec_id = pdot.ib
+  WHERE pdot.dot > 0
+    AND cast(pdot.dot AS hugeint) * pdot.dot * 100000000
+        >= cast({bp} AS hugeint) * {bp} * na.n2 * nb.n2)
+SELECT af.cid AS cluster,
+       cast(count(*) AS bigint) AS n_vecs,
+       cast(sum(CASE WHEN dup.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_dropped,
+       cast(sum(CASE WHEN dup.vec_id IS NULL THEN af.vec_id ELSE 0 END) AS bigint) AS sum_kept_id
+FROM af LEFT JOIN dup ON dup.vec_id = af.vec_id
+GROUP BY af.cid ORDER BY cluster"""
 
 
 @register("kmeans_embedding_clusters", _kmeans_oracle())
@@ -4368,6 +4404,23 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("cid", "cluster")
         .orderBy("cluster")
     )
+
+
+@register("semdedup_prune", _semdedup_oracle())
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end (the stage AFTER kmeans_embedding_clusters):
+    cluster the embeddings, search cosine near-duplicates ONLY within
+    clusters (equi-join on cid — the quadratic is confined to bounded
+    cluster sizes, never an all-pairs product), keep-first per duplicate
+    neighborhood. Every decision is exact integer arithmetic — the
+    squared-cosine cross-multiplication runs in decimal(38,0) on the
+    Spark side and hugeint in the oracle, so a drifted centroid, a float
+    sim compare, or a wrong keep rule moves n_dropped/sum_kept_id.
+    Reference analogue: the dedup step a training-data pipeline runs
+    after semantic clustering (SURVEY §2 LLM-pipeline ops)."""
+    from .operators.similarity import semdedup_prune as _sd
+
+    return _sd(_pq(spark, sf_dir, "embeddings"), k=8, iters=2, threshold_bp=4500)
 
 
 @register("bucketed_colocated_join", _JOIN_REV_ORACLE)

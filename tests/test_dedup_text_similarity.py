@@ -654,3 +654,53 @@ def test_temperature_mixture_sample(spark):
     # repartition invariance
     kept13 = temperature_mixture_sample(df.repartition(13)).collect()
     assert sorted(r["doc_id"] for r in kept13) == sorted(r["doc_id"] for r in kept)
+
+
+def test_semdedup_planted_dups_dropped(spark):
+    """60 scaled unit-basis vectors in dim 64 — every cross pair has
+    cosine EXACTLY 0 — plus three planted duplicates of vector 0 (an
+    exact copy, a scaled copy, a jittered copy; all cosine ≈ 1). Only
+    the three plants clear the threshold, and each quantizes so close to
+    its original that k-means puts it in the same cluster, so
+    semdedup_prune must drop exactly the plants and keep the lowest-id
+    original."""
+    import numpy as np
+    import pandas as pd
+
+    from ds_raster_pipelines_spark.operators.similarity import semdedup_prune
+
+    rng = np.random.RandomState(7)
+    vec = {}
+    for vid in range(60):
+        v = np.zeros(64)
+        v[vid] = 50.0 * (1.0 + 0.3 * rng.uniform())
+        vec[vid] = v
+    orig, c1, c2, near = 0, 30, 40, 50
+    vec[c1] = vec[orig].copy()
+    vec[c2] = vec[orig] * 1.05
+    vec[near] = vec[orig] + rng.uniform(-0.5, 0.5, 64)
+    rows = [(vid, vec[vid].astype("float32").tolist()) for vid in range(60)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    out = semdedup_prune(df, k=3, iters=2, threshold_bp=9000).collect()
+    assert sum(r["n_vecs"] for r in out) == 60
+    assert sum(r["n_dropped"] for r in out) == 3
+    assert sum(r["sum_kept_id"] for r in out) == sum(range(60)) - c1 - c2 - near
+
+
+def test_semdedup_deterministic_across_parallelism(spark):
+    import numpy as np
+    import pandas as pd
+
+    from ds_raster_pipelines_spark.operators.similarity import semdedup_prune
+
+    rng = np.random.RandomState(5)
+    rows = [(i, rng.uniform(-1, 1, 16).astype("float32").tolist()) for i in range(90)]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    outs = []
+    for parts in (1, 13):
+        df = spark.createDataFrame(pdf).repartition(parts)
+        outs.append(sorted(
+            tuple(r) for r in
+            semdedup_prune(df, k=5, iters=2, threshold_bp=4500).collect()
+        ))
+    assert outs[0] == outs[1]
