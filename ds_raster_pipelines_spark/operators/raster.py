@@ -22,7 +22,7 @@ center-in-polygon ray cast per tile; rectangles use pure window arithmetic.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import grid
@@ -59,6 +59,68 @@ def zonal_pixel_stats(
     Output: (adm_id, px_count, px_sum, px_mean) — integer-exact sums, so
     bit-identical across engines and parallelism levels.
     """
+    return _zonal_pixel_reduce(
+        images, admin, res, span_deg, overview_level, mode="stats"
+    )
+
+
+def zonal_value_histogram(
+    images: DataFrame,
+    admin: DataFrame,
+    res: int,
+    span_deg: float = 0.25,
+    overview_level: int = 0,
+) -> DataFrame:
+    """Per-admin pixel-VALUE histogram over decoded tiles — the
+    landcover-fraction / class-composition zonal aggregate (per-zone
+    per-class pixel counts; rasterstats' ``categorical=True``). Same
+    prune + masked-kernel machinery as zonal_pixel_stats, but the
+    kernel's per-geometry reduction is a signed uint8 bincount instead
+    of a masked sum: a batch leaves the kernel as <= n_geoms x 256 rows
+    no matter how many pixels it decoded — the map-side-partial shape a
+    100 TB class-composition scan needs.
+
+    Output: (adm_id, value, n_px), only (zone, value) pairs that occur.
+    """
+    return _zonal_pixel_reduce(
+        images, admin, res, span_deg, overview_level, mode="hist"
+    )
+
+
+def zonal_majority(
+    images: DataFrame,
+    admin: DataFrame,
+    res: int,
+    span_deg: float = 0.25,
+    overview_level: int = 0,
+) -> DataFrame:
+    """Per-admin MAJORITY pixel value (zonal mode — dominant landcover
+    class per zone), with the deterministic (n_px desc, value asc)
+    tie-break. Output: (adm_id, mode_value, mode_px, px_count)."""
+    hist = zonal_value_histogram(images, admin, res, span_deg, overview_level)
+    w = Window.partitionBy("adm_id").orderBy(F.col("n_px").desc(), F.col("value"))
+    return (
+        hist.withColumn("_rk", F.row_number().over(w))
+        .withColumn("px_count", F.sum("n_px").over(Window.partitionBy("adm_id")))
+        .where(F.col("_rk") == 1)
+        .select(
+            "adm_id",
+            F.col("value").alias("mode_value"),
+            F.col("n_px").alias("mode_px"),
+            "px_count",
+        )
+        .orderBy("adm_id")
+    )
+
+
+def _zonal_pixel_reduce(
+    images: DataFrame,
+    admin: DataFrame,
+    res: int,
+    span_deg: float,
+    overview_level: int,
+    mode: str,
+) -> DataFrame:
     missing = {"lon0", "lat_top"} - set(images.columns)
     if missing:
         raise ValueError(f"images needs footprint columns {sorted(missing)}")
@@ -213,6 +275,13 @@ def zonal_pixel_stats(
             out_gi: list[int] = []
             out_cnt: list[int] = []
             out_sum: list[int] = []
+            # hist mode: per-geometry signed bincount — a batch leaves the
+            # kernel as <= n_geoms x 256 rows regardless of pixel count
+            hist2d = (
+                np.zeros((len(rings), 256), dtype=np.int64)
+                if mode == "hist"
+                else None
+            )
             px_cache: dict[int, np.ndarray] = {}
 
             def tile(k: int) -> np.ndarray:
@@ -247,6 +316,13 @@ def zonal_pixel_stats(
                 hit = (x_lo <= x_hi) & (y_lo <= y_hi)
                 for k in np.nonzero(hit)[0]:
                     block = tile(k)[y_lo[k] : y_hi[k] + 1, x_lo[k] : x_hi[k] + 1]
+                    if hist2d is not None:
+                        # signed bincount: holes (sgn=-1) subtract their
+                        # per-value counts by the same inclusion-exclusion
+                        hist2d[g] += sgn * np.bincount(
+                            block.ravel(), minlength=256
+                        )
+                        continue
                     out_gi.append(g)
                     out_cnt.append(sgn * block.size)
                     out_sum.append(sgn * int(block.sum(dtype=np.int64)))
@@ -269,9 +345,23 @@ def zonal_pixel_stats(
                     mask = _points_in_rings(lon_g.ravel(), lat_g.ravel(), grings).reshape(h, w)
                     if not mask.any():
                         continue
+                    if hist2d is not None:
+                        hist2d[g] += np.bincount(tile(k)[mask], minlength=256)
+                        continue
                     out_gi.append(g)
                     out_cnt.append(int(mask.sum()))
                     out_sum.append(int(tile(k)[mask].sum(dtype=np.int64)))
+            if hist2d is not None:
+                gi_nz, val_nz = np.nonzero(hist2d)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(gi_nz.astype(np.int32)),
+                        pa.array(val_nz.astype(np.int32)),
+                        pa.array(hist2d[gi_nz, val_nz]),
+                    ],
+                    names=["gi", "value", "n_px"],
+                )
+                continue
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(out_gi, pa.int32()),
@@ -281,7 +371,10 @@ def zonal_pixel_stats(
                 names=["gi", "px_count", "px_sum"],
             )
 
-    partial = pruned.mapInArrow(kernel, schema=ZONAL_PIXEL_SCHEMA)
+    if mode == "hist":
+        partial = pruned.mapInArrow(kernel, schema="gi int, value int, n_px bigint")
+    else:
+        partial = pruned.mapInArrow(kernel, schema=ZONAL_PIXEL_SCHEMA)
 
     # 3. exact integer aggregation + name attach
     import pandas as pd
@@ -292,6 +385,17 @@ def zonal_pixel_stats(
             schema="gi int, adm_id string",
         )
     )
+    if mode == "hist":
+        return (
+            partial.groupBy("gi", "value")
+            .agg(F.sum("n_px").alias("n_px"))
+            # signed hole subtraction can net a (zone, value) to zero —
+            # same "does not occur" as the ray-cast path's absence
+            .where(F.col("n_px") > 0)
+            .join(idx_df, "gi")
+            .select("adm_id", "value", "n_px")
+            .orderBy("adm_id", "value")
+        )
     return (
         partial.groupBy("gi")
         .agg(F.sum("px_count").alias("px_count"), F.sum("px_sum").alias("px_sum"))

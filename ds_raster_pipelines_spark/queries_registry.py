@@ -61,6 +61,7 @@ _PRIORITY = [
     "delete_merge_on_read", "shapefile_zonal", "exact_substring_spans",
     "kmeans_embedding_clusters", "bucketed_colocated_join",
     "temperature_mixture_sample", "semdedup_prune",
+    "zonal_value_histogram", "zonal_majority", "zonal_majority_holed",
     # -- changed-module queries this round -------------------------------
     # corpus.py / pip.py / raster.py (WKB geometry, refine, masked kernel)
     "flagship_zonal_decode", "zonal_pixel_stats", "pip_zonal_bbox",
@@ -1518,18 +1519,9 @@ def knn_ring_halo(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rio.clip semantics at pixel granularity, with a closed-form oracle.
 # =====================================================================
 
-def _zps_oracle(offset: float = 0.0, lossless: bool = False) -> str:
-    """Closed-form pixel-window oracle; ``offset`` selects the shifted
-    admin set (fractional bounds → partial, position-sensitive windows).
-    ``lossless=True`` drops the qnt LSB correction (single-format corpora
-    like tif/cog, where every tile round-trips bit-exactly)."""
-    qnt_term = (
-        "0"
-        if lossless
-        else """CASE WHEN fmt = 'qnt'
-                THEN (y_hi - y_lo + 1) * (((x_hi + c + 1) // 2) - ((x_lo + c) // 2))
-                ELSE 0 END"""
-    )
+def _zps_win_ctes(offset: float = 0.0) -> str:
+    """Shared img/win CTE head of the pixel-window oracles: per-(admin,
+    tile) clipped pixel windows in closed form."""
     return f"""
 WITH img AS (
   SELECT o_orderkey AS i,
@@ -1548,7 +1540,22 @@ win AS (
   FROM img JOIN {corpus.admin_sql_values(offset=offset)}
     ON lon0 <= max_lon AND lon0 + 0.25 >= min_lon
    AND lat_top - 0.25 <= max_lat AND lat_top >= min_lat
-),
+)"""
+
+
+def _zps_oracle(offset: float = 0.0, lossless: bool = False) -> str:
+    """Closed-form pixel-window oracle; ``offset`` selects the shifted
+    admin set (fractional bounds → partial, position-sensitive windows).
+    ``lossless=True`` drops the qnt LSB correction (single-format corpora
+    like tif/cog, where every tile round-trips bit-exactly)."""
+    qnt_term = (
+        "0"
+        if lossless
+        else """CASE WHEN fmt = 'qnt'
+                THEN (y_hi - y_lo + 1) * (((x_hi + c + 1) // 2) - ((x_lo + c) // 2))
+                ELSE 0 END"""
+    )
+    return f"""{_zps_win_ctes(offset)},
 contrib AS (
   SELECT adm_id,
          (y_hi - y_lo + 1) * (x_hi - x_lo + 1) AS cnt,
@@ -1741,6 +1748,79 @@ def zonal_pixel_stats_nc4_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(corpus.materialized_images_fmt(spark, sf_dir, "nc4_packed"))
     )
     return zonal_pixel_stats(images, corpus.admin_df(spark, offset=0.06), res=6)
+
+
+def _zhist_ctes(offset: float) -> str:
+    """win CTEs + per-(admin, value) closed-form pixel counts: pixel
+    value along a row is x + c (qnt tiles LSB-cleared at encode), every
+    row identical — so a window's per-value count is (rows in window)
+    per contributing x column."""
+    return f"""{_zps_win_ctes(offset)},
+xs AS (SELECT unnest(generate_series(0, 63)) AS x),
+pv AS (
+  SELECT adm_id,
+         CASE WHEN fmt = 'qnt' THEN (x + c) - ((x + c) % 2) ELSE x + c END AS value,
+         (y_hi - y_lo + 1) AS cnt
+  FROM win, xs
+  WHERE x_lo <= x_hi AND y_lo <= y_hi AND x >= x_lo AND x <= x_hi
+),
+hist AS (
+  SELECT adm_id, cast(value as int) AS value, cast(sum(cnt) as bigint) AS n_px
+  FROM pv GROUP BY adm_id, value
+)"""
+
+
+_ZHIST_OFFSET = 0.09  # fractional shift: partial, position-sensitive windows
+_ZHIST_ORACLE = f"""{_zhist_ctes(_ZHIST_OFFSET)}
+SELECT adm_id, value, n_px FROM hist ORDER BY adm_id, value"""
+
+_ZMAJ_ORACLE = f"""{_zhist_ctes(_ZHIST_OFFSET)}
+SELECT adm_id,
+       value AS mode_value,
+       n_px AS mode_px,
+       px_count
+FROM (
+  SELECT adm_id, value, n_px,
+         cast(sum(n_px) OVER (PARTITION BY adm_id) as bigint) AS px_count,
+         row_number() OVER (PARTITION BY adm_id ORDER BY n_px DESC, value) AS rk
+  FROM hist
+) WHERE rk = 1 ORDER BY adm_id"""
+
+
+@register("zonal_value_histogram", _ZHIST_ORACLE)
+def zonal_value_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-admin pixel-VALUE histogram (landcover class composition per
+    zone — rasterstats categorical=True; reference analogue: the zonal
+    stats consumers of examples/era5_cogs.md). The kernel's per-geometry
+    reduction is a signed uint8 bincount, so a batch leaves the kernel
+    as <= n_geoms x 256 rows no matter how many pixels it decoded; the
+    oracle derives every (zone, value) count in closed form from the
+    corpus's per-column pixel formula (incl. the qnt LSB clear)."""
+    from .operators.raster import zonal_value_histogram
+
+    images = corpus.footprint_cols_for_images(
+        spark.read.parquet(corpus.materialized_images(spark, sf_dir))
+    )
+    return zonal_value_histogram(
+        images, corpus.admin_df(spark, offset=_ZHIST_OFFSET), res=6
+    )
+
+
+@register("zonal_majority", _ZMAJ_ORACLE)
+def zonal_majority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-admin MAJORITY pixel value (zonal mode — dominant landcover
+    class per zone) with the deterministic (n_px desc, value asc)
+    tie-break, plus the zone's total pixel count. A wrong mask, a
+    dropped partial window, or a wrong tie-break each move a different
+    column."""
+    from .operators.raster import zonal_majority
+
+    images = corpus.footprint_cols_for_images(
+        spark.read.parquet(corpus.materialized_images(spark, sf_dir))
+    )
+    return zonal_majority(
+        images, corpus.admin_df(spark, offset=_ZHIST_OFFSET), res=6
+    )
 
 
 # Decontamination oracle: word 3-gram overlap between the corpus and a
@@ -4140,7 +4220,7 @@ def pip_zonal_holed_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal_stats(joined, "mean_value", fixed_scale=2).orderBy("adm_id")
 
 
-_ZPS_HOLED_ORACLE = f"""
+_ZPS_HOLED_WIN = f"""
 WITH img AS (
   SELECT o_orderkey AS i,
          (o_orderkey % {corpus.C_MOD}) AS c,
@@ -4158,7 +4238,9 @@ win AS (
   FROM img JOIN {corpus.admin_holed_signed_sql_values()}
     ON lon0 <= max_lon AND lon0 + 0.25 >= min_lon
    AND lat_top - 0.25 <= max_lat AND lat_top >= min_lat
-),
+)"""
+
+_ZPS_HOLED_ORACLE = f"""{_ZPS_HOLED_WIN},
 contrib AS (
   SELECT adm_id,
          sgn * (y_hi - y_lo + 1) * (x_hi - x_lo + 1) AS cnt,
@@ -4175,6 +4257,46 @@ SELECT adm_id,
        cast(sum(s) as double) / sum(cnt) AS px_mean
 FROM contrib GROUP BY adm_id ORDER BY adm_id
 """
+
+
+_ZMAJ_HOLED_ORACLE = f"""{_ZPS_HOLED_WIN},
+xs AS (SELECT unnest(generate_series(0, 63)) AS x),
+pv AS (
+  SELECT adm_id,
+         CASE WHEN fmt = 'qnt' THEN (x + c) - ((x + c) % 2) ELSE x + c END AS value,
+         sgn * (y_hi - y_lo + 1) AS cnt
+  FROM win, xs
+  WHERE x_lo <= x_hi AND y_lo <= y_hi AND x >= x_lo AND x <= x_hi
+),
+hist AS (
+  SELECT adm_id, cast(value as int) AS value, cast(sum(cnt) as bigint) AS n_px
+  FROM pv GROUP BY adm_id, value HAVING sum(cnt) > 0
+)
+SELECT adm_id,
+       value AS mode_value,
+       n_px AS mode_px,
+       px_count
+FROM (
+  SELECT adm_id, value, n_px,
+         cast(sum(n_px) OVER (PARTITION BY adm_id) as bigint) AS px_count,
+         row_number() OVER (PARTITION BY adm_id ORDER BY n_px DESC, value) AS rk
+  FROM hist
+) WHERE rk = 1 ORDER BY adm_id"""
+
+
+@register("zonal_majority_holed", _ZMAJ_HOLED_ORACLE)
+def zonal_majority_holed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal majority where the zones have holes and disjoint parts: the
+    kernel's per-value bincounts must SUBTRACT hole windows (signed
+    inclusion-exclusion per value) — a mask that ignores holes inflates
+    exactly the hole columns' value counts and shifts the mode, so hole
+    handling is a value divergence, not just a count inflation."""
+    from .operators.raster import zonal_majority
+
+    images = corpus.footprint_cols_for_images(
+        spark.read.parquet(corpus.materialized_images(spark, sf_dir))
+    )
+    return zonal_majority(images, corpus.admin_holed_df(spark), res=5)
 
 
 @register("zonal_pixel_stats_holed", _ZPS_HOLED_ORACLE)

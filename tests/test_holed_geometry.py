@@ -250,3 +250,37 @@ def test_pip_join_distributed_salted_identical(spark):
     plain = agg(pip_join_distributed(pts, adm, res=5))
     salted = agg(pip_join_distributed(pts, adm, res=5, n_salt=8, hot_threshold=1000))
     pd.testing.assert_frame_equal(plain, salted)
+
+
+def test_zonal_value_histogram_marginals_match_stats(spark):
+    """The hist kernel's per-zone marginals (sum of n_px, sum of
+    value*n_px) must equal the stats kernel's px_count/px_sum on the
+    SAME holed/multipart fixture — the two reductions share mask
+    machinery but not accumulation code, so drift in either signed path
+    (window algebra vs signed bincount) breaks the identity."""
+    from pyspark.sql import functions as F
+
+    from ds_raster_pipelines_spark import corpus
+    from ds_raster_pipelines_spark.operators.raster import (
+        zonal_pixel_stats,
+        zonal_value_histogram,
+    )
+
+    images = corpus.footprint_cols_for_images(
+        spark.read.parquet(corpus.materialized_images(spark, "/root/testdata/sf0.001"))
+    )
+    adm = corpus.admin_holed_df(spark)
+    hist = (
+        zonal_value_histogram(images, adm, res=5)
+        .groupBy("adm_id")
+        .agg(
+            F.sum("n_px").alias("px_count"),
+            F.sum(F.col("value") * F.col("n_px")).alias("px_sum"),
+        )
+    )
+    stats = zonal_pixel_stats(images, adm, res=5).select(
+        "adm_id", "px_count", "px_sum"
+    )
+    h = {r["adm_id"]: (r["px_count"], r["px_sum"]) for r in hist.collect()}
+    s = {r["adm_id"]: (r["px_count"], r["px_sum"]) for r in stats.collect()}
+    assert h == s and len(h) > 0
