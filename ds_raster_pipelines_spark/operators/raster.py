@@ -795,3 +795,43 @@ def reproject_webmercator_sum256(images: DataFrame, quant_bits: int = 8) -> Data
             yield pd.DataFrame({"i": out_i, "rp_sum_256": out_s})
 
     return images.mapInPandas(kernel, schema="i bigint, rp_sum_256 bigint")
+
+
+def zonal_quantiles(
+    images: DataFrame,
+    admin: DataFrame,
+    res: int,
+    q_bps: tuple[int, ...] = (5000, 9000),
+    span_deg: float = 0.25,
+    overview_level: int = 0,
+) -> DataFrame:
+    """Per-admin EXACT pixel-value quantiles, derived from the
+    zonal_value_histogram reduction: with uint8 pixels the full
+    per-zone value distribution is <= 256 rows, so exact order
+    statistics need no sort of pixels and no sketch — the q-th quantile
+    is the smallest value whose cumulative count clears q (integer
+    cross-multiplication: cum * 10000 >= q_bp * total, so quantile
+    selection is bit-exact across engines). This is the bounded-domain
+    special case where the exact answer costs the same as the
+    approximate one; for continuous-valued rasters see
+    operators/sketches.quantile_sketch (mergeable histogram state).
+
+    Output: (adm_id, px_count, q<bp>_value ...) one column per q_bp.
+    """
+    hist = zonal_value_histogram(images, admin, res, span_deg, overview_level)
+    w_cum = (
+        Window.partitionBy("adm_id")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("n_px").over(w_cum)).withColumn(
+        "total", F.sum("n_px").over(Window.partitionBy("adm_id"))
+    )
+    aggs = [F.max("total").alias("px_count")]
+    for q in q_bps:
+        aggs.append(
+            F.min(
+                F.when(F.col("cum") * 10000 >= F.lit(q) * F.col("total"), F.col("value"))
+            ).alias(f"q{q}_value")
+        )
+    return cum.groupBy("adm_id").agg(*aggs).orderBy("adm_id")

@@ -62,6 +62,7 @@ _PRIORITY = [
     "kmeans_embedding_clusters", "bucketed_colocated_join",
     "temperature_mixture_sample", "semdedup_prune",
     "zonal_value_histogram", "zonal_majority", "zonal_majority_holed",
+    "zonal_quantiles",
     # -- changed-module queries this round -------------------------------
     # corpus.py / pip.py / raster.py (WKB geometry, refine, masked kernel)
     "flagship_zonal_decode", "zonal_pixel_stats", "pip_zonal_bbox",
@@ -1803,6 +1804,37 @@ def zonal_value_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return zonal_value_histogram(
         images, corpus.admin_df(spark, offset=_ZHIST_OFFSET), res=6
+    )
+
+
+_ZQUANT_ORACLE = f"""{_zhist_ctes(_ZHIST_OFFSET)},
+cum AS (
+  SELECT adm_id, value,
+         sum(n_px) OVER (PARTITION BY adm_id ORDER BY value) AS cum,
+         sum(n_px) OVER (PARTITION BY adm_id) AS total
+  FROM hist)
+SELECT adm_id,
+       cast(max(total) as bigint) AS px_count,
+       cast(min(CASE WHEN cum * 10000 >= 5000 * total THEN value END) as int) AS q5000_value,
+       cast(min(CASE WHEN cum * 10000 >= 9000 * total THEN value END) as int) AS q9000_value
+FROM cum GROUP BY adm_id ORDER BY adm_id"""
+
+
+@register("zonal_quantiles", _ZQUANT_ORACLE)
+def zonal_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-admin EXACT median + p90 pixel values: uint8 pixels bound the
+    per-zone distribution to <= 256 histogram rows, so exact order
+    statistics cost one cumulative window over the histogram — no pixel
+    sort, no sketch. Quantile selection is integer cross-multiplication
+    (cum * 10000 >= q_bp * total): bit-exact across engines."""
+    from .operators.raster import zonal_quantiles
+
+    images = corpus.footprint_cols_for_images(
+        spark.read.parquet(corpus.materialized_images(spark, sf_dir))
+    )
+    return zonal_quantiles(
+        images, corpus.admin_df(spark, offset=_ZHIST_OFFSET), res=6,
+        q_bps=(5000, 9000),
     )
 
 
