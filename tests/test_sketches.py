@@ -177,3 +177,38 @@ def test_bloom_semi_join_equals_plain_semi_join(spark):
         .collect()
     )
     assert [(r["fk"], r["v"]) for r in got] == [(r["fk"], r["v"]) for r in want]
+
+
+def test_sampled_candidates_catch_planted_heavy_keys(spark):
+    """Planted heavy keys (1000+ rows each) must survive the 1/20
+    hash-sample candidate pre-pass, and the sampled heavy-hitter top-k
+    must equal the exact-key-space twin's — the sample only thins the
+    tail, never a genuine heavy hitter (row-identity hashing keeps ~f/20
+    of a key's rows, so f=1000 keeps ~50)."""
+    from pyspark.sql import functions as F
+
+    from ds_raster_pipelines_spark.operators.sketches import (
+        cms_heavy_hitters,
+        sampled_candidates,
+    )
+
+    n_tail = 5000
+    df = (
+        spark.range(n_tail)
+        .select(
+            F.col("id").alias("rid"),
+            F.concat(F.lit("tail"), (F.col("id") % 2500).cast("string")).alias("k"),
+        )
+        .unionByName(
+            spark.range(n_tail, n_tail + 3000).select(
+                F.col("id").alias("rid"),
+                F.concat(F.lit("HOT"), (F.col("id") % 3).cast("string")).alias("k"),
+            )
+        )
+    )
+    cand = sampled_candidates(df, "k", ["rid"], mod=20, take=50)
+    got = {r["k"] for r in cand.collect()}
+    assert {"HOT0", "HOT1", "HOT2"} <= got
+    top_sampled = cms_heavy_hitters(df, "k", k=3, candidates=cand).collect()
+    top_exact = cms_heavy_hitters(df, "k", k=3).collect()
+    assert [tuple(r) for r in top_sampled] == [tuple(r) for r in top_exact]
