@@ -62,7 +62,7 @@ _PRIORITY = [
     "kmeans_embedding_clusters", "bucketed_colocated_join",
     "temperature_mixture_sample", "semdedup_prune",
     "zonal_value_histogram", "zonal_majority", "zonal_majority_holed",
-    "zonal_quantiles", "cms_heavy_hitters_sampled",
+    "zonal_quantiles", "cms_heavy_hitters_sampled", "incremental_zonal_refresh",
     # -- changed-module queries this round -------------------------------
     # corpus.py / pip.py / raster.py (WKB geometry, refine, masked kernel)
     "flagship_zonal_decode", "zonal_pixel_stats", "pip_zonal_bbox",
@@ -3152,7 +3152,10 @@ def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.multimodal import materialized_video_corpus, video_frame_stats
 
     media = spark.read.parquet(materialized_video_corpus(spark, sf_dir))
-    return video_frame_stats(media, every_n=2).orderBy("i", "frame_idx")
+    # no global orderBy: a range sort SAMPLES its child, re-running the
+    # whole frame-decode stage a second time (measured 2x at sf0.1);
+    # the driver compare row-sorts before hashing, so order is free
+    return video_frame_stats(media, every_n=2)
 
 
 @register("video_frame_stats_mjpeg", _VIDEO_ORACLE)
@@ -3168,7 +3171,10 @@ def video_frame_stats_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.multimodal import materialized_video_corpus, video_frame_stats
 
     media = spark.read.parquet(materialized_video_corpus(spark, sf_dir, codec="mjpeg"))
-    return video_frame_stats(media, every_n=2).orderBy("i", "frame_idx")
+    # no global orderBy: a range sort SAMPLES its child, re-running the
+    # whole frame-decode stage a second time (measured 2x at sf0.1);
+    # the driver compare row-sorts before hashing, so order is free
+    return video_frame_stats(media, every_n=2)
 
 
 # Input-hint per-row invariant (BASELINE.json): decoded pixels match the
@@ -3828,6 +3834,34 @@ def cms_heavy_hitters_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
     )
     return cms_heavy_hitters(tok, "word", k=20)
+
+
+@register("incremental_zonal_refresh", _zps_oracle(offset=0.05))
+def incremental_zonal_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental VIEW MAINTENANCE of the flagship zonal aggregate
+    (streaming/incremental.zonal_refresh): the corpus commits in 3 tile
+    partitions (the reference's daily-drop run modes,
+    seas5_pipeline.py:47-51), each newly committed partition folds its
+    ADDITIVE zonal partials (adm_id, px_count, px_sum) into a
+    per-partition state table, folded partitions are never rescanned,
+    and the merged state must equal the batch zonal over the whole
+    corpus — which is exactly what the oracle computes in closed form.
+    Construction executes (commits + state folds);
+    CONSTRUCTION_EXECUTES."""
+    from .streaming.incremental import IncrementalRun, zonal_refresh
+
+    key = sf_dir.rstrip("/").replace("/", "_").replace(".", "_").lstrip("_")
+    base = f"/tmp/spark_graft_incr_zonal/{corpus.CORPUS_VERSION}/{key}"
+    run = IncrementalRun(spark, f"{base}/run")
+    images = corpus.footprint_cols_for_images(
+        spark.read.parquet(corpus.materialized_images(spark, sf_dir))
+    )
+    for part in run.pending_partitions([0, 1, 2]):
+        run.commit_partition(part, images.where(F.pmod(F.col("i"), F.lit(3)) == part))
+    return zonal_refresh(
+        run, corpus.admin_df(spark, offset=0.05), res=6,
+        state_dir=f"{base}/state",
+    )
 
 
 _CMS_SAMPLED_ORACLE = f"""

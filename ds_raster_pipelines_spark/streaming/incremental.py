@@ -718,3 +718,59 @@ class IncrementalRun:
             "skew_ratio": round(max(counts) / mean, 3) if mean else None,
             "per_partition": rows,
         }
+
+
+def zonal_refresh(
+    run: IncrementalRun, admin: DataFrame, res: int, state_dir: str
+) -> DataFrame:
+    """Incremental VIEW MAINTENANCE for the flagship zonal aggregate:
+    fold each committed-but-unfolded tile partition's zonal PARTIALS
+    (adm_id, px_count, px_sum — additive, the mergeable-state property
+    every distributive aggregate shares) into a per-partition state
+    table, then return the merged per-zone stats. Folded partitions are
+    NEVER rescanned — the daily-raster-drop pattern (reference run
+    modes ``update``/``backfill``, seas5_pipeline.py:47-51) where a new
+    day's tiles cost one partition's decode, not a corpus recompute.
+
+    Idempotent and crash-safe: each partition's partials land with
+    ``mode=overwrite`` under ``state_dir/part=N`` (re-folding a crashed
+    partition overwrites its own directory and nothing else), and
+    already-folded parts are skipped by directory presence. Reading the
+    state merges with a k-group sum — state size is
+    O(partitions x zones), metadata scale.
+    """
+    import shutil
+
+    spark = run.spark
+    folded = set()
+    if os.path.exists(state_dir):
+        for d in os.listdir(state_dir):
+            if d.startswith("part=") and os.path.exists(
+                os.path.join(state_dir, d, "_SUCCESS")
+            ):
+                folded.add(int(d.split("=")[1]))
+            elif d.startswith("part="):  # crashed fold: rebuild it
+                shutil.rmtree(os.path.join(state_dir, d))
+    from ..operators.raster import zonal_pixel_stats
+
+    committed = {r["part"] for r in run.manifest().select("part").collect()}
+    for part in sorted(committed - folded):
+        tiles = spark.read.parquet(os.path.join(run.data_dir, f"part={part}"))
+        partial = zonal_pixel_stats(tiles, admin, res).select(
+            "adm_id", "px_count", "px_sum"
+        )
+        partial.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"part={part}")
+        )
+    state = spark.read.option("basePath", state_dir).parquet(state_dir)
+    return (
+        state.groupBy("adm_id")
+        .agg(F.sum("px_count").alias("px_count"), F.sum("px_sum").alias("px_sum"))
+        .select(
+            "adm_id",
+            "px_count",
+            "px_sum",
+            (F.col("px_sum").cast("double") / F.col("px_count")).alias("px_mean"),
+        )
+        .orderBy("adm_id")
+    )

@@ -30,6 +30,7 @@ CONSTRUCTION_EXECUTES = {
     "multiband_cube_nc_roundtrip",
     "delete_merge_on_read",
     "bucketed_colocated_join",  # one-time bucketed-table writes
+    "incremental_zonal_refresh",  # commits + state folds
 }
 # The fully DISTRIBUTED PIP plan has exactly two Arrow stages by design —
 # geometry-parse cover over the POLYGON table + ray-cast refine over the
