@@ -582,3 +582,47 @@ def test_snapshot_time_travel_and_expiry(spark, tmp_path):
     assert run.read_at(4).count() == 7  # live reads unaffected
     # snapshot log remains the audit trail
     assert [s["snapshot_id"] for s in run.snapshots()] == [1, 2, 3, 4]
+
+
+def test_zonal_refresh_incremental_no_rescan(spark, tmp_path):
+    """Fold-then-merge zonal maintenance: (1) incremental == batch;
+    (2) folded partitions are NEVER rescanned — proven by deleting the
+    folded partitions' DATA and refreshing again (state alone must
+    answer); (3) a crashed fold (partial dir without _SUCCESS) is
+    rebuilt."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ds_raster_pipelines_spark import corpus
+    from ds_raster_pipelines_spark.operators.raster import zonal_pixel_stats
+    from ds_raster_pipelines_spark.streaming.incremental import (
+        IncrementalRun,
+        zonal_refresh,
+    )
+
+    images = corpus.footprint_cols_for_images(
+        spark.read.parquet(corpus.materialized_images(spark, "/root/testdata/sf0.001"))
+    )
+    adm = corpus.admin_df(spark)
+    run = IncrementalRun(spark, str(tmp_path / "run"))
+    state = str(tmp_path / "state")
+    for part in (0, 1):
+        run.commit_partition(part, images.where(F.pmod(F.col("i"), F.lit(2)) == part))
+    inc = {r["adm_id"]: tuple(r)[1:] for r in zonal_refresh(run, adm, 6, state).collect()}
+    batch = {r["adm_id"]: tuple(r)[1:] for r in zonal_pixel_stats(images, adm, 6).collect()}
+    assert inc == batch
+    # crashed fold: a part dir without _SUCCESS must be rebuilt, not trusted
+    shutil.rmtree(f"{state}/part=1/")
+    import os
+
+    os.makedirs(f"{state}/part=1")
+    open(f"{state}/part=1/garbage.parquet", "w").write("")
+    inc2 = {r["adm_id"]: tuple(r)[1:] for r in zonal_refresh(run, adm, 6, state).collect()}
+    assert inc2 == batch
+    # no-rescan: remove the DATA of both folded partitions — the merged
+    # answer must come from state alone
+    shutil.rmtree(run.data_dir)
+    os.makedirs(run.data_dir)
+    inc3 = {r["adm_id"]: tuple(r)[1:] for r in zonal_refresh(run, adm, 6, state).collect()}
+    assert inc3 == batch
