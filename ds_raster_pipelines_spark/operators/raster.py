@@ -393,8 +393,10 @@ def _zonal_pixel_reduce(
             # same "does not occur" as the ray-cast path's absence
             .where(F.col("n_px") > 0)
             .join(idx_df, "gi")
+            # no global orderBy: a range sort adds a sampling pass + extra
+            # stage that zonal_majority/zonal_quantiles immediately
+            # re-shuffle away, and the correctness gate row-sorts anyway
             .select("adm_id", "value", "n_px")
-            .orderBy("adm_id", "value")
         )
     return (
         partial.groupBy("gi")

@@ -3851,7 +3851,19 @@ def incremental_zonal_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.incremental import IncrementalRun, zonal_refresh
 
     key = sf_dir.rstrip("/").replace("/", "_").replace(".", "_").lstrip("_")
-    base = f"/tmp/spark_graft_incr_zonal/{corpus.CORPUS_VERSION}/{key}"
+    # the state caches DERIVED kernel output (unlike the committed-input
+    # caches elsewhere), so the key carries a params+kernel fingerprint:
+    # a kernel change or a query-param change invalidates the cache
+    # instead of silently reusing partials computed by old code
+    import hashlib as _hl
+    import inspect as _ins
+
+    from .operators import raster as _raster
+
+    fp = _hl.md5(
+        (_ins.getsource(_raster) + "|offset=0.05|res=6|parts=3").encode()
+    ).hexdigest()[:10]
+    base = f"/tmp/spark_graft_incr_zonal/{corpus.CORPUS_VERSION}_{fp}/{key}"
     run = IncrementalRun(spark, f"{base}/run")
     images = corpus.footprint_cols_for_images(
         spark.read.parquet(corpus.materialized_images(spark, sf_dir))

@@ -733,35 +733,47 @@ def zonal_refresh(
     day's tiles cost one partition's decode, not a corpus recompute.
 
     Idempotent and crash-safe: each partition's partials land with
-    ``mode=overwrite`` under ``state_dir/part=N`` (re-folding a crashed
-    partition overwrites its own directory and nothing else), and
-    already-folded parts are skipped by directory presence. Reading the
-    state merges with a k-group sum — state size is
-    O(partitions x zones), metadata scale.
+    ``mode=overwrite`` under ``state_dir/part=N`` stamped with the
+    manifest row's CHECKSUM (a ``_FOLDED_<checksum>`` marker written
+    after the parquet commit) — a fold is valid only while its marker
+    matches the partition's current manifest checksum, so a LATE
+    RE-DELIVERY that overwrites a committed partition (the supported
+    commit_partition path) invalidates and re-folds exactly that
+    partition; a crashed fold (no marker) is rebuilt. Reading the state
+    merges with a k-group sum — state size is O(partitions x zones),
+    metadata scale.
     """
+    import glob
     import shutil
 
     spark = run.spark
-    folded = set()
-    if os.path.exists(state_dir):
-        for d in os.listdir(state_dir):
-            if d.startswith("part=") and os.path.exists(
-                os.path.join(state_dir, d, "_SUCCESS")
-            ):
-                folded.add(int(d.split("=")[1]))
-            elif d.startswith("part="):  # crashed fold: rebuild it
-                shutil.rmtree(os.path.join(state_dir, d))
     from ..operators.raster import zonal_pixel_stats
 
-    committed = {r["part"] for r in run.manifest().select("part").collect()}
-    for part in sorted(committed - folded):
+    manifest = {
+        r["part"]: r["checksum"]
+        for r in run.manifest().select("part", "checksum").collect()
+    }
+    if not manifest:  # nothing committed yet: an empty (but valid) view
+        return spark.createDataFrame(
+            [], "adm_id string, px_count bigint, px_sum bigint, px_mean double"
+        )
+    for part, checksum in sorted(manifest.items()):
+        pdir = os.path.join(state_dir, f"part={part}")
+        marker = os.path.join(pdir, f"_FOLDED_{checksum}")
+        if os.path.exists(marker):
+            continue  # folded AND checksum-current: never rescanned
+        if os.path.exists(pdir):  # crashed fold or stale (re-delivered) data
+            shutil.rmtree(pdir)
         tiles = spark.read.parquet(os.path.join(run.data_dir, f"part={part}"))
         partial = zonal_pixel_stats(tiles, admin, res).select(
             "adm_id", "px_count", "px_sum"
         )
-        partial.write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"part={part}")
-        )
+        partial.write.mode("overwrite").parquet(pdir)
+        open(marker, "a").close()
+    # drop state for partitions no longer in the manifest (defensive)
+    for d in glob.glob(os.path.join(state_dir, "part=*")):
+        if int(d.rsplit("=", 1)[1]) not in manifest:
+            shutil.rmtree(d)
     state = spark.read.option("basePath", state_dir).parquet(state_dir)
     return (
         state.groupBy("adm_id")

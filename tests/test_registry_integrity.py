@@ -36,6 +36,11 @@ def test_priority_order_covers_graded_prefix():
         "pip_zonal_holed", "pip_zonal_holed_distributed",
         "zonal_pixel_stats_holed", "video_frame_stats_mjpeg",
         "delete_merge_on_read",
+        # round-7 session-3 queries
+        "semdedup_prune", "zonal_value_histogram", "zonal_majority",
+        "zonal_majority_holed", "zonal_quantiles",
+        "cms_heavy_hitters_sampled", "incremental_zonal_refresh",
+        "video_frame_stats",  # orderBy drop (session 3)
         # modules changed this round: corpus.py WKB parse, pip.py parity
         # refine + cover, raster.py masked kernel, text.py Fraction
         # thresholds, sketches.py candidate keys, incremental.py verify

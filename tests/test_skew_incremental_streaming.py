@@ -620,9 +620,32 @@ def test_zonal_refresh_incremental_no_rescan(spark, tmp_path):
     open(f"{state}/part=1/garbage.parquet", "w").write("")
     inc2 = {r["adm_id"]: tuple(r)[1:] for r in zonal_refresh(run, adm, 6, state).collect()}
     assert inc2 == batch
+    # late re-delivery: re-committing a partition with DIFFERENT data must
+    # invalidate its fold (checksum marker mismatch) and re-fold it
+    run.commit_partition(
+        1, images.where(F.pmod(F.col("i"), F.lit(2)) == 1).where(F.col("i") < 300)
+    )
+    part_tiles = spark.read.parquet(f"{run.data_dir}/part=0").unionByName(
+        spark.read.parquet(f"{run.data_dir}/part=1")
+    )
+    redelivered = {
+        r["adm_id"]: tuple(r)[1:]
+        for r in zonal_pixel_stats(part_tiles, adm, 6).collect()
+    }
+    inc_r = {r["adm_id"]: tuple(r)[1:] for r in zonal_refresh(run, adm, 6, state).collect()}
+    assert inc_r == redelivered and inc_r != batch
+    # restore and re-fold for the no-rescan leg
+    run.commit_partition(1, images.where(F.pmod(F.col("i"), F.lit(2)) == 1))
+    zonal_refresh(run, adm, 6, state)
     # no-rescan: remove the DATA of both folded partitions — the merged
     # answer must come from state alone
     shutil.rmtree(run.data_dir)
     os.makedirs(run.data_dir)
     inc3 = {r["adm_id"]: tuple(r)[1:] for r in zonal_refresh(run, adm, 6, state).collect()}
     assert inc3 == batch
+    # empty run: a fresh IncrementalRun with no commits yields an empty,
+    # correctly-typed view (not a path error)
+    empty = zonal_refresh(
+        IncrementalRun(spark, str(tmp_path / "run2")), adm, 6, str(tmp_path / "state2")
+    )
+    assert empty.count() == 0 and empty.columns == ["adm_id", "px_count", "px_sum", "px_mean"]
