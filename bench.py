@@ -540,12 +540,25 @@ def run_skew(n_tiles: int = 32_000_000, hot_pct: int = 20, n_salt: int = 32) -> 
     return results
 
 
-def run_pip_skew(n_points: int = 8_000_000, hot_pct: int = 25, n_salt: int = 32) -> dict:
+def run_pip_skew(
+    n_points: int = 8_000_000,
+    hot_pct: int = 25,
+    n_salt: int = 32,
+    ring_vertices: int = 0,
+) -> dict:
     """Salted DISTRIBUTED PIP evidence (VERDICT r6 item 7): plant a hot
     cell holding ~hot_pct% of the points, run pip_join_distributed in the
     beyond-broadcast regime (broadcast + AQE off — the 1e6-polygon plan
     shape) salted vs unsalted, assert identical per-admin results, and
-    report the wall-time ratio."""
+    report the wall-time ratio.
+
+    ``ring_vertices`` > 0 replaces the 4-vertex admin rects with
+    near-circular rings of that many vertices (the REAL admin-shapefile
+    profile — reference geometries carry thousands of ring points, and
+    the vectorized refine's per-candidate cost is linear in vertices).
+    With 4-vertex rects the refine is so cheap that the hot task never
+    dominates and salting is a wash (measured 1.00-1.05x); dense rings
+    are where the hot cell becomes the wall-clock and salting pays."""
     from pyspark.sql import functions as F
 
     from ds_raster_pipelines_spark import corpus as corpus_mod
@@ -559,17 +572,42 @@ def run_pip_skew(n_points: int = 8_000_000, hot_pct: int = 25, n_salt: int = 32)
             "spark.sql.adaptive.enabled": "false",
         },
     )
-    # hot point: a fixed location deep inside admin rect A00 (one res-5
-    # cell); cold points spread uniformly — deterministic from id
-    adm = corpus_mod.admin_df(spark)
+    # hot point: inside admin rect ADM000 (lon -170..-160, lat -60..-52)
+    # in a PARTIAL cell — the res-5 cell [-163.125,-157.5)x[-56.25,-50.625)
+    # straddles the rect's lon -160 AND lat -52 edges, so every hot row
+    # takes the vectorized ray-cast refine (a hot point in an interior
+    # 'full' cell short-circuits the refine and carries almost no per-row
+    # work — and a point outside every rect never survives the cover
+    # join; the original -150.123 plant had exactly that bug, measuring
+    # pure salting overhead)
+    if ring_vertices:
+        # one dense near-circular ring per admin row, each centered so
+        # the hot cell straddles its boundary (same hot location below)
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for k in range(8):
+            cx, cy = -160.5 + 44.0 * k, -52.0
+            th = np.linspace(0.0, 2 * np.pi, ring_vertices, endpoint=False)
+            ring = np.stack(
+                [cx + 4.0 * np.cos(th), cy + 3.5 * np.sin(th)], axis=1
+            )
+            ring = np.vstack([ring, ring[:1]])
+            rows.append((f"ADM{k:03d}", corpus_mod.wkb_polygon([ring])))
+        adm = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["adm_id", "geom_wkb"])
+        )
+    else:
+        adm = corpus_mod.admin_df(spark)
     i = F.col("id")
     is_hot = F.pmod(i, F.lit(100)) < hot_pct
     pts = spark.range(0, n_points, 1, CPUS).select(
         i.alias("pid"),
-        F.when(is_hot, F.lit(-150.123)).otherwise(
+        F.when(is_hot, F.lit(-160.5)).otherwise(
             -180.0 + F.pmod(i * 37.0001, F.lit(360.0))
         ).alias("lon_c"),
-        F.when(is_hot, F.lit(-55.377)).otherwise(
+        F.when(is_hot, F.lit(-55.3)).otherwise(
             -90.0 + F.pmod(i * 17.0003, F.lit(180.0))
         ).alias("lat_c"),
     )
@@ -620,7 +658,8 @@ def run_pip_skew(n_points: int = 8_000_000, hot_pct: int = 25, n_salt: int = 32)
 def main() -> None:
     if "--pip-skew" in sys.argv:
         n = int(os.environ.get("SPARK_GRAFT_PIP_SKEW_POINTS", "8000000"))
-        print(json.dumps(run_pip_skew(n_points=n)))
+        rv = int(os.environ.get("SPARK_GRAFT_PIP_SKEW_VERTICES", "0"))
+        print(json.dumps(run_pip_skew(n_points=n, ring_vertices=rv)))
         return
     if "--skew" in sys.argv:
         n = int(os.environ.get("SPARK_GRAFT_SKEW_TILES", "32000000"))

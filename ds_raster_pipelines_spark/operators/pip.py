@@ -478,14 +478,38 @@ def pip_join_distributed(
     if n_salt is not None:
         from .skew import salted_join
 
+        # ROW-unique salt, not value-derived: the canonical hot cell is
+        # many points at the SAME coordinates (duplicated geotags, a
+        # default location, a city centroid) — xxhash64(lon, lat) would
+        # assign every such row ONE salt and spread nothing (measured:
+        # 0.95x, i.e. pure overhead, on a planted same-coordinate hot
+        # cell). monotonically_increasing_id is per-row; a task retry may
+        # re-salt rows differently, which is harmless — any salt joins
+        # the same replicated cover/geometry rows, so results are
+        # identical under every salt assignment (pytest-asserted).
+        salt_expr = F.xxhash64(
+            F.col(lon_col), F.col(lat_col), F.monotonically_increasing_id()
+        )
         cand = salted_join(
             pts, cover, "cell_id", n_salt,
-            salt_expr=F.xxhash64(F.col(lon_col), F.col(lat_col)),
+            salt_expr=salt_expr,
             hot=hot_cells, threshold=hot_threshold,
+        )
+        # the WKB-attach join must be salted TOO: it keys on adm_id, and a
+        # hot cell's candidates all carry the same adm_id — an unsalted
+        # second exchange would re-funnel every candidate the first salt
+        # just spread back onto ONE task, and the refine (whose per-row
+        # cost is linear in ring vertices) would run hot-task-bound.
+        # Measured on a planted 25%-hot cell with 512-vertex rings:
+        # salting only the first join was a wash (1.03x); salting both
+        # spreads the refine (bench.py --pip-skew).
+        withwkb = salted_join(
+            cand, admin.select("adm_id", "geom_wkb"), "adm_id", n_salt,
+            salt_expr=salt_expr, threshold=hot_threshold,
         )
     else:
         cand = pts.join(cover, "cell_id")
-    withwkb = cand.join(admin.select("adm_id", "geom_wkb"), "adm_id")
+        withwkb = cand.join(admin.select("adm_id", "geom_wkb"), "adm_id")
     refine = contains_wkb_udf(boundary)
     keep = F.col("full") | refine(F.col(lon_col), F.col(lat_col), F.col("geom_wkb"))
     return withwkb.where(keep).drop("full", "geom_wkb")
