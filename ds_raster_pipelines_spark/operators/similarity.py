@@ -264,16 +264,34 @@ def lsh_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.4,
     tables: list[list[int]] | None = None,
+    impl: str = "gemm",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table sign-LSH.
 
     The scale path for all-pairs near-dup: each table contributes the
-    pairs that collide in its bucket (equi-join on bucket id — never a
-    cross join), tables are unioned and deduped, and the exact integer-
-    quantized cosine is computed per CANDIDATE only. Recall per true pair
-    is 1-(1-p)^T where p = (1 - theta/pi)^bits.
+    pairs that collide in its bucket (never a cross join over the corpus),
+    and the exact integer-quantized cosine is computed per CANDIDATE only.
+    Recall per true pair is 1-(1-p)^T where p = (1 - theta/pi)^bits.
 
     Output: (id_a, id_b, sim) with id_a < id_b and sim >= threshold.
+
+    Two result-identical implementations (pytest-pinned equal):
+
+    * ``impl="gemm"`` (default, the r8 scale path): candidate pairs are
+      made DISJOINT across tables up front — table k contributes exactly
+      the pairs that collide in table k and in NO earlier table — so the
+      cross-table dropDuplicates disappears, and each (table, bucket)
+      group computes its pairwise integer dot products as one chunked
+      numpy GEMM inside a single applyInPandas stage.  Only pairs at the
+      threshold survive to the JVM.  The r7 join plan shuffled every
+      candidate pair with BOTH 64x8-byte quantized vectors attached
+      (~1.1 KB/pair) into a dropDuplicates exchange — ~27 GB of shuffle
+      at 20k vectors (measured 128.8 s at the driver's sf1.0); the GEMM
+      form ships each vector to exactly one task per table (~26 MB) and
+      does the 64-multiply dots at native BLAS speed (guide §2.3 "shuffle
+      keys and metadata instead of payloads" + §4.2).
+    * ``impl="join"``: the r7 bucket-equi-join + dropDuplicates plan,
+      kept as the pure-JVM reference for the parity gate.
     """
     tables = tables or LSH_TABLES
     e = df.select(
@@ -281,6 +299,87 @@ def lsh_near_dup_pairs(
         quantize(F.col("embedding")).alias("q"),
         *[lsh_bucket(F.col("embedding"), t).alias(f"_b{k}") for k, t in enumerate(tables)],
     ).withColumn("_n2", norm2_int(F.col("q")))  # once per vector, not per pair
+    sim_of = lambda dot, na, nb: dot.cast("double") / F.sqrt(  # noqa: E731
+        na.cast("double") * nb.cast("double")
+    )
+    if impl == "gemm":
+        import numpy as np
+        import pandas as pd
+
+        parts = None
+        for k in range(len(tables)):
+            prior = (
+                F.array(*[F.col(f"_b{j}") for j in range(k)])
+                if k
+                else F.array().cast("array<int>")
+            )
+            part = e.select(
+                F.lit(k).alias("_t"),
+                F.col(f"_b{k}").cast("int").alias("_bk"),
+                "vec_id",
+                "q",
+                "_n2",
+                prior.cast("array<int>").alias("_prior"),
+            )
+            parts = part if parts is None else parts.unionByName(part)
+
+        # conservative float prefilter: sim is later recomputed in Spark
+        # with the exact same IEEE double ops; the 1e-9 slack only lets a
+        # handful of boundary pairs through for Spark to re-judge
+        thr = float(threshold) - 1e-9
+        chunk = 2048
+
+        def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("vec_id", kind="mergesort")
+            ids = pdf["vec_id"].to_numpy()
+            m = len(ids)
+            out = {"id_a": [], "id_b": [], "_dot": [], "_na": [], "_nb": []}
+            if m >= 2:
+                V = np.vstack(pdf["q"].to_numpy()).astype(np.int64)
+                n2 = pdf["_n2"].to_numpy().astype(np.int64)
+                priors = (
+                    np.vstack(pdf["_prior"].to_numpy()).astype(np.int64)
+                    if len(pdf["_prior"].iloc[0])
+                    else None
+                )
+                for i0 in range(0, m, chunk):
+                    i1 = min(i0 + chunk, m)
+                    G = V[i0:i1] @ V.T  # exact int64 dots (|q|<=1e3, dim 64)
+                    simf = G / np.sqrt(
+                        n2[i0:i1, None].astype(np.float64) * n2[None, :].astype(np.float64)
+                    )
+                    cand = simf >= thr
+                    # strict upper triangle: id_a < id_b (rows sorted by id)
+                    cand &= np.arange(m)[None, :] > (np.arange(i0, i1)[:, None])
+                    if priors is not None:
+                        # drop pairs already emitted by an earlier table
+                        same_prior = (priors[i0:i1, None, :] == priors[None, :, :]).any(
+                            axis=2
+                        )
+                        cand &= ~same_prior
+                    ai, bj = np.nonzero(cand)
+                    if len(ai):
+                        out["id_a"].append(ids[ai + i0])
+                        out["id_b"].append(ids[bj])
+                        out["_dot"].append(G[ai, bj])
+                        out["_na"].append(n2[ai + i0])
+                        out["_nb"].append(n2[bj])
+            cat = {
+                c: (np.concatenate(v) if v else np.array([], dtype=np.int64))
+                for c, v in out.items()
+            }
+            return pd.DataFrame(cat)
+
+        found = parts.groupBy("_t", "_bk").applyInPandas(
+            kernel, schema="id_a long, id_b long, _dot long, _na long, _nb long"
+        )
+        sim = sim_of(F.col("_dot"), F.col("_na"), F.col("_nb"))
+        return (
+            found.withColumn("sim", sim)
+            .where(F.col("sim") >= threshold)  # exact decision, JVM doubles
+            .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+        )
+
     cand = None
     for k in range(len(tables)):
         a = e.select(
@@ -298,9 +397,7 @@ def lsh_near_dup_pairs(
         )
         cand = p if cand is None else cand.unionByName(p)
     pairs = cand.dropDuplicates(["id_a", "id_b"])
-    sim = dot_int(F.col("qa"), F.col("qb")).cast("double") / F.sqrt(
-        F.col("_na").cast("double") * F.col("_nb").cast("double")
-    )
+    sim = sim_of(dot_int(F.col("qa"), F.col("qb")), F.col("_na"), F.col("_nb"))
     return (
         pairs.withColumn("sim", sim)
         .where(F.col("sim") >= threshold)
@@ -381,7 +478,11 @@ def kmeans_clusters(
 
 
 def semdedup_prune(
-    corpus: DataFrame, k: int = 8, iters: int = 2, threshold_bp: int = 4500
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold_bp: int = 4500,
+    impl: str = "gemm",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) end-to-end: k-means cluster the
     embeddings (``kmeans_clusters`` — the graded clustering stage), then
@@ -424,6 +525,79 @@ def semdedup_prune(
         .join(vecs, "vec_id")
         .withColumn("n2", norm2_int(F.col("qe")))
     )
+    if impl == "gemm":
+        # r8 scale path (pytest-pinned equal to the join form): each
+        # cluster's pairwise dots are ONE chunked numpy GEMM inside a
+        # single applyInPandas stage, instead of a cid-equi-join whose
+        # every candidate pair carried both 512-byte quantized vectors
+        # and paid interpreted decimal(38,0) BigDecimal arithmetic
+        # (measured 82.6 s at the driver's sf1.0; the pair payload
+        # shuffle + per-pair decimal ops were ~all of it).  The keep/drop
+        # decision stays EXACT integer arithmetic: both sides of
+        # dot^2*1e8 >= bp^2*na*nb are <= ~4e23 with at most one float64
+        # rounding each when computed from exactly-representable factors
+        # (dot^2, na*nb < 2^53), so the float comparison is correct
+        # outside a 1e-6 relative band and pairs INSIDE the band are
+        # re-judged with Python arbitrary-precision ints — no float ever
+        # decides a boundary case, mirroring the decimal(38,0) contract.
+        import numpy as np
+        import pandas as pd
+
+        bp2_i = threshold_bp * threshold_bp
+        chunk = 2048
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("vec_id", kind="mergesort")
+            ids = pdf["vec_id"].to_numpy()
+            m = len(ids)
+            if m < 2:
+                return pd.DataFrame({"vec_id": np.array([], dtype=np.int64)})
+            V = np.vstack(pdf["qe"].to_numpy()).astype(np.int64)
+            n2 = pdf["n2"].to_numpy().astype(np.int64)
+            n2f = n2.astype(np.float64)
+            is_dropped = np.zeros(m, dtype=bool)
+            for i0 in range(0, m, chunk):
+                i1 = min(i0 + chunk, m)
+                G = V[i0:i1] @ V.T  # exact int64 (|q|<=1e3, dim 64)
+                lhs = np.square(G.astype(np.float64)) * 1e8
+                rhs = float(bp2_i) * (n2f[i0:i1, None] * n2f[None, :])
+                upper = np.arange(m)[None, :] > np.arange(i0, i1)[:, None]
+                pos = G > 0
+                passing = (lhs >= rhs) & pos & upper
+                band = (
+                    (np.abs(lhs - rhs) <= 1e-6 * np.maximum(lhs, rhs))
+                    & pos
+                    & upper
+                )
+                for ii, jj in zip(*np.nonzero(band)):
+                    d = int(G[ii, jj])
+                    passing[ii, jj] = (
+                        d * d * 100_000_000 >= bp2_i * int(n2[i0 + ii]) * int(n2[jj])
+                    )
+                is_dropped |= passing.any(axis=0)
+            return pd.DataFrame({"vec_id": ids[is_dropped]})
+
+        dropped = (
+            e.groupBy("cid")
+            .applyInPandas(kernel, schema="vec_id long")
+            .withColumn("_dup", F.lit(1))
+        )
+        return (
+            assignments.join(dropped, "vec_id", "left")
+            .groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("n_vecs"),
+                F.sum(
+                    F.when(F.col("_dup").isNotNull(), 1).otherwise(0)
+                ).alias("n_dropped"),
+                F.sum(
+                    F.when(F.col("_dup").isNull(), F.col("vec_id")).otherwise(0)
+                ).alias("sum_kept_id"),
+            )
+            .withColumnRenamed("cid", "cluster")
+            .orderBy("cluster")
+        )
+
     a = e.select(
         F.col("vec_id").alias("ia"), "cid",
         F.col("qe").alias("qa"), F.col("n2").alias("na"),

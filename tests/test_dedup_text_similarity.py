@@ -704,3 +704,36 @@ def test_semdedup_deterministic_across_parallelism(spark):
             semdedup_prune(df, k=5, iters=2, threshold_bp=4500).collect()
         ))
     assert outs[0] == outs[1]
+
+
+def test_lsh_near_dup_gemm_equals_join(spark):
+    """r8 parity gate: the per-bucket GEMM implementation of
+    lsh_near_dup_pairs must produce the EXACT pair set and sims the
+    r7 bucket-join + dropDuplicates plan produced (same candidates via
+    the disjoint first-colliding-table decomposition, same IEEE double
+    sim, same threshold decision)."""
+    from ds_raster_pipelines_spark.operators.similarity import lsh_near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    for thr in (0.4, 0.9):
+        a = lsh_near_dup_pairs(emb, threshold=thr, impl="gemm").orderBy(
+            "id_a", "id_b"
+        ).collect()
+        b = lsh_near_dup_pairs(emb, threshold=thr, impl="join").orderBy(
+            "id_a", "id_b"
+        ).collect()
+        assert a == b and len(a) > 0 or (a == b)
+
+
+def test_semdedup_gemm_equals_join(spark):
+    """r8 parity gate: semdedup_prune's per-cluster GEMM (float prefilter
+    + arbitrary-precision recheck inside the boundary band) must match
+    the decimal(38,0) join plan row-for-row — the keep/drop decision is
+    exact integer arithmetic in both."""
+    from ds_raster_pipelines_spark.operators.similarity import semdedup_prune
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    for bp in (4500, 9000):
+        a = semdedup_prune(emb, threshold_bp=bp, impl="gemm").collect()
+        b = semdedup_prune(emb, threshold_bp=bp, impl="join").collect()
+        assert a == b and len(a) > 0
