@@ -274,3 +274,38 @@ def decode_avi_frames(buf: bytes, every_n: int = 1, offset: int = 0) -> list[np.
             f"AVI stream handler {meta.handler!r} not available in this environment"
         )
     return [dec(bytes(buf[d : d + s])) for d, s in meta.frames[offset::every_n]]
+
+
+def decode_avi_frames_multi(
+    bufs: list[bytes], every_n: int = 1, offset: int = 0
+) -> list[list[np.ndarray]]:
+    """Batched form of :func:`decode_avi_frames` over MANY blobs: MJPG
+    frames from ALL blobs share one cross-frame batched IDCT
+    (jpeg.decode_jpeg_batch), which is where per-frame numpy dispatch
+    dominated the MJPEG stats kernel.  Per-blob output lists are
+    identical to calling decode_avi_frames on each blob."""
+    metas = [parse_avi(b) for b in bufs]
+    out: list[list] = []
+    mj_payloads: list[bytes] = []
+    mj_slots: list[tuple[int, int]] = []
+    for idx, (buf, meta) in enumerate(zip(bufs, metas)):
+        sel = meta.frames[offset::every_n]
+        if meta.handler == _FOURCC_MJPG:
+            out.append([None] * len(sel))
+            for j, (d, s) in enumerate(sel):
+                mj_payloads.append(bytes(buf[d : d + s]))
+                mj_slots.append((idx, j))
+        elif meta.handler == _FOURCC_HANDLER:
+            from . import codecs
+
+            out.append([codecs.decode_dct(bytes(buf[d : d + s])) for d, s in sel])
+        else:
+            raise NotImplementedError(
+                f"AVI stream handler {meta.handler!r} not available in this environment"
+            )
+    if mj_payloads:
+        from . import jpeg
+
+        for (idx, j), px in zip(mj_slots, jpeg.decode_jpeg_batch(mj_payloads)):
+            out[idx][j] = px
+    return out

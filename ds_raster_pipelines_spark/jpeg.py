@@ -292,19 +292,30 @@ def _parse_segments(data: bytes):
     raise ValueError("JPEG stream ended before SOS/EOI")
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline grayscale JFIF stream to a (h, w) uint8 array.
+# Parsed-header memo: same-encoder corpora (MJPEG frame stacks, the jpg
+# image corpus) share BYTE-IDENTICAL marker prefixes up to the entropy
+# data, so the DQT/DHT/SOF/SOS parse is a pure function of that prefix —
+# memoize it exactly like netcdf.py's header-template memo.  Correctness:
+# _parse_segments consumes only bytes in [0, scan_start), so any stream
+# that startswith a cached prefix parses to the cached result by
+# construction.  Bounded (8 entries) so the startswith probes stay cheap.
+_HEADER_CACHE: list[tuple[bytes, tuple]] = []
+_HEADER_CACHE_MAX = 8
 
-    Tables come from the stream's own DQT/DHT segments; progressive
-    (SOF2), arithmetic coding, multi-component scans, and 12-bit
-    precision raise (honest capability guards, like grib.py's)."""
+
+def _parse_header(raw: bytes) -> tuple:
+    """(h, w, q, dc_sym, dc_len, ac_sym, ac_len, restart_interval,
+    scan_start) for a baseline grayscale JFIF stream."""
+    for prefix, parsed in _HEADER_CACHE:
+        if raw.startswith(prefix):
+            return parsed
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], tuple[bytes, bytes]] = {}
     sof = None
     sos = None
     scan_start = None
     restart_interval = 0
-    for marker, payload, end in _parse_segments(bytes(data)):
+    for marker, payload, end in _parse_segments(raw):
         if marker == 0xFFDB:  # DQT (possibly several tables per segment)
             j = 0
             while j < len(payload):
@@ -360,10 +371,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("Huffman table referenced in SOS never defined")
     dc_sym, dc_len = _decode_lut(*htables[(0, dc_id)])
     ac_sym, ac_len = _decode_lut(*htables[(1, ac_id)])
-    q = qtables[tq]
+    parsed = (
+        h, w, qtables[tq], dc_sym, dc_len, ac_sym, ac_len,
+        restart_interval, scan_start,
+    )
+    if len(_HEADER_CACHE) < _HEADER_CACHE_MAX:
+        _HEADER_CACHE.append((raw[:scan_start], parsed))
+    return parsed
 
+
+def _scan_coefficients(raw: bytes, hdr: tuple) -> tuple[np.ndarray, int, int]:
+    """Entropy-decode the scan into zigzag coefficients (nblocks, 64)."""
+    h, w, _q, dc_sym, dc_len, ac_sym, ac_len, restart_interval, scan_start = hdr
     # entropy data: scan_start .. EOI; split on restart markers, unstuff
-    raw = bytes(data)
     end = raw.rfind(b"\xff\xd9")
     if end < 0:
         raise ValueError("JPEG stream missing EOI")
@@ -438,9 +458,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
     if bi != nblocks:
         raise ValueError(f"decoded {bi} blocks, SOF promises {nblocks}")
+    return zz, nby, nbx
+
+
+def _pixels_from_zz(
+    zz: np.ndarray, q: np.ndarray, k: int, nby: int, nbx: int, h: int, w: int
+) -> np.ndarray:
+    """Dequantize + IDCT a stack of ``k`` same-shape frames' zigzag rows
+    ((k*nby*nbx, 64)) to (k, h, w) uint8.  k==1 is the single-frame path;
+    batching only grows the leading dgemm dimension, so per-block float
+    arithmetic (and therefore every decoded byte) is unchanged — pinned
+    by the batch-vs-single parity pytest."""
     quant = np.empty_like(zz)
     quant[:, _DCT_ZZ] = zz
-    coef = quant.reshape(nby, nbx, _DCT_N, _DCT_N) * q
+    coef = quant.reshape(k * nby, nbx, _DCT_N, _DCT_N) * q
     # einsum("ji,abjk,kl->abil", D, coef, D, optimize=True) spent ~40% of
     # a 64x64 decode re-running path planning per call; these two
     # tensordots ARE the contractions its greedy path picked
@@ -449,4 +480,57 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     b = np.tensordot(coef, _DCT_D, axes=([2], [0])).swapaxes(2, 3)
     b = np.tensordot(b, _DCT_D, axes=([3], [0]))
     px = np.clip(np.round(b + 128.0), 0, 255).astype(np.uint8)
-    return px.swapaxes(1, 2).reshape(nby * _DCT_N, nbx * _DCT_N)[:h, :w]
+    out = (
+        px.reshape(k, nby, nbx, _DCT_N, _DCT_N)
+        .swapaxes(2, 3)
+        .reshape(k, nby * _DCT_N, nbx * _DCT_N)[:, :h, :w]
+    )
+    return out
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline grayscale JFIF stream to a (h, w) uint8 array.
+
+    Tables come from the stream's own DQT/DHT segments; progressive
+    (SOF2), arithmetic coding, multi-component scans, and 12-bit
+    precision raise (honest capability guards, like grib.py's)."""
+    raw = bytes(data)
+    hdr = _parse_header(raw)
+    zz, nby, nbx = _scan_coefficients(raw, hdr)
+    return _pixels_from_zz(zz, hdr[2], 1, nby, nbx, hdr[0], hdr[1])[0]
+
+
+# IDCT batch sizing: measured sweet spot, NOT a memory bound.  Large
+# chunks (64-256 frames) make the float64 intermediates spill L2 and run
+# SLOWER than per-frame decodes (same cache-residency effect documented
+# for the GRIB batched unpack, sources/gribfiles.py); 8 frames (~0.5 MB
+# of working set) amortizes numpy dispatch while staying cache-resident.
+_IDCT_CHUNK_FRAMES = 8
+
+
+def decode_jpeg_batch(blobs: list[bytes]) -> list[np.ndarray]:
+    """Decode MANY baseline JFIF streams, batching the dequant+IDCT stage
+    across frames that share (quant table, h, w) — the MJPEG frame-stack
+    shape, where per-frame numpy dispatch dominated the vectorizable
+    stage.  Entropy walks stay per-frame (bitstream-serial).  Output
+    order matches input; every frame's bytes equal decode_jpeg's."""
+    parsed = []
+    for b in blobs:
+        raw = bytes(b)
+        hdr = _parse_header(raw)
+        zz, nby, nbx = _scan_coefficients(raw, hdr)
+        parsed.append((hdr, zz, nby, nbx))
+    out: list[np.ndarray | None] = [None] * len(blobs)
+    groups: dict[tuple, list[int]] = {}
+    for idx, (hdr, _zz, nby, nbx) in enumerate(parsed):
+        key = (hdr[2].tobytes(), hdr[0], hdr[1], nby, nbx)
+        groups.setdefault(key, []).append(idx)
+    for (_qb, h, w, nby, nbx), idxs in groups.items():
+        q = parsed[idxs[0]][0][2]
+        for c0 in range(0, len(idxs), _IDCT_CHUNK_FRAMES):
+            chunk = idxs[c0 : c0 + _IDCT_CHUNK_FRAMES]
+            zz_all = np.concatenate([parsed[i][1] for i in chunk], axis=0)
+            px = _pixels_from_zz(zz_all, q, len(chunk), nby, nbx, h, w)
+            for j, i in enumerate(chunk):
+                out[i] = px[j]
+    return out

@@ -632,13 +632,20 @@ def duplicated_spans(
     g = positional_word_ngrams(df, n, text_col).select(
         "doc_id", "pos", md5_int(F.col("gram")).alias("h")
     )
-    dup = (
-        g.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    # ONE pass over the gram stream: count-over-window keyed on h, filter
+    # cnt >= min_count.  Membership is identical to the r7 two-sided form
+    # (count agg on h -> broadcast the duplicated hashes -> join back),
+    # but that form evaluated the gram explode + md5 TWICE (the agg's
+    # child and the probe side are separate scans — no exchange reuse
+    # across a broadcast join) and built a corpus-sized broadcast of dup
+    # hashes; here the grams shuffle once by their 8-byte h and both the
+    # count and the filter happen in place (guide §2.4).
+    wcnt = Window.partitionBy("h")
+    duppos = (
+        g.withColumn("cnt", F.count(F.lit(1)).over(wcnt))
         .where(F.col("cnt") >= min_count)
-        .select("h")
+        .select("doc_id", "pos")
     )
-    duppos = g.join(dup, "h").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     islands = duppos.withColumn(
         "brk",

@@ -267,7 +267,18 @@ def ngram_lm_scores(
     train = df.where(
         md5_int(F.concat(F.lit(salt), F.col("doc_id").cast("string"))) % 100 < train_rate_pct
     )
-    lm = char_ngrams(train, n, text_col).groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    # persist: the LM relation is executed TWICE otherwise — once for the
+    # T/V scalar collect and once as the scoring join's build side — and
+    # each execution re-runs the full train-half gram explode + count agg
+    # (r8 measured: the duplicated pass was ~40% of the query). The table
+    # is vocab-bounded (<= charset^n rows), so the persist footprint is
+    # independent of corpus size.
+    lm = (
+        char_ngrams(train, n, text_col)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
     tv = lm.agg(
         F.coalesce(F.sum("cnt"), F.lit(0)).alias("t"), F.count(F.lit(1)).alias("v")
     ).collect()[0]
@@ -276,12 +287,22 @@ def ngram_lm_scores(
     lm = lm.select("g", logp.alias("logp_micro"))
     logp0 = F.round(F.log(F.lit(1.0) / F.lit(denom)) * 1e6, 0).cast("long")
 
-    tf = char_ngrams(df, n, text_col).groupBy("doc_id", "g").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    scored = tf.join(F.broadcast(lm), "g", "left").groupBy("doc_id").agg(
-        F.sum("tf").alias("n_grams"),
-        F.sum(F.col("tf") * F.coalesce(F.col("logp_micro"), logp0)).alias("logp_micro"),
+    # Score gram INSTANCES against the broadcast LM and aggregate straight
+    # to per-doc sums: sum_over_instances(logp) == sum_over_(g,tf)(tf*logp)
+    # exactly (integer micro-units), and count(*) == sum(tf). The r7 form
+    # first aggregated (doc_id, g) tf — a full data-sized exchange of the
+    # gram stream — before the same broadcast join; scoring instances
+    # directly keeps the join map-side and leaves ONE exchange of per-doc
+    # partial sums (guide §2.4: two operations keyed differently don't
+    # need the intermediate shuffle when the first is removable).
+    scored = (
+        char_ngrams(df, n, text_col)
+        .join(F.broadcast(lm), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("logp_micro"), logp0)).alias("logp_micro"),
+        )
     )
     return scored
 

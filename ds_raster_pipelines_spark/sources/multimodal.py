@@ -631,9 +631,11 @@ def video_frame_stats(media: DataFrame, every_n: int = 2) -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"i": [], "frame_idx": [], "n_px": [], "sum_px": []}
-            for i, blob in zip(pdf["i"], pdf["bytes"]):
-                # handler-dispatched: DCT0 and MJPG corpora alike
-                for j, px in enumerate(avi.decode_avi_frames(bytes(blob), every_n)):
+            blobs = [bytes(b) for b in pdf["bytes"]]
+            # handler-dispatched, batched across the whole Arrow batch:
+            # MJPG frames share one chunked IDCT (decode_avi_frames_multi)
+            for i, frames in zip(pdf["i"], avi.decode_avi_frames_multi(blobs, every_n)):
+                for j, px in enumerate(frames):
                     out["i"].append(int(i))
                     out["frame_idx"].append(j * every_n)
                     out["n_px"].append(px.size)

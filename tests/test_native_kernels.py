@@ -88,3 +88,39 @@ def test_native_matches_python_after_fallback_reset(quality):
     with pytest.raises(ValueError):
         jpeg.decode_jpeg(bad)
     assert np.array_equal(jpeg.decode_jpeg(blob), _decode_python(blob))
+
+
+def test_decode_jpeg_batch_equals_single():
+    """Cross-frame batched IDCT parity: decode_jpeg_batch must produce
+    byte-identical frames to per-frame decode_jpeg over mixed sizes,
+    qualities, and the corpus gradient domain (batching only grows the
+    leading dgemm dimension)."""
+    rng = np.random.RandomState(11)
+    blobs = []
+    for t in range(25):
+        img = rng.randint(
+            0, 256, size=(40 + (t * 7) % 41, 40 + (t * 11) % 53), dtype=np.uint8
+        )
+        blobs.append(jpeg.encode_jpeg(img, 30 + t * 2))
+    base = np.arange(64, dtype=np.uint8)[None, :]
+    for c in range(0, 97, 11):
+        blobs.append(jpeg.encode_jpeg((base + np.uint8(c)).repeat(64, axis=0), 90))
+    batch = jpeg.decode_jpeg_batch(blobs)
+    for got, blob in zip(batch, blobs):
+        assert np.array_equal(got, jpeg.decode_jpeg(blob))
+
+
+def test_avi_frames_multi_equals_per_blob():
+    """decode_avi_frames_multi (the batched video-stats path) returns the
+    same frame arrays as per-blob decode_avi_frames for both codecs."""
+    from ds_raster_pipelines_spark import avi
+    from ds_raster_pipelines_spark.sources.multimodal import video_frames_for
+
+    for codec_enc in (avi.encode_avi_mjpeg, avi.encode_avi_dct):
+        vids = [codec_enc(video_frames_for(i)) for i in range(6)]
+        multi = avi.decode_avi_frames_multi(vids, 2)
+        for vid, frames in zip(vids, multi):
+            ref = avi.decode_avi_frames(vid, 2)
+            assert len(frames) == len(ref)
+            for a, b in zip(frames, ref):
+                assert np.array_equal(a, b)
