@@ -112,6 +112,26 @@ def _unpack_bits(buf: bytes, n: int, nbits: int) -> np.ndarray:
     return out
 
 
+def _unpack_bits_rows(bufs: list[bytes], n: int, nbits: int) -> np.ndarray:
+    """Row-batched _unpack_bits over ``k`` EQUAL-LENGTH buffers -> (k, n).
+
+    Integer-exact and row-for-row identical to per-buffer _unpack_bits
+    (pytest-pinned); one numpy op chain serves every row, amortizing the
+    ~10 us of per-call dispatch that dominated tiny (64-value) message
+    grids.  Working set stays cache-resident for ensemble-file-sized k."""
+    k = len(bufs)
+    a = np.frombuffer(b"".join(bufs), dtype=np.uint8).reshape(k, -1)
+    bits = np.unpackbits(a, axis=1)[:, : n * nbits].reshape(k * n, nbits)
+    pad = (-nbits) % 8
+    if pad:
+        bits = np.concatenate([np.zeros((k * n, pad), np.uint8), bits], axis=1)
+    packed = np.packbits(bits, axis=1)
+    out = np.zeros(k * n, dtype=np.uint64)
+    for c in range(packed.shape[1]):
+        out = (out << np.uint64(8)) | packed[:, c]
+    return out.reshape(k, n)
+
+
 # --------------------------- complex packing (templates 5.2 / 5.3) ---------
 
 _GROUP_LEN = 32  # encoder's fixed group size (general group splitting)
@@ -540,4 +560,23 @@ def decode_values(buf: bytes, m: GribMessage) -> np.ndarray:
         full[present] = v
         v = full
     return v.reshape(m.nj, m.ni)
+
+
+def decode_values_simple_batch(buf: bytes, msgs: list[GribMessage]) -> np.ndarray:
+    """Batched decode for simple-packed, bitmap-free messages sharing
+    (bits_per_value, n_points, data length, binary/decimal scale) —
+    the ensemble-file shape, where members differ only in reference
+    value and packed bits.  Returns (k, n_points) float64 rows equal to
+    each message's ``decode_values(...).ravel()`` (same per-element float
+    expression; only the numpy dispatch is amortized)."""
+    m0 = msgs[0]
+    x = _unpack_bits_rows(
+        [buf[m._data_offset : m._data_offset + m._data_len] for m in msgs],
+        m0.n_points,
+        m0.bits_per_value,
+    ).astype(np.int64)
+    refs = np.array([m.ref_value for m in msgs], dtype=np.float64)
+    return (refs[:, None] + x.astype(np.float64) * 2.0 ** m0.binary_scale) * (
+        10.0 ** -m0.decimal_scale
+    )
 

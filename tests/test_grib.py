@@ -327,3 +327,51 @@ def test_all_nan_grid_roundtrips_as_empty_bitmap():
         m = grib.scan_messages(b)[0]
         v = grib.decode_values(b, m)
         assert m.n_points == 0 and np.isnan(v).all() and v.shape == (4, 6)
+
+
+def test_unpack_bits_rows_matches_per_buffer():
+    """r8 parity gate: the row-batched unpack used by
+    decode_values_simple_batch is integer-identical to per-buffer
+    _unpack_bits at every width class (byte-aligned and not)."""
+    import numpy as np
+
+    from ds_raster_pipelines_spark import grib
+
+    rng = np.random.RandomState(7)
+    for nbits in (1, 7, 8, 10, 13, 24, 32):
+        vals = rng.randint(0, 1 << nbits, size=(6, 41)).astype(np.uint64)
+        rows = [grib._pack_bits(v, nbits) for v in vals]
+        got = grib._unpack_bits_rows(rows, 41, nbits)
+        for r in range(len(rows)):
+            ref = grib._unpack_bits(rows[r], 41, nbits)
+            assert np.array_equal(got[r], ref)
+            assert np.array_equal(got[r], vals[r])
+
+
+def test_decode_values_simple_batch_matches_decode_values():
+    """Batched ensemble decode equals per-message decode_values row for
+    row (same float expression, amortized dispatch)."""
+    import numpy as np
+
+    from ds_raster_pipelines_spark import grib
+    from ds_raster_pipelines_spark.sources import gribfiles
+
+    msgs = []
+    for t in gribfiles.FC_MONTHS:
+        for mm in range(gribfiles.N_ENS):
+            msgs.append(
+                grib.encode_message(
+                    gribfiles.message_values(321, mm, t),
+                    template=1,
+                    param_number=gribfiles.ENSEMBLE_PARAM,
+                    forecast_time=t,
+                    perturbation=mm,
+                    n_ens=gribfiles.N_ENS,
+                    packing=0,
+                )
+            )
+    blob = grib.encode_file(msgs)
+    scanned = grib.scan_messages(blob)
+    batch = grib.decode_values_simple_batch(blob, scanned)
+    for row, m in zip(batch, scanned):
+        assert np.array_equal(row, grib.decode_values(blob, m).ravel())
