@@ -635,10 +635,12 @@ def bilinear_resample(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     source coordinate u = (x + 0.5) * (w / out_w) - 0.5, clamped to the
     edge (replicate). Separable: one vectorized 1-D pass per axis — no
     per-pixel Python, no scipy."""
-    h, w = px.shape
     a = px.astype(np.float64)
 
     def axis_interp(arr: np.ndarray, n_out: int, axis: int) -> np.ndarray:
+        # axis is -2 (rows) or -1 (cols): arbitrary leading batch dims are
+        # supported — the math is pure elementwise lerp + gather, so a
+        # stacked call is bit-identical to per-tile calls (pytest-pinned)
         n_in = arr.shape[axis]
         u = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
         u = np.clip(u, 0.0, n_in - 1.0)
@@ -647,11 +649,11 @@ def bilinear_resample(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
         frac = u - lo
         lo_v = np.take(arr, lo, axis=axis)
         hi_v = np.take(arr, hi, axis=axis)
-        shape = [1, 1]
-        shape[axis] = n_out
-        return lo_v + (hi_v - lo_v) * frac.reshape(shape)
+        if axis == -2:
+            frac = frac[:, None]
+        return lo_v + (hi_v - lo_v) * frac
 
-    return axis_interp(axis_interp(a, out_h, 0), out_w, 1)
+    return axis_interp(axis_interp(a, out_h, -2), out_w, -1)
 
 
 def resample_bilinear_stats(
@@ -670,17 +672,39 @@ def resample_bilinear_stats(
         from ..codecs import decode_tile
 
         for pdf in batches:
-            means = []
-            for blob, fmt, w, h in zip(pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]):
-                px = decode_tile(bytes(blob), fmt, int(w), int(h))
-                rs = bilinear_resample(px, out_h, out_w)
-                means.append(int(round(rs.mean() * quant)))
+            n = len(pdf)
+            pxs = [
+                decode_tile(bytes(blob), fmt, int(w), int(h))
+                for blob, fmt, w, h in zip(
+                    pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
+                )
+            ]
+            # group same-shape tiles and run ONE stacked separable interp
+            # per group: the lerp is elementwise, so stacked results are
+            # bit-identical to per-tile calls while the ~20 numpy ops per
+            # tile amortize across the batch.  Row means reduce the same
+            # contiguous 2304 floats in the same pairwise order as
+            # rs.mean() did per tile.
+            means = np.empty(n, dtype=np.float64)
+            groups: dict[tuple[int, int], list[int]] = {}
+            for k, px in enumerate(pxs):
+                groups.setdefault(px.shape, []).append(k)
+            for _shape, idxs in groups.items():
+                # small chunks: large stacks spill L2 and page-fault on the
+                # float64 intermediates (same measured effect as the JPEG
+                # IDCT chunking) — 8 tiles (~0.25 MB working set) measured
+                # 32.6 us/tile vs 85 per-tile and ~75 at chunk 32-128
+                for c0 in range(0, len(idxs), 8):
+                    sub = idxs[c0 : c0 + 8]
+                    stack = np.stack([pxs[k] for k in sub])
+                    rs = bilinear_resample(stack, out_h, out_w)
+                    means[sub] = rs.reshape(len(sub), -1).mean(axis=1)
             yield pd.DataFrame(
                 {
                     "i": pdf["i"],
-                    "w2": np.full(len(pdf), out_w, dtype=np.int32),
-                    "h2": np.full(len(pdf), out_h, dtype=np.int32),
-                    "rs_mean_q": means,
+                    "w2": np.full(n, out_w, dtype=np.int32),
+                    "h2": np.full(n, out_h, dtype=np.int32),
+                    "rs_mean_q": np.rint(means * quant).astype(np.int64),
                 }
             )
 

@@ -109,12 +109,26 @@ def cosine_topk(
     corpus: DataFrame,
     k: int = 5,
     max_queries: int | None = MAX_BRUTE_FORCE_QUERIES,
+    impl: str = "gemm",
 ) -> DataFrame:
     """Exact brute-force top-k cosine neighbours (qid, nid, rank, sim).
 
     LABELED EXACT BASELINE — O(|queries| x |corpus|) by construction.
     Guarded by ``max_queries`` (counts up to the cap + 1 only); use
-    lsh_topk / ivf_topk for unbounded query sets."""
+    lsh_topk / ivf_topk for unbounded query sets.
+
+    ``impl="gemm"`` (default, r8): the SAME all-pairs computation, but the
+    bounded query side (the max_queries cap makes this a sanctioned
+    control-plane collect) is broadcast as one quantized matrix and each
+    corpus partition computes its dots as a numpy GEMM, emitting only its
+    per-query top-k candidates under the exact global comparator
+    (-sim, nid) — numpy's sim is the same IEEE double expression Spark
+    evaluates, so partition-local top-k preserves the global top-k by
+    total order.  The final rank window runs over |queries| x partitions
+    x k candidate rows with Spark recomputing sim from (dot, na, nb) —
+    bit-identical output to the r7 CartesianProduct plan (pytest-pinned).
+    ``impl="join"`` keeps that cartesian plan (and is used automatically
+    when max_queries=None removes the boundedness guarantee)."""
     if max_queries is not None:
         n = queries.limit(max_queries + 1).count()
         if n > max_queries:
@@ -123,6 +137,66 @@ def cosine_topk(
                 f"exceeds max_queries={max_queries}. Use lsh_topk/ivf_topk, "
                 "or pass max_queries=None for a labeled experiment."
             )
+    if impl == "gemm" and max_queries is not None:
+        import numpy as np
+        import pandas as pd
+
+        qpd = (
+            queries.select("vec_id", quantize(F.col("embedding")).alias("qe"))
+            .toPandas()
+        )
+        if len(qpd) == 0:
+            return _ranked(_sim_pairs(queries, corpus, None), k)
+        qids = qpd["vec_id"].to_numpy().astype(np.int64)
+        Q = np.vstack(qpd["qe"].to_numpy()).astype(np.int64)
+        qn2 = (Q * Q).sum(axis=1)
+        sc = corpus.sparkSession.sparkContext
+        bc = sc.broadcast((qids, Q, qn2))
+        kk = int(k)
+
+        def kernel(batches):
+            qids_, Q_, qn2_ = bc.value
+            nq = len(qids_)
+            for pdf in batches:
+                m = len(pdf)
+                if m == 0:
+                    continue
+                nids = pdf["vec_id"].to_numpy().astype(np.int64)
+                V = np.vstack(pdf["ne"].to_numpy()).astype(np.int64)
+                n2 = (V * V).sum(axis=1)
+                G = Q_ @ V.T  # (nq, m) exact int64 dots
+                sim = G / np.sqrt(
+                    qn2_[:, None].astype(np.float64) * n2[None, :].astype(np.float64)
+                )
+                out = {"qid": [], "nid": [], "_dot": [], "_nq": [], "_nn": []}
+                for qi in range(nq):
+                    mask = nids != qids_[qi]
+                    cand = np.nonzero(mask)[0]
+                    if len(cand) == 0:
+                        continue
+                    order = np.lexsort((nids[cand], -sim[qi, cand]))[:kk]
+                    sel = cand[order]
+                    out["qid"].append(np.full(len(sel), qids_[qi], np.int64))
+                    out["nid"].append(nids[sel])
+                    out["_dot"].append(G[qi, sel])
+                    out["_nq"].append(np.full(len(sel), qn2_[qi], np.int64))
+                    out["_nn"].append(n2[sel])
+                yield pd.DataFrame(
+                    {c: np.concatenate(v) if v else np.array([], np.int64)
+                     for c, v in out.items()}
+                )
+
+        cand = corpus.select(
+            "vec_id", quantize(F.col("embedding")).alias("ne")
+        ).mapInPandas(
+            kernel, schema="qid long, nid long, _dot long, _nq long, _nn long"
+        )
+        pairs = cand.withColumn(
+            "sim",
+            F.col("_dot").cast("double")
+            / F.sqrt(F.col("_nq").cast("double") * F.col("_nn").cast("double")),
+        )
+        return _ranked(pairs, k)
     return _ranked(_sim_pairs(queries, corpus, None), k)
 
 

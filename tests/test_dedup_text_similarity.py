@@ -737,3 +737,18 @@ def test_semdedup_gemm_equals_join(spark):
         a = semdedup_prune(emb, threshold_bp=bp, impl="gemm").collect()
         b = semdedup_prune(emb, threshold_bp=bp, impl="join").collect()
         assert a == b and len(a) > 0
+
+
+def test_cosine_topk_gemm_equals_join(spark):
+    """r8 parity gate: the broadcast-GEMM cosine_topk equals the
+    CartesianProduct baseline row-for-row (same integer dots, same IEEE
+    sim, same (-sim, nid) comparator for partition-local top-k)."""
+    from pyspark.sql import functions as F
+
+    from ds_raster_pipelines_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 50)
+    a = cosine_topk(q, emb, k=5, impl="gemm").orderBy("qid", "rank").collect()
+    b = cosine_topk(q, emb, k=5, impl="join").orderBy("qid", "rank").collect()
+    assert a == b and len(a) == 250

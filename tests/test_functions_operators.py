@@ -435,3 +435,27 @@ def test_bucketed_join_is_shuffle_and_sort_free(spark):
         for r in left.join(right, left["k"] == right["k2"]).collect()
     )
     assert got == exp
+
+
+def test_bilinear_resample_stacked_equals_per_tile():
+    """r8 parity gate: the chunked stacked interp in
+    resample_bilinear_stats is bit-identical to per-tile
+    bilinear_resample (the lerp is elementwise; batching only adds a
+    leading axis), including the quantized-mean rounding."""
+    import numpy as np
+
+    from ds_raster_pipelines_spark.operators.raster import bilinear_resample
+
+    rng = np.random.RandomState(5)
+    tiles = [rng.randint(0, 256, (64, 64)).astype(np.uint8) for _ in range(40)]
+    ref = np.array(
+        [int(round(bilinear_resample(t, 48, 48).mean() * 1_000_000)) for t in tiles]
+    )
+    stack = np.stack(tiles)
+    means = bilinear_resample(stack, 48, 48).reshape(len(tiles), -1).mean(axis=1)
+    got = np.rint(means * 1_000_000).astype(np.int64)
+    assert np.array_equal(ref, got)
+    # 2-D public API unchanged
+    one = bilinear_resample(tiles[0], 48, 48)
+    assert one.shape == (48, 48)
+    assert np.array_equal(one, bilinear_resample(stack, 48, 48)[0])
