@@ -32,6 +32,8 @@ import numpy as np
 from . import native
 from .codecs import _DCT_D, _DCT_N, _DCT_ZZ, _dct_scaled_q
 
+_DCT_DT = np.ascontiguousarray(_DCT_D.T)
+
 # ---------------------------------------------------------------- tables ---
 
 # Annex K.3.3.1 — standard luminance DC table: code-length counts (1..16)
@@ -471,15 +473,17 @@ def _pixels_from_zz(
     by the batch-vs-single parity pytest."""
     quant = np.empty_like(zz)
     quant[:, _DCT_ZZ] = zz
-    coef = quant.reshape(k * nby, nbx, _DCT_N, _DCT_N) * q
-    # einsum("ji,abjk,kl->abil", D, coef, D, optimize=True) spent ~40% of
-    # a 64x64 decode re-running path planning per call; these two
-    # tensordots ARE the contractions its greedy path picked
-    # (abjk,ji->abik then abik,kl->abil), verified bit-equal over random
-    # coefficient blocks — same dgemm reductions, identical float order.
-    b = np.tensordot(coef, _DCT_D, axes=([2], [0])).swapaxes(2, 3)
-    b = np.tensordot(b, _DCT_D, axes=([3], [0]))
-    px = np.clip(np.round(b + 128.0), 0, 255).astype(np.uint8)
+    coef = quant.reshape(-1, _DCT_N, _DCT_N) * q
+    # IDCT as two batched matmuls in the einsum greedy path's contraction
+    # order (j first: D.T @ coef, then k: @ D) — verified BIT-equal to
+    # the optimize=True einsum this replaced, while avoiding tensordot's
+    # transpose/reshape copies (~1.3x on chunk-sized stacks).
+    b = np.matmul(_DCT_DT, coef.astype(np.float64)) @ _DCT_D
+    # epilogue in place: same values as clip(round(b+128)), fewer temps
+    b += 128.0
+    np.rint(b, out=b)
+    np.clip(b, 0.0, 255.0, out=b)
+    px = b.astype(np.uint8)
     out = (
         px.reshape(k, nby, nbx, _DCT_N, _DCT_N)
         .swapaxes(2, 3)

@@ -224,13 +224,26 @@ def minhash_signatures(
 
 def _signatures_from_words(words: DataFrame, strategy: str) -> DataFrame:
     ids = _word_ids(words, strategy)
-    params = F.array(
-        *[F.struct(F.lit(j).alias("j"), F.lit(a).alias("a"), F.lit(b).alias("b"))
-          for j, (a, b) in enumerate(MINHASH_PARAMS)]
+    # one grouped agg with k min-columns instead of exploding every word
+    # row k-fold before the shuffle (r8, guide §2.3 "aggregate before you
+    # shuffle"): the map-side partials now carry k longs per (partition,
+    # doc) instead of k x |words| exploded rows, and the per-permutation
+    # min arithmetic is unchanged.  The k-row (doc_id, j, mh) shape is
+    # restored by a post-agg explode over the tiny per-doc result.
+    mins = ids.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("wid") + F.lit(b)) % MINHASH_P).alias(f"_mh{j}")
+            for j, (a, b) in enumerate(MINHASH_PARAMS)
+        ]
     )
-    exploded = ids.select("doc_id", "wid", F.explode(params).alias("p"))
-    return exploded.groupBy("doc_id", F.col("p.j").alias("j")).agg(
-        F.min((F.col("p.a") * F.col("wid") + F.col("p.b")) % MINHASH_P).alias("mh")
+    stacked = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), F.col(f"_mh{j}").alias("mh"))
+            for j in range(len(MINHASH_PARAMS))
+        ]
+    )
+    return mins.select("doc_id", F.explode(stacked).alias("p")).select(
+        "doc_id", F.col("p.j").alias("j"), F.col("p.mh").alias("mh")
     )
 
 

@@ -67,14 +67,30 @@ def ulaw_encode(x: np.ndarray) -> np.ndarray:
     return (~((sign << 7) | (exp << 4) | mant) & 0xFF).astype(np.uint8)
 
 
-def ulaw_decode(codes: np.ndarray) -> np.ndarray:
-    """G.711 mu-law codes -> int16 PCM, vectorized."""
+def _ulaw_decode_arith(codes: np.ndarray) -> np.ndarray:
+    """G.711 mu-law codes -> int16 PCM, vectorized (the companding
+    algebra; also the generator of the 256-entry decode LUT below)."""
     u = (~np.asarray(codes, np.uint8)).astype(np.int32) & 0xFF
     sign = u >> 7
     exp = (u >> 4) & 7
     mant = u & 0x0F
     mag = (((mant << 3) + _ULAW_BIAS) << exp) - _ULAW_BIAS
     return np.where(sign == 1, -mag, mag).astype(np.int16)
+
+
+_ULAW_LUT: np.ndarray | None = None
+
+
+def ulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """G.711 mu-law codes -> int16 PCM.  The code space is one byte, so
+    decode is a single 256-entry table gather (built once from the
+    arithmetic path — identical values by construction); the 8-op chain
+    cost ~17 us of numpy dispatch per ~100-sample clip, which dominated
+    the mu-law stats kernel."""
+    global _ULAW_LUT
+    if _ULAW_LUT is None:
+        _ULAW_LUT = _ulaw_decode_arith(np.arange(256, dtype=np.uint8))
+    return _ULAW_LUT[np.asarray(codes, np.uint8)]
 
 
 # ------------------------- IMA ADPCM (WAV audio_format 0x11) ---------------
