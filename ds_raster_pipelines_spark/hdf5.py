@@ -400,11 +400,14 @@ def _parse_attr(body: bytes):
     return name, a[0]
 
 
-def _walk_messages(buf: bytes, addr: int):
+def _walk_messages(buf: bytes, addr: int, ranges: list | None = None):
     """Yield (type, body) for a v1 or v2 object header, following
-    continuation blocks."""
+    continuation blocks.  ``ranges`` (r8 structural-template memo):
+    when given, every byte range this walk READS is appended, so a
+    caller can later prove that two files share identical header
+    structure by comparing exactly those bytes."""
     if buf[addr : addr + 4] == b"OHDR":
-        yield from _walk_v2(buf, addr)
+        yield from _walk_v2(buf, addr, ranges)
         return
     ver = buf[addr]
     if ver != 1:
@@ -412,6 +415,8 @@ def _walk_messages(buf: bytes, addr: int):
     (nmsg,) = struct.unpack_from("<H", buf, addr + 2)
     (blk_size,) = struct.unpack_from("<I", buf, addr + 8)
     blocks = [(addr + 16, blk_size)]
+    if ranges is not None:
+        ranges.append((addr, addr + 16 + blk_size))
     got = 0
     while blocks and got < nmsg:
         p, size = blocks.pop(0)
@@ -424,11 +429,13 @@ def _walk_messages(buf: bytes, addr: int):
             if t == 0x0010:  # continuation
                 off, length = struct.unpack_from("<QQ", body, 0)
                 blocks.append((off, length))
+                if ranges is not None:
+                    ranges.append((off, off + length))
             else:
                 yield t, body
 
 
-def _walk_v2(buf: bytes, addr: int):
+def _walk_v2(buf: bytes, addr: int, ranges: list | None = None):
     """Version-2 ('OHDR') object header walk, incl. continuations."""
     flags = buf[addr + 5]
     p = addr + 6
@@ -441,6 +448,8 @@ def _walk_v2(buf: bytes, addr: int):
     p += size_bytes
     track_order = bool(flags & 0x04)
     blocks = [(p, chunk0)]
+    if ranges is not None:
+        ranges.append((addr, p + chunk0))
     while blocks:
         p, size = blocks.pop(0)
         end = p + size
@@ -454,6 +463,8 @@ def _walk_v2(buf: bytes, addr: int):
                 off, length = struct.unpack_from("<QQ", body, 0)
                 # continuation blocks in v2 start with 'OCHK' and end
                 # with a 4-byte checksum
+                if ranges is not None:
+                    ranges.append((off, off + length))
                 if buf[off : off + 4] == b"OCHK":
                     blocks.append((off + 4, length - 8))
                 else:
@@ -462,7 +473,8 @@ def _walk_v2(buf: bytes, addr: int):
                 yield t, body
 
 
-def _read_btree1(buf: bytes, addr: int, node_type: int, key_bytes: int):
+def _read_btree1(buf: bytes, addr: int, node_type: int, key_bytes: int,
+                 ranges: list | None = None):
     """Walk a v1 B-tree of any depth; yield (key_bytes_blob, child_addr)
     for every LEAF entry."""
     sig = buf[addr : addr + 4]
@@ -473,6 +485,8 @@ def _read_btree1(buf: bytes, addr: int, node_type: int, key_bytes: int):
         raise ValueError(f"B-tree node type {ntype}, wanted {node_type}")
     (used,) = struct.unpack_from("<H", buf, addr + 6)
     p = addr + 24
+    if ranges is not None:
+        ranges.append((addr, addr + 24 + used * (key_bytes + 8)))
     entries = []
     for i in range(used):
         key = buf[p : p + key_bytes]
@@ -484,7 +498,7 @@ def _read_btree1(buf: bytes, addr: int, node_type: int, key_bytes: int):
         yield from entries
     else:
         for _, child in entries:
-            yield from _read_btree1(buf, child, node_type, key_bytes)
+            yield from _read_btree1(buf, child, node_type, key_bytes, ranges)
 
 
 def _defilter(raw: bytes, filters: list[tuple[int, list[int]]], itemsize: int) -> bytes:
@@ -526,25 +540,11 @@ def _parse_filters(body: bytes) -> list[tuple[int, list[int]]]:
     return out
 
 
-def _read_dataset(buf: bytes, name: str, hdr_addr: int) -> H5Dataset:
-    shape = dtype = None
-    layout = None
-    filters = []
-    attrs = {}
-    for t, body in _walk_messages(buf, hdr_addr):
-        if t == 0x0001:
-            shape = _parse_ds(body)
-        elif t == 0x0003:
-            dtype, _cls = _parse_dt(body)
-        elif t == 0x0008:
-            layout = bytes(body)
-        elif t == 0x000B:
-            filters = _parse_filters(body)
-        elif t == 0x000C:
-            an, av = _parse_attr(body)
-            attrs[an] = av
-    if shape is None or dtype is None or layout is None:
-        raise ValueError(f"dataset {name!r}: missing dataspace/datatype/layout")
+def _load_data(buf: bytes, shape, dtype, layout: bytes, filters, name: str) -> np.ndarray:
+    """Materialize a dataset's values from its (already parsed) layout
+    message.  Chunk B-trees and payload bytes are read HERE, per file —
+    the structural-template memo below re-runs only this part on a
+    template hit, so varying chunk sizes/addresses are always honored."""
     n = int(np.prod(shape, dtype=np.int64)) if shape else 1
     ver, cls = layout[0], layout[1]
     if ver != 3:
@@ -575,29 +575,59 @@ def _read_dataset(buf: bytes, name: str, hdr_addr: int) -> H5Dataset:
                 data[sl] = block[tuple(slice(0, s.stop - s.start) for s in sl)]
     else:
         raise NotImplementedError(f"data layout class {cls} (compact/virtual)")
+    return data
+
+
+def _read_dataset(buf: bytes, name: str, hdr_addr: int,
+                  ranges: list | None = None) -> H5Dataset:
+    shape = dtype = None
+    layout = None
+    filters = []
+    attrs = {}
+    for t, body in _walk_messages(buf, hdr_addr, ranges):
+        if t == 0x0001:
+            shape = _parse_ds(body)
+        elif t == 0x0003:
+            dtype, _cls = _parse_dt(body)
+        elif t == 0x0008:
+            layout = bytes(body)
+        elif t == 0x000B:
+            filters = _parse_filters(body)
+        elif t == 0x000C:
+            an, av = _parse_attr(body)
+            attrs[an] = av
+    if shape is None or dtype is None or layout is None:
+        raise ValueError(f"dataset {name!r}: missing dataspace/datatype/layout")
+    data = _load_data(buf, tuple(shape), dtype, layout, filters, name)
     return H5Dataset(name, tuple(shape), dtype, attrs, data)
 
 
-def _read_links(buf: bytes, hdr_addr: int):
+def _read_links(buf: bytes, hdr_addr: int, ranges: list | None = None):
     """One group object header -> ([(child name, header addr)], attrs,
     is_group). Handles old-style symbol-table groups AND new-style
     compact Link messages."""
     links = []  # (name, object header address)
     root_attrs = {}
     is_group = False
-    for t, body in _walk_messages(buf, hdr_addr):
+    for t, body in _walk_messages(buf, hdr_addr, ranges):
         if t == 0x0011:  # old-style group: symbol table
             is_group = True
             btree_addr, heap_addr = struct.unpack_from("<QQ", body, 0)
             (heap_seg,) = struct.unpack_from("<Q", buf, heap_addr + 24)
-            for _key, snod in _read_btree1(buf, btree_addr, 0, 8):
+            if ranges is not None:
+                ranges.append((heap_addr, heap_addr + 32))
+            for _key, snod in _read_btree1(buf, btree_addr, 0, 8, ranges):
                 if buf[snod : snod + 4] != b"SNOD":
                     raise ValueError("expected SNOD symbol node")
                 (nsym,) = struct.unpack_from("<H", buf, snod + 6)
                 p = snod + 8
+                if ranges is not None:
+                    ranges.append((snod, snod + 8 + 40 * nsym))
                 for _ in range(nsym):
                     name_off, hdr = struct.unpack_from("<QQ", buf, p)
                     end = buf.index(b"\x00", heap_seg + name_off)
+                    if ranges is not None:
+                        ranges.append((heap_seg + name_off, end + 1))
                     links.append((buf[heap_seg + name_off : end].decode(), hdr))
                     p += 40
         elif t == 0x0006:  # new-style compact link message
@@ -635,24 +665,75 @@ def _read_links(buf: bytes, hdr_addr: int):
     return links, root_attrs, is_group
 
 
+# Structural-template memo (r8, the hdf5 analog of netcdf.py's header-
+# template memo): corpora of same-encoder granules share an identical
+# container STRUCTURE (superblock, group graph, object headers, attrs,
+# dtypes, layout messages) and differ only in payload bytes — chunk data,
+# chunk B-tree entries (sizes/addresses) and contiguous dataset values.
+# A full parse records every byte range the STRUCTURAL walk read; a later
+# file whose bytes over exactly those ranges are identical provably
+# parses to the same structure, so only _load_data (chunk B-tree + data,
+# always per-file) re-runs.  The structural walk was ~75% of a tile
+# decode (measured 287 us -> see OPTIMIZATION_r08.md).  Attr dicts in a
+# template are shared across hits — treat them as read-only.
+# Keyed by len(buf): the encoder may place object headers AFTER the
+# variable-length chunk data, so structural addresses (and therefore the
+# recorded ranges) shift with compressed size — each file-length class
+# gets its own template (usually one per distinct chunk-size vector;
+# bounded by the corpus's distinct payload classes).  The length key
+# makes the probe O(1) — one dict hit plus one ~2 KB md5.
+_H5_TEMPLATES: dict[int, list[tuple]] = {}
+_H5_TEMPLATES_MAX = 512
+
+
+def _template_digest(buf: bytes, ranges: tuple) -> "bytes | None":
+    import hashlib
+
+    h = hashlib.md5()
+    n = len(buf)
+    for s, e in ranges:
+        if e > n:
+            return None
+        h.update(buf[s:e])
+    return h.digest()
+
+
 def decode_hdf5(buf: bytes) -> H5File:
     """Parse an HDF5 file into named datasets + root attrs. Sub-group
     members get slash-joined names (``Grid/precipitation`` — the real
     IMERG layout keeps all variables under a ``Grid`` group)."""
     if buf[:8] != _SIG:
         raise ValueError("not an HDF5 file (bad signature)")
+    for ranges, digest, ds_tpl, root_attrs in _H5_TEMPLATES.get(len(buf), ()):
+        if _template_digest(buf, ranges) == digest:
+            datasets = {
+                name: H5Dataset(
+                    name, shape, dtype, attrs,
+                    _load_data(buf, shape, dtype, layout, filters, name),
+                )
+                for name, shape, dtype, attrs, layout, filters in ds_tpl
+            }
+            return H5File(datasets, root_attrs)
+    # superblock ranges EXCLUDE the end-of-file address field (v0 octets
+    # 40-47, v2/v3 octets 28-35): it tracks total file length, which
+    # varies with compressed chunk sizes while the structure stays
+    # identical — including it would mint one template per file length.
+    # Nothing in this parse reads the EOF field.
     sb_ver = buf[8]
     if sb_ver == 0:
         # root group symbol table entry at fixed offset 24+32
         (root_hdr,) = struct.unpack_from("<Q", buf, 24 + 32 + 8)
+        ranges: list = [(0, 40), (48, 24 + 32 + 16)]
     elif sb_ver in (2, 3):
         # v2/v3: base(12) / extension(20) / eof(28) / root header(36)
         (root_hdr,) = struct.unpack_from("<Q", buf, 36)
+        ranges = [(0, 28), (36, 48)]
     else:
         raise NotImplementedError(f"superblock version {sb_ver}")
 
-    links, root_attrs, _ = _read_links(buf, root_hdr)
+    links, root_attrs, _ = _read_links(buf, root_hdr, ranges)
     datasets: dict[str, H5Dataset] = {}
+    ds_tpl: list = []
     stack = [(prefix_name, hdr) for prefix_name, hdr in links]
     depth_guard = 0
     while stack:
@@ -660,11 +741,51 @@ def decode_hdf5(buf: bytes) -> H5File:
         if depth_guard > 100_000:
             raise ValueError("group graph too large or cyclic")
         name, hdr = stack.pop()
-        child_links, _child_attrs, is_group = _read_links(buf, hdr)
+        child_links, _child_attrs, is_group = _read_links(buf, hdr, ranges)
         if is_group:
             stack.extend((f"{name}/{nm}", h) for nm, h in child_links)
         else:
-            datasets[name] = _read_dataset(buf, name, hdr)
+            ds_ranges: list = []
+            shape = dtype = None
+            layout = None
+            filters: list = []
+            attrs: dict = {}
+            for t, body in _walk_messages(buf, hdr, ds_ranges):
+                if t == 0x0001:
+                    shape = _parse_ds(body)
+                elif t == 0x0003:
+                    dtype, _cls = _parse_dt(body)
+                elif t == 0x0008:
+                    layout = bytes(body)
+                elif t == 0x000B:
+                    filters = _parse_filters(body)
+                elif t == 0x000C:
+                    an, av = _parse_attr(body)
+                    attrs[an] = av
+            if shape is None or dtype is None or layout is None:
+                raise ValueError(
+                    f"dataset {name!r}: missing dataspace/datatype/layout"
+                )
+            shape = tuple(shape)
+            datasets[name] = H5Dataset(
+                name, shape, dtype, attrs,
+                _load_data(buf, shape, dtype, layout, filters, name),
+            )
+            ranges.extend(ds_ranges)
+            ds_tpl.append((name, shape, dtype, attrs, layout, filters))
+    if sum(len(v) for v in _H5_TEMPLATES.values()) < _H5_TEMPLATES_MAX:
+        merged: list = []
+        for s, e in sorted(set(ranges)):
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        rtuple = tuple(merged)
+        digest = _template_digest(buf, rtuple)
+        if digest is not None:
+            _H5_TEMPLATES.setdefault(len(buf), []).append(
+                (rtuple, digest, tuple(ds_tpl), root_attrs)
+            )
     return H5File(datasets, root_attrs)
 
 

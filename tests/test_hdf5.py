@@ -269,3 +269,36 @@ def test_encode_hdf5_group_dataset_name_collision_both_orders():
         encode_hdf5(datasets={"Grid/x": a, "Grid": a})  # dataset after group
     with pytest.raises(ValueError):
         encode_hdf5(datasets={"Grid": a, "Grid/x": a})  # group after dataset
+
+
+def test_structural_template_memo_parity():
+    """r8: decode_hdf5's structural-template memo must be value-identical
+    to full parses over tiles that differ in payloads, coordinates and
+    chunk sizes — including the packed variant (attrs drive cf_unpack)."""
+    import numpy as np
+
+    import ds_raster_pipelines_spark.hdf5 as H
+    from ds_raster_pipelines_spark import corpus, hdf5
+
+    blobs = [
+        hdf5.encode_nc4_tile(
+            corpus.pixels_for(i), lon0=i * 0.1, lat_top=i * 0.05, date_days=i
+        )
+        for i in range(0, 97, 5)
+    ] + [
+        hdf5.encode_nc4_tile_packed(corpus.pixels_for(i), lon0=i * 0.2)
+        for i in range(0, 97, 9)
+    ]
+    refs = []
+    for b in blobs:
+        H._H5_TEMPLATES.clear()  # force a full parse
+        refs.append(hdf5.decode_hdf5(b))
+    H._H5_TEMPLATES.clear()
+    got = [hdf5.decode_hdf5(b) for b in blobs]  # warm: memo hits
+    for f_ref, f_got in zip(refs, got):
+        assert set(f_ref.datasets) == set(f_got.datasets)
+        for name, d_ref in f_ref.datasets.items():
+            d_got = f_got.datasets[name]
+            assert np.array_equal(d_ref.data, d_got.data), name
+            assert d_ref.attrs == d_got.attrs, name
+        assert f_ref.attrs == f_got.attrs
