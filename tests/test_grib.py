@@ -375,3 +375,21 @@ def test_decode_values_simple_batch_matches_decode_values():
     batch = grib.decode_values_simple_batch(blob, scanned)
     for row, m in zip(batch, scanned):
         assert np.array_equal(row, grib.decode_values(blob, m).ravel())
+
+
+def test_unpack_bits_small_n_matches_numpy_path():
+    """r8: the Python-big-int fast path for tiny descriptor streams is
+    integer-identical to the numpy unpack at every width."""
+    import numpy as np
+
+    from ds_raster_pipelines_spark import grib
+
+    rng = np.random.RandomState(1)
+    for nbits in (1, 5, 8, 10, 13, 24, 31):
+        for n in (1, 2, 3, 8, 16):
+            vals = rng.randint(0, 1 << min(nbits, 30), size=n).astype(np.uint64)
+            packed = grib._pack_bits(vals, nbits)
+            small = grib._unpack_bits(packed, n, nbits)
+            big = grib._unpack_bits_rows([packed], n, nbits)[0]
+            assert np.array_equal(small, vals)
+            assert np.array_equal(small, big)
