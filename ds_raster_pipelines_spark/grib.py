@@ -318,25 +318,28 @@ def _decode_complex(buf: bytes, m: "GribMessage") -> np.ndarray:
     wv = widths[gid]
     vstart = np.concatenate([[0], np.cumsum(wv)[:-1]])
     wmax = int(widths.max()) if ng else 0
-    # gather-matrix unpack (r8): one (rows, wmax) fancy-index + shift-sum
-    # replaces the wmax-pass peel loop (~4 numpy dispatches PER BIT
-    # POSITION — the dominant cost on small ensemble grids).  Identical
-    # integers: bit j of value v contributes bits[vstart_v + j] <<
-    # (wv_v - 1 - j).  Row-chunked so the matrix stays cache-resident at
-    # any n.
     vals = np.zeros(n, np.int64)
-    if wmax:
+    if wmax and n <= 4096:
+        # gather-matrix unpack (r8): one (n, wmax) fancy-index + masked
+        # shift-sum replaces the wmax-pass peel loop (~4 numpy dispatches
+        # PER BIT POSITION — the dominant cost on SMALL ensemble grids;
+        # isolated 53.7 -> 18.8 us at n=64).  Identical integers: bit j
+        # of value v contributes bits[vstart_v + j] << (wv_v - 1 - j).
+        # SMALL GRIDS ONLY: at production grid sizes (r8 measured
+        # grib_production_volume 0.73 -> 1.75 s when applied at n=65k)
+        # the (n, wmax) intermediates blow the cache while the peel
+        # loop's whole-array passes are already well vectorized.
         ks = np.arange(wmax)
         pad_bits = np.concatenate([bits, np.zeros(wmax, np.int64)])
-        for r0 in range(0, n, 65536):
-            r1 = min(r0 + 65536, n)
-            wv_c = wv[r0:r1, None]
-            valid = ks[None, :] < wv_c
-            idx = vstart[r0:r1, None] + ks[None, :]
-            shift = np.where(valid, wv_c - 1 - ks[None, :], 0)
-            vals[r0:r1] = (
-                (pad_bits[idx] * valid) << shift
-            ).sum(axis=1)
+        wv_c = wv[:, None]
+        valid = ks[None, :] < wv_c
+        idx = vstart[:, None] + ks[None, :]
+        shift = np.where(valid, wv_c - 1 - ks[None, :], 0)
+        vals[:] = ((pad_bits[idx] * valid) << shift).sum(axis=1)
+    else:
+        for k in range(wmax):
+            sel = wv > k
+            vals[sel] = (vals[sel] << 1) | bits[vstart[sel] + k]
     out = refs[gid] + vals
 
     if m.packing_template == 3:
