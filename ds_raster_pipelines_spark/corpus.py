@@ -409,6 +409,12 @@ def materialized_images_n(
             with open(manifest, "a") as f:
                 f.write(f"{lo} {min(lo + chunk, n)}\n")
         os.remove(manifest)
+        # crash-window guard (ADVICE r7): a chunk whose append committed
+        # but whose manifest line was never written re-appends on resume.
+        # Validate total rows before publishing; on mismatch rebuild.
+        if spark.read.parquet(tmp).count() != n:
+            shutil.rmtree(tmp)
+            return materialized_images_n(spark, n, cache_root)
         os.rename(tmp, path)
         open(f"{path}/_SUCCESS", "a").close()
     return path
@@ -851,6 +857,14 @@ def materialized_docs_n(
             with open(manifest, "a") as f:
                 f.write(f"{lo} {min(lo + chunk, n)}\n")
         os.remove(manifest)
+        # crash-window guard (ADVICE r7): a chunk whose parquet append
+        # committed but whose manifest line was never written would be
+        # re-appended on resume, silently duplicating up to one chunk of
+        # docs. Validate the total row count before publishing; on
+        # mismatch rebuild from scratch (metadata-only parquet count).
+        if spark.read.parquet(tmp).count() != n:
+            shutil.rmtree(tmp)
+            return materialized_docs_n(spark, n, cache_root)
         os.rename(tmp, path)
         open(f"{path}/_SUCCESS", "a").close()
     return path

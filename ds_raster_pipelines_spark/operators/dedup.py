@@ -389,6 +389,20 @@ def connected_components(
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("lbl", F.col("node"))
     ).localCheckpoint(eager=True)
+    # Convergence detector (r8): labels are MIN-MONOTONE — a node's label
+    # never increases (both the neighbor-min step and the pointer
+    # shortcut only adopt smaller-or-equal labels), so sum(lbl) strictly
+    # decreases iff ANY label changed.  One single-stage agg over the
+    # just-checkpointed frame replaces the old per-round
+    # new-vs-old join + limit + count (a join shuffle per round).
+    # decimal(38,0): exact at any node-id magnitude (an int64 sum could
+    # wrap and alias two different label states).
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -415,15 +429,11 @@ def connected_components(
             .select("node", F.col("lbl2").alias("lbl"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("lbl", "old"), "node")
-            .where(F.col("lbl") != F.col("old"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         # Exhausting max_iter with labels still changing means the returned
         # labels are NOT components (under-merged) — never return silently

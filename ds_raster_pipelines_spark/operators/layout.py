@@ -121,11 +121,13 @@ def bucketed_join(
     the co-located plan shape, which a broadcast would mask). With
     matching bucket specs Spark's bucketed scan feeds the SMJ directly:
     ``.explain`` shows no Exchange and no Sort on either side."""
-    # Spark ≥3.0 ignores bucket sort metadata on read unless this conf is
-    # set (multi-file buckets would need a merge). write_bucketed
-    # guarantees the single-sorted-file-per-bucket precondition, so the
-    # ordering claim is sound here and the per-query Sort disappears too.
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    # Spark ≥3.0 ignores bucket sort metadata on read unless
+    # spark.sql.legacy.bucketedTableScan.outputOrdering is set
+    # (multi-file buckets would need a merge); write_bucketed guarantees
+    # the single-sorted-file-per-bucket precondition. The conf is set at
+    # SESSION CREATION (session.py) with the other engine confs — setting
+    # it here leaked a legacy-behavior conf into every later query on the
+    # shared session (ADVICE r7).
     left = spark.table(left_table).hint("merge")
     right = spark.table(right_table).hint("merge")
     return left.join(right, left[key_l] == right[key_r])

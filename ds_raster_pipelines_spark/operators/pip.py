@@ -503,10 +503,26 @@ def pip_join_distributed(
         # Measured on a planted 25%-hot cell with 512-vertex rings:
         # salting only the first join was a wash (1.03x); salting both
         # spreads the refine (bench.py --pip-skew).
-        withwkb = salted_join(
-            cand, admin.select("adm_id", "geom_wkb"), "adm_id", n_salt,
-            salt_expr=salt_expr, threshold=hot_threshold,
-        )
+        # When the caller selected hot CELLS explicitly (hot_cells given,
+        # hot_threshold None — a combination that used to raise
+        # ValueError inside the second salted_join, ADVICE r7), derive
+        # the hot adm_ids by mapping those cells through the cover: an
+        # adm_id is hot iff one of its cover cells is.
+        if hot_threshold is None and hot_cells is not None:
+            hot_adm = (
+                cover.join(hot_cells, "cell_id")
+                .select("adm_id")
+                .distinct()
+            )
+            withwkb = salted_join(
+                cand, admin.select("adm_id", "geom_wkb"), "adm_id", n_salt,
+                salt_expr=salt_expr, hot=hot_adm,
+            )
+        else:
+            withwkb = salted_join(
+                cand, admin.select("adm_id", "geom_wkb"), "adm_id", n_salt,
+                salt_expr=salt_expr, threshold=hot_threshold,
+            )
     else:
         cand = pts.join(cover, "cell_id")
         withwkb = cand.join(admin.select("adm_id", "geom_wkb"), "adm_id")

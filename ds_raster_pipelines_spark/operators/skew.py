@@ -43,10 +43,21 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join big ⨝ small on ``key`` with hot keys salted ``n_salt``
-    ways. ``salt_expr`` must be a deterministic per-row expression on the
-    big side (e.g. ``F.xxhash64("tile_id")``). ``hot`` (or ``threshold``
-    to compute it) selects which keys get salted; others join with salt 0
-    so the small side is only replicated for hot keys."""
+    ways. ``hot`` (or ``threshold`` to compute it) selects which keys get
+    salted; others join with salt 0 so the small side is only replicated
+    for hot keys.
+
+    ``salt_expr`` may be NON-deterministic (e.g. include
+    ``monotonically_increasing_id()`` so same-valued rows spread — the
+    canonical hot case): correctness does not depend on the salt value,
+    because the small side replicates EVERY salt for a hot key, so any
+    salt a row draws joins the same replicated rows. Under a task retry
+    a row may re-salt differently; the joined result is identical for
+    every salt assignment (asserted by the --pip-skew bench), only the
+    shuffle placement changes. Prefer a deterministic expression like
+    ``F.xxhash64("tile_id")`` only when rows with equal values are rare
+    — it keeps retries byte-stable but collapses equal-valued rows onto
+    one salt (ADVICE r7)."""
     if hot is None:
         if threshold is None:
             raise ValueError("pass hot= or threshold=")

@@ -54,6 +54,13 @@ def get_spark(
             "spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/spark_graft_derby"
         )
         .config("spark.python.worker.reuse", "true")
+        # bucketed-table scans honor the writer's per-bucket sort order
+        # (write_bucketed guarantees one sorted file per bucket, so the
+        # claim is sound and the per-query Sort disappears). Set HERE at
+        # session creation with the other engine confs — bucketed_join
+        # used to flip it session-wide mid-query, leaking a
+        # legacy-behavior conf into later queries (ADVICE r7).
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         # glibc in the Python workers munmaps every Arrow/numpy batch
         # buffer (>128 KB) immediately; under 32-way concurrency the
         # resulting page-fault storm serializes the kernels (measured:

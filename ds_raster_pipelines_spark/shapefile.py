@@ -128,7 +128,18 @@ def write_shp(geoms: list) -> tuple[bytes, bytes]:
     Each geometry is either ``None`` (Null shape), an ``(x, y)`` tuple
     (Point), or parts ``[[exterior_ring, hole_ring, ...], ...]`` with
     rings as (x,y) sequences — exteriors are emitted clockwise and holes
-    counter-clockwise per the spec, whatever the input orientation."""
+    counter-clockwise per the spec, whatever the input orientation.
+
+    The spec allows ONE shape type per file (plus Null); mixing Point and
+    Polygon inputs raises instead of emitting a header whose type is
+    whichever non-null geometry came last (ADVICE r7)."""
+    if any(isinstance(g, tuple) for g in geoms) and any(
+        g is not None and not isinstance(g, tuple) for g in geoms
+    ):
+        raise ValueError(
+            "write_shp: mixed Point and Polygon geometries — the shapefile "
+            "spec requires a single shape type per file (plus Null)"
+        )
     shp_type = SHP_NULL
     records = []
     boxes = []

@@ -284,3 +284,43 @@ def test_zonal_value_histogram_marginals_match_stats(spark):
     h = {r["adm_id"]: (r["px_count"], r["px_sum"]) for r in hist.collect()}
     s = {r["adm_id"]: (r["px_count"], r["px_sum"]) for r in stats.collect()}
     assert h == s and len(h) > 0
+
+
+def test_pip_join_distributed_salted_hot_cells_only(spark):
+    """r8 (ADVICE r7 medium): n_salt + hot_cells WITHOUT hot_threshold
+    must construct (the second, adm_id-keyed salted join derives its hot
+    set by mapping the cells through the cover) and return rows identical
+    to the unsalted join."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from ds_raster_pipelines_spark import grid
+
+    n = 20_000
+    i = F.col("id")
+    pts = spark.range(n).select(
+        i.alias("pid"),
+        F.when(i % 10 < 3, F.lit(-150.123)).otherwise(
+            -180.0 + F.pmod(i * 37.0001, F.lit(360.0))
+        ).alias("lon_c"),
+        F.when(i % 10 < 3, F.lit(-55.377)).otherwise(
+            -90.0 + F.pmod(i * 17.0003, F.lit(180.0))
+        ).alias("lat_c"),
+    )
+    adm = corpus.admin_df(spark)
+    hot = (
+        pts.select(grid.encode_col(F.col("lon_c"), F.col("lat_c"), 5).alias("cell_id"))
+        .groupBy("cell_id").count().where(F.col("count") > 1000).select("cell_id")
+    )
+
+    def agg(j):
+        return (
+            j.groupBy("adm_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("pid").alias("s"))
+            .orderBy("adm_id")
+            .toPandas()
+        )
+
+    plain = agg(pip_join_distributed(pts, adm, res=5))
+    salted = agg(pip_join_distributed(pts, adm, res=5, n_salt=8, hot_cells=hot))
+    pd.testing.assert_frame_equal(plain, salted)

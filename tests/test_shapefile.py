@@ -110,18 +110,25 @@ def test_all_ccw_file_fallback():
 
 
 def test_null_and_point_shapes():
-    shp, shx = sf.write_shp([None, (12.5, -3.25), [[rect(0, 0, 1, 1)]]])
+    # one shape type per file (plus Null) — r8 aligns write_shp with the
+    # spec (mixed Point+Polygon now raises; see the dedicated test below),
+    # so the Null/Point and Null/Polygon cases round-trip separately
+    shp, shx = sf.write_shp([None, (12.5, -3.25)])
     geoms = sf.read_shp(shp)
     assert geoms[0] is None
     assert geoms[1] == (12.5, -3.25)
-    assert len(geoms[2]) == 1
     idx = sf.read_shx(shx)
-    assert len(idx) == 3
+    assert len(idx) == 2
     for off, ln in idx:  # every index entry points at a real record header
         (recno,) = struct.unpack_from(">i", shp, off)
-        assert 1 <= recno <= 3
+        assert 1 <= recno <= 2
         (clen,) = struct.unpack_from(">i", shp, off + 4)
         assert clen * 2 == ln
+    shp2, shx2 = sf.write_shp([None, [[rect(0, 0, 1, 1)]]])
+    geoms2 = sf.read_shp(shp2)
+    assert geoms2[0] is None
+    assert len(geoms2[1]) == 1
+    assert len(sf.read_shx(shx2)) == 2
 
 
 def test_dbf_types_and_deleted_rows():
@@ -173,3 +180,18 @@ def test_zipped_source_distributed(spark):
     for f in feats:
         assert f["src"] == "hol.shp.zip!hol.shp"
         corpus.parse_wkb_geometry(bytes(f["geom_wkb"]))  # valid WKB out
+
+
+def test_write_shp_rejects_mixed_shape_types():
+    """r8 (ADVICE r7): one shape type per file (plus Null) — mixing Point
+    and Polygon raises instead of emitting a spec-violating header."""
+    import pytest
+
+    from ds_raster_pipelines_spark import shapefile
+
+    square = [[[(0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 0.0)]]]
+    with pytest.raises(ValueError, match="mixed Point and Polygon"):
+        shapefile.write_shp([(1.0, 2.0), square])
+    # homogeneous inputs (with Nulls) still fine
+    shapefile.write_shp([(1.0, 2.0), None])
+    shapefile.write_shp([square, None])
