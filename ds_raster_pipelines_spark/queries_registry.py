@@ -2061,7 +2061,11 @@ def reproject_webmercator_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(((F.col("i") * 7) % 720).between(20, 699))
         .withColumn("lat_top", F.lit(90.0) - 0.25 * ((F.col("i") * 7) % 720))
     )
-    return reproject_webmercator_sum256(images).orderBy("i")
+    # no global orderBy: a range sort SAMPLES its map-only child,
+    # re-running the whole decode kernel a second time (r7 s3 lesson,
+    # measured 2x on the mjpeg twin; r8 measured the same shape here).
+    # The driver compare row-sorts before hashing, so order is free.
+    return reproject_webmercator_sum256(images)
 
 
 # COG overview read: level-1 pixel value at column j is 2j + c exactly
@@ -3085,7 +3089,11 @@ def wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.multimodal import audio_stats_exact, materialized_wav_corpus
 
     media = spark.read.parquet(materialized_wav_corpus(spark, sf_dir))
-    return audio_stats_exact(media).orderBy("i")
+    # no global orderBy: a range sort SAMPLES its map-only child,
+    # re-running the whole decode kernel a second time (r7 s3 lesson,
+    # measured 2x on the mjpeg twin; r8 measured the same shape here).
+    # The driver compare row-sorts before hashing, so order is free.
+    return audio_stats_exact(media)
 
 
 # Second real audio codec: G.711 mu-law WAV (audio_format 7). Samples are
@@ -3118,7 +3126,11 @@ def wav_mulaw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.multimodal import audio_stats_exact, materialized_mulaw_corpus
 
     media = spark.read.parquet(materialized_mulaw_corpus(spark, sf_dir))
-    return audio_stats_exact(media).orderBy("i")
+    # no global orderBy: a range sort SAMPLES its map-only child,
+    # re-running the whole decode kernel a second time (r7 s3 lesson,
+    # measured 2x on the mjpeg twin; r8 measured the same shape here).
+    # The driver compare row-sorts before hashing, so order is free.
+    return audio_stats_exact(media)
 
 
 # Video frames: file i has 8 + i%5 frames; frame k is the corpus
@@ -3418,7 +3430,11 @@ def bilinear_resample_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     images = spark.read.parquet(corpus.materialized_images(spark, sf_dir)).select(
         "i", "bytes", "fmt", "w", "h"
     )  # explicit projection: pruning cannot reach through mapInPandas
-    return resample_bilinear_stats(images, out_w=48, out_h=48).orderBy("i")
+    # no global orderBy: a range sort SAMPLES its map-only child,
+    # re-running the whole decode kernel a second time (r7 s3 lesson,
+    # measured 2x on the mjpeg twin; r8 measured the same shape here).
+    # The driver compare row-sorts before hashing, so order is free.
+    return resample_bilinear_stats(images, out_w=48, out_h=48)
 
 
 # Image-content ANN: decode -> 16-bin intensity histogram features ->
@@ -3786,7 +3802,11 @@ def flac_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.multimodal import flac_stats_exact, materialized_flac_corpus
 
     media = spark.read.parquet(materialized_flac_corpus(spark, sf_dir))
-    return flac_stats_exact(media).orderBy("i")
+    # no global orderBy: a range sort SAMPLES its map-only child,
+    # re-running the whole decode kernel a second time (r7 s3 lesson,
+    # measured 2x on the mjpeg twin; r8 measured the same shape here).
+    # The driver compare row-sorts before hashing, so order is free.
+    return flac_stats_exact(media)
 
 
 # Count-min heavy hitters: the ENTIRE sketch pipeline replicated in SQL —
@@ -4084,7 +4104,11 @@ def mp2_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.multimodal import materialized_mp2_corpus, mp2_psnr_stats
 
     media = spark.read.parquet(materialized_mp2_corpus(spark, sf_dir))
-    return mp2_psnr_stats(media).orderBy("i")
+    # no global orderBy: a range sort SAMPLES its map-only child,
+    # re-running the whole decode kernel a second time (r7 s3 lesson,
+    # measured 2x on the mjpeg twin; r8 measured the same shape here).
+    # The driver compare row-sorts before hashing, so order is free.
+    return mp2_psnr_stats(media)
 
 
 # PII scrub (C4/CCNet-style): the synthetic corpus contains no PII, so
