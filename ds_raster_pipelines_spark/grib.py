@@ -487,7 +487,29 @@ def scan_messages(buf: bytes) -> list[GribMessage]:
     """Walk a multi-message file, parsing ONLY headers (sections 0-6
     metadata + the data section's offsets). Data stays packed — this is
     what makes filter_by_keys free: selection happens on these keys and
-    only surviving messages ever run the bit-unpack."""
+    only surviving messages ever run the bit-unpack.
+
+    Fast path (r8): the fixed-offset section walk is translated to C
+    (native.grib_scan) — same fields, same unsupported-variant guards;
+    any file the C subset cannot prove it parses identically (error
+    return) re-runs this Python walk for exact behavior and messages."""
+    from . import native
+
+    scanned = native.grib_scan(bytes(buf))
+    if scanned is not None:
+        fields, refs = scanned
+        out = []
+        for row, ref in zip(fields.tolist(), refs.tolist()):
+            m = GribMessage()
+            (m.offset, m.length, m.discipline, m.param_category,
+             m.param_number, m.template, m.forecast_time, m.perturbation,
+             m.n_ens, m.ni, m.nj, m.lat1_mdeg, m.lon1_mdeg, m.di_mdeg,
+             m.dj_mdeg, m.n_points, m.packing_template, m.bits_per_value,
+             m._bitmap_offset, m._data_offset, m._data_len, m._s5_offset,
+             m.binary_scale, m.decimal_scale) = row
+            m.ref_value = ref
+            out.append(m)
+        return out
     out = []
     pos = 0
     n = len(buf)

@@ -134,6 +134,145 @@ long jpeg_decode_scan(const unsigned char *d, long n,
     }
     return dc_prev;
 }
+
+/* GRIB2 multi-message header scan: mirrors grib.py scan_messages —
+ * sections 0/3/4/5/6/7 field extraction at fixed offsets, data kept
+ * packed.  Returns the message count, or a negative error code for ANY
+ * condition the Python scanner would raise on OR any variant this
+ * subset does not cover (caller then re-runs the Python scanner for
+ * exact behavior/messages).  Per message NSLOT int64 slots + 1 double:
+ *  [0]=offset [1]=length [2]=discipline [3]=param_category
+ *  [4]=param_number [5]=template [6]=forecast_time [7]=perturbation
+ *  [8]=n_ens [9]=ni [10]=nj [11]=lat1_mdeg [12]=lon1_mdeg [13]=di_mdeg
+ *  [14]=dj_mdeg [15]=n_points [16]=packing_template [17]=bits_per_value
+ *  [18]=bitmap_offset(-1 none) [19]=data_offset [20]=data_len
+ *  [21]=s5_offset [22]=binary_scale [23]=decimal_scale; ref_value in
+ *  refs[i].
+ */
+#define GERR (-2000000)
+#define NSLOT 24
+static uint32_t rd32(const unsigned char *d) {
+    return ((uint32_t)d[0] << 24) | ((uint32_t)d[1] << 16) |
+           ((uint32_t)d[2] << 8) | d[3];
+}
+static uint16_t rd16(const unsigned char *d) {
+    return (uint16_t)(((uint16_t)d[0] << 8) | d[1]);
+}
+long grib_scan(const unsigned char *buf, long n, long max_msgs,
+               int64_t *out, double *refs)
+{
+    long pos = 0, mi = 0;
+    while (pos < n) {
+        int64_t *m;
+        long end, p;
+        int seen = 0;
+        uint64_t mlen;
+        if (mi >= max_msgs)
+            return GERR - 9;
+        if (pos + 16 > n || buf[pos] != 'G' || buf[pos + 1] != 'R' ||
+            buf[pos + 2] != 'I' || buf[pos + 3] != 'B')
+            return GERR - 1; /* no GRIB indicator */
+        if (buf[pos + 7] != 2)
+            return GERR - 2; /* edition != 2 */
+        m = out + mi * NSLOT;
+        m[0] = pos;
+        m[2] = buf[pos + 6];
+        mlen = 0;
+        {
+            int k;
+            for (k = 0; k < 8; k++)
+                mlen = (mlen << 8) | buf[pos + 8 + k];
+        }
+        if (mlen < 20 || pos + (long)mlen > n)
+            return GERR - 3;
+        m[1] = (int64_t)mlen;
+        end = pos + (long)mlen;
+        p = pos + 16;
+        m[7] = 0;   /* perturbation default (template 0) */
+        m[8] = 1;   /* n_ens default */
+        m[16] = 0;  /* packing_template default */
+        m[18] = -1; /* no bitmap */
+        while (p < end - 4) {
+            long slen, body;
+            int snum;
+            if (p + 5 > n)
+                return GERR - 3;
+            slen = rd32(buf + p);
+            snum = buf[p + 4];
+            body = p + 5;
+            if (slen < 5 || p + slen > end)
+                return GERR - 3;
+            if (snum == 3) {
+                long g;
+                if (rd16(buf + body + 7) != 0)
+                    return GERR - 4; /* grid template != 0 */
+                g = body + 9 + 16;
+                m[9] = rd32(buf + g);
+                m[10] = rd32(buf + g + 4);
+                g += 16;
+                m[11] = (int32_t)rd32(buf + g);   /* La1, signed */
+                m[12] = rd32(buf + g + 4);        /* Lo1 */
+                g += 17;
+                m[13] = rd32(buf + g);
+                m[14] = rd32(buf + g + 4);
+                seen |= 1;
+            } else if (snum == 4) {
+                long t;
+                int tmpl = rd16(buf + body + 2);
+                if (tmpl != 0 && tmpl != 1)
+                    return GERR - 5; /* product template unsupported */
+                m[5] = tmpl;
+                t = body + 4;
+                m[3] = buf[t];
+                m[4] = buf[t + 1];
+                m[6] = rd32(buf + t + 9);
+                if (tmpl == 1) {
+                    m[7] = buf[t + 26];
+                    m[8] = buf[t + 27];
+                }
+                seen |= 2;
+            } else if (snum == 5) {
+                int tmpl;
+                m[15] = rd32(buf + body);
+                tmpl = rd16(buf + body + 4);
+                if (tmpl != 0 && tmpl != 2 && tmpl != 3)
+                    return GERR - 6; /* packing template unsupported */
+                m[16] = tmpl;
+                m[21] = body;
+                {
+                    union { uint32_t u; float f; } cv;
+                    cv.u = rd32(buf + body + 6);
+                    refs[mi] = (double)cv.f;
+                }
+                m[22] = (int16_t)rd16(buf + body + 10);
+                m[23] = (int16_t)rd16(buf + body + 12);
+                m[17] = buf[body + 14];
+                seen |= 4;
+            } else if (snum == 6) {
+                int ind = buf[body];
+                if (ind == 255)
+                    m[18] = -1;
+                else if (ind == 0)
+                    m[18] = body + 1;
+                else
+                    return GERR - 7; /* pre-defined bitmap unsupported */
+            } else if (snum == 7) {
+                m[19] = body;
+                m[20] = slen - 5;
+                seen |= 8;
+            }
+            p += slen;
+        }
+        if (buf[end - 4] != '7' || buf[end - 3] != '7' ||
+            buf[end - 2] != '7' || buf[end - 1] != '7')
+            return GERR - 8; /* missing 7777 terminator */
+        if (seen != 15)
+            return GERR - 10; /* a section this subset requires is absent */
+        mi++;
+        pos = end;
+    }
+    return mi;
+}
 """
 
 _CACHE_ROOT = os.environ.get("SPARK_GRAFT_NATIVE_DIR", "/tmp/spark_graft_native")
@@ -186,6 +325,14 @@ def _build() -> ctypes.CDLL | None:
             ctypes.c_long,
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_long,
+        ]
+        lib.grib_scan.restype = ctypes.c_long
+        lib.grib_scan.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_long,
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double),
         ]
         return lib
     except Exception as exc:
@@ -254,3 +401,29 @@ def jpeg_decode_scan(
         out[:] = 0  # leave zz clean for the Python fallback pass
         return None
     return int(rc)
+
+
+GRIB_SCAN_SLOTS = 24
+
+
+def grib_scan(buf: bytes, max_msgs: int = 4096):
+    """Scan GRIB2 message headers natively.  Returns (fields, refs) —
+    int64 (n_msgs, 24) + float64 (n_msgs,) — or None when the library is
+    unavailable or the file needs the Python scanner (unsupported
+    variant / malformed stream: the caller re-runs grib.scan_messages
+    for exact error behavior)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.zeros((max_msgs, GRIB_SCAN_SLOTS), dtype=np.int64)
+    refs = np.zeros(max_msgs, dtype=np.float64)
+    rc = lib.grib_scan(
+        buf,
+        len(buf),
+        max_msgs,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        refs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    if rc < 0:
+        return None
+    return out[:rc], refs[:rc]

@@ -393,3 +393,69 @@ def test_unpack_bits_small_n_matches_numpy_path():
             big = grib._unpack_bits_rows([packed], n, nbits)[0]
             assert np.array_equal(small, vals)
             assert np.array_equal(small, big)
+
+
+def test_native_grib_scan_parity_and_error_fallback():
+    """r8: the native header scan yields field-for-field identical
+    GribMessage lists to the Python walk across packing/bitmap variants,
+    and malformed streams raise the exact Python error (C bails,
+    Python re-walks)."""
+    import numpy as np
+
+    import ds_raster_pipelines_spark.native as nat
+    from ds_raster_pipelines_spark import grib
+    from ds_raster_pipelines_spark.sources import gribfiles
+
+    def build(i, packing=0, with_bitmap=False):
+        msgs = []
+        for t in gribfiles.FC_MONTHS:
+            for mm in range(gribfiles.N_ENS):
+                vals = gribfiles.message_values(i, mm, t)
+                if with_bitmap:
+                    g = np.arange(64).reshape(8, 8)
+                    vals = np.where((g + i) % 11 == 0, np.nan, vals)
+                msgs.append(
+                    grib.encode_message(
+                        vals, template=1, param_number=52, forecast_time=t,
+                        perturbation=mm, n_ens=5, packing=packing,
+                    )
+                )
+            msgs.append(
+                grib.encode_message(
+                    np.full((8, 8), 999.0), template=0, param_number=8,
+                    forecast_time=t,
+                )
+            )
+        return grib.encode_file(msgs)
+
+    for packing, bm in ((0, False), (2, False), (3, True)):
+        blob = build(11, packing, bm)
+        nat_msgs = grib.scan_messages(blob)
+        saved = nat._lib
+        nat._lib = None
+        try:
+            py_msgs = grib.scan_messages(blob)
+        finally:
+            nat._lib = saved
+        assert len(nat_msgs) == len(py_msgs)
+        for x, y in zip(nat_msgs, py_msgs):
+            for s in x.__slots__:
+                assert getattr(x, s, None) == getattr(y, s, None), s
+
+    bad = build(3)[:-2]
+
+    def outcome(fn):
+        try:
+            fn(bad)
+            return None
+        except Exception as exc:  # noqa: BLE001
+            return f"{type(exc).__name__}: {exc}"
+
+    e_native = outcome(grib.scan_messages)
+    saved = nat._lib
+    nat._lib = None
+    try:
+        e_python = outcome(grib.scan_messages)
+    finally:
+        nat._lib = saved
+    assert e_native == e_python is not None or e_native == e_python
