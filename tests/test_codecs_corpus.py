@@ -200,3 +200,32 @@ def test_corpus_chunked_build_resumes(spark, tmp_path, monkeypatch):
     got = sorted(r.i for r in spark.read.parquet(p2).select("i").collect())
     assert got == golden
     assert not os.path.exists(tmp)
+
+
+def test_coarsen_histogram_batched_tally_matches_naive(spark):
+    """r8: the per-batch tally + chunk-stacked entropy path must count
+    exactly what a naive per-tile loop counts over a mixed-format
+    corpus slice."""
+    import numpy as np
+
+    from ds_raster_pipelines_spark import codecs, corpus
+    from ds_raster_pipelines_spark.operators.raster import coarsen_histogram
+
+    images = spark.read.parquet(
+        corpus.materialized_images(spark, "/root/testdata/sf0.001")
+    )
+    got = {
+        r["value_milli"]: r["n_px"]
+        for r in coarsen_histogram(images, factor=2).collect()
+    }
+    ref: dict[int, int] = {}
+    for row in images.select("bytes", "fmt", "w", "h").collect():
+        px = codecs.decode_tile(bytes(row["bytes"]), row["fmt"], row["w"], row["h"])
+        h, w = px.shape
+        ch, cw = h // 2, w // 2
+        blocks = px[: ch * 2, : cw * 2].reshape(ch, 2, cw, 2).sum(
+            axis=(1, 3), dtype=np.int64
+        )
+        for v in np.rint(blocks * (1000 / 4)).astype(np.int64).ravel().tolist():
+            ref[v] = ref.get(v, 0) + 1
+    assert got == ref
