@@ -135,6 +135,33 @@ long jpeg_decode_scan(const unsigned char *d, long n,
     return dc_prev;
 }
 
+/* Multi-segment form of jpeg_decode_scan: decode nseg independent
+ * entropy segments (each with its own DPCM predictor reset — i.e. one
+ * whole no-restart frame per segment) in ONE call, amortizing the
+ * foreign-call overhead that dominated per-frame decodes.  seg_off has
+ * nseg+1 entries into the concatenated UNSTUFFED bodies; seg_blocks[i]
+ * blocks are written at zz + zz_off[i]*64.  Returns 0 or the first
+ * segment's error code (caller falls back per frame).
+ */
+long jpeg_decode_scan_multi(const unsigned char *data, const int64_t *seg_off,
+                            const int64_t *seg_blocks, const int64_t *zz_off,
+                            long nseg,
+                            const int16_t *dc_sym, const uint8_t *dc_len,
+                            const int16_t *ac_sym, const uint8_t *ac_len,
+                            int32_t *zz)
+{
+    long i;
+    for (i = 0; i < nseg; i++) {
+        long rc = jpeg_decode_scan(data + seg_off[i],
+                                   seg_off[i + 1] - seg_off[i],
+                                   dc_sym, dc_len, ac_sym, ac_len,
+                                   seg_blocks[i], zz + zz_off[i] * 64, 0);
+        if (rc <= -1000000)
+            return rc;
+    }
+    return 0;
+}
+
 /* GRIB2 multi-message header scan: mirrors grib.py scan_messages —
  * sections 0/3/4/5/6/7 field extraction at fixed offsets, data kept
  * packed.  Returns the message count, or a negative error code for ANY
@@ -326,6 +353,19 @@ def _build() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_long,
         ]
+        lib.jpeg_decode_scan_multi.restype = ctypes.c_long
+        lib.jpeg_decode_scan_multi.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         lib.grib_scan.restype = ctypes.c_long
         lib.grib_scan.argtypes = [
             ctypes.c_char_p,
@@ -427,3 +467,38 @@ def grib_scan(buf: bytes, max_msgs: int = 4096):
     if rc < 0:
         return None
     return out[:rc], refs[:rc]
+
+
+def jpeg_decode_scan_multi(
+    bodies: bytes,
+    seg_off: np.ndarray,
+    seg_blocks: np.ndarray,
+    zz_off: np.ndarray,
+    dc_sym: np.ndarray,
+    dc_len: np.ndarray,
+    ac_sym: np.ndarray,
+    ac_len: np.ndarray,
+    zz: np.ndarray,
+) -> bool:
+    """Decode many no-restart frames' scans in one native call.  False
+    means unavailable/malformed — caller re-runs the per-frame path
+    (which itself falls back to pure Python with exact errors)."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    rc = lib.jpeg_decode_scan_multi(
+        bodies,
+        seg_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        seg_blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        zz_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(seg_blocks),
+        _ptr(dc_sym, ctypes.c_int16),
+        _ptr(dc_len, ctypes.c_uint8),
+        _ptr(ac_sym, ctypes.c_int16),
+        _ptr(ac_len, ctypes.c_uint8),
+        zz.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc <= -1000000:
+        zz[:] = 0
+        return False
+    return True
