@@ -123,16 +123,24 @@ def tokenize_ngrams(
     words) which word-set Jaccard misses. Pure Column exprs: sequence of
     start offsets → substr, explode, distinct. Same downstream family
     (jaccard/minhash) applies unchanged."""
-    t = F.col(text_col)
     # guard: Spark's sequence(1, stop) is DESCENDING for stop < 1, so short
-    # texts must produce an empty gram array, not a bogus [1, 0] range
-    grams = F.when(
-        F.length(t) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.length(t) - (n - 1)), lambda i: t.substr(i, F.lit(n))
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return df.select("doc_id", F.explode(grams).alias(out)).distinct()
+    # texts must produce an empty gram array, not a bogus [1, 0] range.
+    # Shape (r8): split once to a code-point array, explode start
+    # positions, O(1)-index each gram's chars — the transform-lambda +
+    # substr form ran interpreted AND paid O(i) per substring (O(len²)
+    # per doc); split('') yields code points so results are identical
+    # for all inputs (see char_ngrams, operators/text.py).
+    starts = F.when(
+        F.size("_ca") >= n,
+        F.expr(f"sequence(1, size(_ca) - {n - 1})"),
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.concat(*[F.expr(f"_ca[_i + {k - 2}]") for k in range(1, n + 1)])
+    return (
+        df.select("doc_id", F.split(F.col(text_col), "").alias("_ca"))
+        .select("doc_id", "_ca", F.explode(starts).alias("_i"))
+        .select("doc_id", gram.alias(out))
+        .distinct()
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -559,16 +567,23 @@ def tokenize_word_ngrams(
     consecutive words joined by a space) — the shingle unit of standard
     train/eval decontamination (the GPT-3/Llama n-gram-overlap recipe).
     Pure Column exprs: split → sequence of window starts → slice +
-    array_join → explode → distinct."""
-    words = F.split(F.col(text_col), " ")
-    grams = F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.array_join(F.slice(words, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return df.select("doc_id", F.explode(grams).alias(out)).distinct()
+    array_join → explode → distinct.  Shape (r8): split once, explode
+    window starts, slice + join per row — transform lambdas run
+    interpreted (no codegen), so building all windows inside the lambda
+    was the explode's cost, not the explode itself."""
+    starts = F.when(
+        F.size("_ws") >= n,
+        F.expr(f"sequence(1, size(_ws) - {n - 1})"),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select("doc_id", F.split(F.col(text_col), " ").alias("_ws"))
+        .select("doc_id", "_ws", F.explode(starts).alias("_i"))
+        .select(
+            "doc_id",
+            F.expr(f"array_join(slice(_ws, _i, {n}), ' ')").alias(out),
+        )
+        .distinct()
+    )
 
 
 def decontaminate_overlap(
@@ -614,16 +629,23 @@ def positional_word_ngrams(
 ) -> DataFrame:
     """(doc_id, pos, gram) for EVERY word-window start, 0-based, NOT
     distinct — the positional shingle stream exact-substring dedup needs
-    (repeats inside one doc are duplicates too). Pure Column exprs."""
-    words = F.split(F.col(text_col), " ")
-    grams = F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.array_join(F.slice(words, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return df.select("doc_id", F.posexplode(grams).alias("pos", out))
+    (repeats inside one doc are duplicates too). Pure Column exprs.
+    Shape (r8): split once, explode window starts (pos = start - 1 ==
+    the old posexplode index), slice + join per row — the transform
+    lambda ran interpreted, dominating the gram stage (guide §1.2)."""
+    starts = F.when(
+        F.size("_ws") >= n,
+        F.expr(f"sequence(1, size(_ws) - {n - 1})"),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select("doc_id", F.split(F.col(text_col), " ").alias("_ws"))
+        .select("doc_id", "_ws", F.explode(starts).alias("_i"))
+        .select(
+            "doc_id",
+            (F.col("_i") - 1).alias("pos"),
+            F.expr(f"array_join(slice(_ws, _i, {n}), ' ')").alias(out),
+        )
+    )
 
 
 def duplicated_spans(

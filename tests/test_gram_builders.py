@@ -1,0 +1,111 @@
+"""Parity gates for the r8 gram-builder rewrites (guide §1.2: fix the
+per-task work without changing what any query computes).
+
+The four gram builders used to construct grams inside a higher-order
+``transform`` lambda (interpreted, no codegen) with per-position
+``substring`` on the string (O(i) per call → O(len²) per doc).  The r8
+forms split once to an array, explode start positions, and index.  These
+tests pin the rewritten outputs against a literal re-implementation of
+the OLD higher-order forms on adversarial inputs: empty strings, texts
+shorter than the window, repeated grams (multiset semantics), multi-byte
+and astral code points (split('') must agree with substring), leading /
+trailing / doubled separators, and null text.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ds_raster_pipelines_spark.operators.dedup import (
+    positional_word_ngrams,
+    tokenize_ngrams,
+    tokenize_word_ngrams,
+)
+from ds_raster_pipelines_spark.operators.text import char_ngrams
+
+TEXTS = [
+    "",
+    "ab",
+    "abc",
+    "abcabcabc",
+    "a b",
+    "one two three four five six seven eight nine ten",
+    "dup dup dup dup dup dup dup dup dup dup",
+    " leading and  doubled  spaces trailing ",
+    "café naïve \U0001F600 suré 中文 mix",
+    "w " * 40,
+    None,
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, t) for i, t in enumerate(TEXTS)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _hof_char_ngrams(df, n, distinct=False):
+    grams = F.when(
+        F.length("text") >= n,
+        F.expr(
+            f"transform(sequence(1, length(text) - {n - 1}),"
+            f" i -> substring(text, i, {n}))"
+        ),
+    ).otherwise(F.array())
+    out = df.select("doc_id", F.explode(grams).alias("g"))
+    return out.distinct() if distinct else out
+
+
+def _hof_word_ngrams(df, n, positional=False):
+    words = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    if positional:
+        return df.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+    return df.select("doc_id", F.explode(grams).alias("w")).distinct()
+
+
+def _sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("n", [2, 3, 5])
+def test_char_ngrams_matches_hof(docs, n):
+    assert _sorted(char_ngrams(docs, n)) == _sorted(_hof_char_ngrams(docs, n))
+
+
+@pytest.mark.parametrize("n", [2, 3])
+def test_tokenize_ngrams_matches_hof(docs, n):
+    assert _sorted(tokenize_ngrams(docs, n)) == _sorted(
+        _hof_char_ngrams(docs, n, distinct=True)
+    )
+
+
+@pytest.mark.parametrize("n", [3, 8])
+def test_tokenize_word_ngrams_matches_hof(docs, n):
+    assert _sorted(tokenize_word_ngrams(docs, n)) == _sorted(
+        _hof_word_ngrams(docs, n)
+    )
+
+
+@pytest.mark.parametrize("n", [3, 8])
+def test_positional_word_ngrams_matches_hof(docs, n):
+    assert _sorted(positional_word_ngrams(docs, n)) == _sorted(
+        _hof_word_ngrams(docs, n, positional=True)
+    )
+
+
+def test_char_ngrams_multiset_keeps_repeats(docs):
+    # "abcabcabc" must yield 'abc' three times (multiset, not set)
+    rows = (
+        char_ngrams(docs.where("doc_id = 3"), 3)
+        .groupBy("g")
+        .count()
+        .collect()
+    )
+    counts = {r["g"]: r["count"] for r in rows}
+    assert counts["abc"] == 3 and counts["bca"] == 2 and counts["cab"] == 2
