@@ -396,7 +396,7 @@ def connected_components(
     )
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("lbl", F.col("node"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # materialized by the first label-sum job
     # Convergence detector (r8): labels are MIN-MONOTONE — a node's label
     # never increases (both the neighbor-min step and the pointer
     # shortcut only adopt smaller-or-equal labels), so sum(lbl) strictly
@@ -429,13 +429,18 @@ def connected_components(
         # and the shortcut stays within the component — min-monotone, and
         # any fixed point of the neighbor-min step alone is already
         # per-component constant, so convergence detection is unchanged.
+        # lazy checkpoint + eager agg = ONE job per round (r8): the
+        # label-sum action below materializes the checkpoint as a side
+        # effect, so the separate eager-materialization job the loop used
+        # to run per round is gone; lineage is truncated identically
+        # (localCheckpoint caches partitions at first computation).
         new_labels = (
             stepped.join(
                 stepped.select(F.col("node").alias("lbl"), F.col("lbl").alias("lbl2")),
                 "lbl",
             )
             .select("node", F.col("lbl2").alias("lbl"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur_sum = _label_sum(new_labels)
         labels = new_labels
