@@ -137,6 +137,15 @@ def _zigzag_order(n: int = _DCT_N) -> np.ndarray:
 
 
 _DCT_ZZ = _zigzag_order()
+_INV_DCT_ZZ = np.argsort(_DCT_ZZ)  # raster slot -> zigzag index (gather form)
+# Sparse-IDCT support tables (r8, shared with jpeg.py): _IDCT_BASIS row
+# u*8+v is the flattened outer product D[u,:] (x) D[v,:] — the algebraic
+# expansion of P = D^T C D into per-coefficient basis blocks; _ZZ2R maps
+# a zigzag index to its raster slot for the native kernel.
+_IDCT_BASIS = np.ascontiguousarray(
+    (_DCT_D[:, None, :, None] * _DCT_D[None, :, None, :]).reshape(64, 64)
+)
+_ZZ2R = bytes(int(x) for x in _DCT_ZZ)
 
 
 def _dct_scaled_q(quality: int) -> np.ndarray:
@@ -171,16 +180,45 @@ def encode_dct(pixels: np.ndarray, quality: int = 90) -> bytes:
     return _DCT_MAGIC + struct.pack("<HHB", w, h, quality) + payload
 
 
+# int32 raster quant tables per quality for the native IDCT (values are
+# exact small integers, so the cast is lossless); keyed by quality so the
+# array identity is stable for native._ptr's pointer cache.
+_DCT_QI32: dict[int, np.ndarray] = {}
+
+
+def _q_i32(quality: int) -> np.ndarray:
+    hit = _DCT_QI32.get(quality)
+    if hit is None:
+        hit = np.ascontiguousarray(_dct_scaled_q(quality).reshape(-1), dtype=np.int32)
+        _DCT_QI32[quality] = hit
+    return hit
+
+
 def decode_dct(data: bytes) -> np.ndarray:
     if data[:4] != _DCT_MAGIC:
         raise ValueError("not a DCT blob")
     w, h, quality = struct.unpack_from("<HHB", data, 4)
-    q = _dct_scaled_q(quality)
-    zz = np.frombuffer(zlib.decompress(data[9:]), dtype="<i2").astype(np.float64)
-    zz = zz.reshape(-1, _DCT_N * _DCT_N)
-    quant = np.empty_like(zz)
-    quant[:, _DCT_ZZ] = zz
+    zz_raw = np.frombuffer(zlib.decompress(data[9:]), dtype="<i2")
     nby, nbx = h // _DCT_N, w // _DCT_N
+    # native sparse-IDCT fast path (r8): same kernel as jpeg.py —
+    # P = sum of nonzero-coefficient basis blocks, byte-parity with the
+    # einsum below pytest-pinned over corpus tiles and random blobs
+    from . import native
+
+    if native.get_lib() is not None:
+        zz_i32 = np.ascontiguousarray(
+            zz_raw.reshape(-1, _DCT_N * _DCT_N), dtype=np.int32
+        )
+        out = np.empty((1, h, w), dtype=np.uint8)
+        if native.jpeg_idct_blocks(
+            zz_i32, _q_i32(quality), _IDCT_BASIS, _ZZ2R, nbx, nby * nbx, out
+        ):
+            return out[0]
+    q = _dct_scaled_q(quality)
+    zz = zz_raw.astype(np.float64).reshape(-1, _DCT_N * _DCT_N)
+    # unzigzag as a GATHER (np.take) instead of a fancy-index scatter —
+    # identical permutation, ~12x faster (r8; same fix as jpeg.py)
+    quant = np.take(zz, _INV_DCT_ZZ, axis=1)
     coef = quant.reshape(nby, nbx, _DCT_N, _DCT_N) * q
     # B = D^T C D
     b = np.einsum("ji,abjk,kl->abil", _DCT_D, coef, _DCT_D, optimize=True)

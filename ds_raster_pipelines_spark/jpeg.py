@@ -463,6 +463,28 @@ def _scan_coefficients(raw: bytes, hdr: tuple) -> tuple[np.ndarray, int, int]:
     return zz, nby, nbx
 
 
+# Sparse-IDCT support tables (r8): _IDCT_BASIS/_ZZ2R live in codecs.py
+# (shared with decode_dct).  _INV_ZZ turns the unzigzag SCATTER
+# (quant[:, ZZ] = zz, a slow fancy-index store) into a GATHER
+# (np.take, ~12x faster).
+from .codecs import _IDCT_BASIS, _ZZ2R
+
+_INV_ZZ = np.argsort(_DCT_ZZ)
+# per-header raveled quant tables: keeps the array identity stable so
+# native._ptr can cache its ctypes pointer (headers are memoized, so the
+# id() key is stable per corpus template)
+_QRASTER_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _q_raster(q: np.ndarray) -> np.ndarray:
+    hit = _QRASTER_CACHE.get(id(q))
+    if hit is None or hit[0] is not q:
+        hit = (q, np.ascontiguousarray(q.reshape(-1), dtype=np.int32))
+        if len(_QRASTER_CACHE) < 64:
+            _QRASTER_CACHE[id(q)] = hit
+    return hit[1]
+
+
 def _pixels_from_zz(
     zz: np.ndarray, q: np.ndarray, k: int, nby: int, nbx: int, h: int, w: int
 ) -> np.ndarray:
@@ -470,22 +492,35 @@ def _pixels_from_zz(
     ((k*nby*nbx, 64)) to (k, h, w) uint8.  k==1 is the single-frame path;
     batching only grows the leading dgemm dimension, so per-block float
     arithmetic (and therefore every decoded byte) is unchanged — pinned
-    by the batch-vs-single parity pytest."""
-    quant = np.empty_like(zz)
-    quant[:, _DCT_ZZ] = zz
+    by the batch-vs-single parity pytest.
+
+    Fast path (r8): the native kernel expands P = D^T C D per block as a
+    sum of nonzero-coefficient basis blocks (jpeg_idct_blocks) — entropy
+    coding makes most ACs zero (the corpus frames carry ~3 nonzeros per
+    block), so the sparse sum does ~200 flops where the dense matmul pair
+    does 1024 plus numpy dispatch.  Byte-equality of the two paths over
+    the real corpora, random encoded images and random dense coefficient
+    stacks is pytest-pinned (test_native_kernels)."""
+    zz_c = np.ascontiguousarray(zz, dtype=np.int32)
+    if native.get_lib() is not None:
+        frames = np.empty((k, nby * _DCT_N, nbx * _DCT_N), dtype=np.uint8)
+        if native.jpeg_idct_blocks(
+            zz_c, _q_raster(q), _IDCT_BASIS, _ZZ2R, nbx, nby * nbx, frames
+        ):
+            return frames[:, :h, :w]
+    quant = np.take(zz_c, _INV_ZZ, axis=1)  # unzigzag as a gather
     coef = quant.reshape(-1, _DCT_N, _DCT_N) * q
-    # IDCT as two batched matmuls in the einsum greedy path's contraction
-    # order (j first: D.T @ coef, then k: @ D) — verified BIT-equal to
-    # the optimize=True einsum this replaced, while avoiding tensordot's
-    # transpose/reshape copies (~1.3x on chunk-sized stacks).
+    # IDCT as two batched matmuls in the einsum greedy path's
+    # contraction order (j first: D.T @ coef, then k: @ D) — verified
+    # BIT-equal to the optimize=True einsum this replaced.
     b = np.matmul(_DCT_DT, coef.astype(np.float64)) @ _DCT_D
     # epilogue in place: same values as clip(round(b+128)), fewer temps
     b += 128.0
     np.rint(b, out=b)
     np.clip(b, 0.0, 255.0, out=b)
-    px = b.astype(np.uint8)
+    px_blocks = b.astype(np.uint8)
     out = (
-        px.reshape(k, nby, nbx, _DCT_N, _DCT_N)
+        px_blocks.reshape(k, nby, nbx, _DCT_N, _DCT_N)
         .swapaxes(2, 3)
         .reshape(k, nby * _DCT_N, nbx * _DCT_N)[:, :h, :w]
     )
@@ -529,7 +564,8 @@ def decode_jpeg_batch(blobs: list[bytes]) -> list[np.ndarray]:
         nby = (hdr[0] + _DCT_N - 1) // _DCT_N
         nbx = (hdr[1] + _DCT_N - 1) // _DCT_N
         dims.append((nby, nbx))
-    zz_list: list[np.ndarray | None] = [None] * n
+    out: list[np.ndarray | None] = [None] * n
+    pending: list[int] = []  # frames decoded by the fallback path below
     scan_groups: dict[int, list[int]] = {}
     native_ok = native.get_lib() is not None
     for idx, hdr in enumerate(hdrs):
@@ -537,8 +573,12 @@ def decode_jpeg_batch(blobs: list[bytes]) -> list[np.ndarray]:
             # identical headers are the SAME memoized tuple (id-stable)
             scan_groups.setdefault(id(hdr), []).append(idx)
         else:
-            zz_list[idx] = _scan_coefficients(raws[idx], hdr)[0]
+            pending.append(idx)
     for idxs in scan_groups.values():
+        # one native scan call AND one native IDCT call per shared-header
+        # group (r8): frames of one group share (q, h, w), so the whole
+        # group's zigzag stack feeds _pixels_from_zz directly — no
+        # per-chunk concatenate, no per-frame numpy dispatch.
         hdr = hdrs[idxs[0]]
         bodies: list[bytes] = []
         seg_blocks: list[int] = []
@@ -560,22 +600,29 @@ def decode_jpeg_batch(blobs: list[bytes]) -> list[np.ndarray]:
             b"".join(bodies), seg_off, blocks_arr, zz_off,
             hdr[3], hdr[4], hdr[5], hdr[6], zz_all,
         ):
+            nby, nbx = dims[idxs[0]]
+            px = _pixels_from_zz(
+                zz_all, hdr[2], len(idxs), nby, nbx, hdr[0], hdr[1]
+            )
             for j, idx in enumerate(idxs):
-                zz_list[idx] = zz_all[zz_off[j] : zz_off[j] + seg_blocks[j]]
+                out[idx] = px[j]
         else:
-            for idx in idxs:  # malformed somewhere: exact per-frame errors
-                zz_list[idx] = _scan_coefficients(raws[idx], hdr)[0]
-    out: list[np.ndarray | None] = [None] * n
-    groups: dict[tuple, list[int]] = {}
-    for idx, hdr in enumerate(hdrs):
-        key = (hdr[2].tobytes(), hdr[0], hdr[1], dims[idx])
-        groups.setdefault(key, []).append(idx)
-    for (_qb, h, w, (nby, nbx)), idxs in groups.items():
-        q = hdrs[idxs[0]][2]
-        for c0 in range(0, len(idxs), _IDCT_CHUNK_FRAMES):
-            chunk = idxs[c0 : c0 + _IDCT_CHUNK_FRAMES]
-            zz_all = np.concatenate([zz_list[i] for i in chunk], axis=0)
-            px = _pixels_from_zz(zz_all, q, len(chunk), nby, nbx, h, w)
-            for j, i in enumerate(chunk):
-                out[i] = px[j]
+            pending.extend(idxs)  # malformed somewhere: exact per-frame errors
+    if pending:
+        zz_list: dict[int, np.ndarray] = {}
+        for idx in pending:
+            zz_list[idx] = _scan_coefficients(raws[idx], hdrs[idx])[0]
+        groups: dict[tuple, list[int]] = {}
+        for idx in pending:
+            hdr = hdrs[idx]
+            key = (hdr[2].tobytes(), hdr[0], hdr[1], dims[idx])
+            groups.setdefault(key, []).append(idx)
+        for (_qb, h, w, (nby, nbx)), idxs in groups.items():
+            q = hdrs[idxs[0]][2]
+            for c0 in range(0, len(idxs), _IDCT_CHUNK_FRAMES):
+                chunk = idxs[c0 : c0 + _IDCT_CHUNK_FRAMES]
+                zz_cat = np.concatenate([zz_list[i] for i in chunk], axis=0)
+                px = _pixels_from_zz(zz_cat, q, len(chunk), nby, nbx, h, w)
+                for j, i in enumerate(chunk):
+                    out[i] = px[j]
     return out

@@ -162,6 +162,72 @@ long jpeg_decode_scan_multi(const unsigned char *data, const int64_t *seg_off,
     return 0;
 }
 
+/* Dequantize + inverse DCT + epilogue for a stack of 8x8 blocks, the
+ * per-block form of jpeg.py's _pixels_from_zz: for every block,
+ * P = sum over nonzero zigzag coefficients k of
+ *     (zz[k] * q[raster(k)]) * basis[raster(k)]   (+ 128, rint, clip).
+ * basis row r is the flattened outer product D[u,:] (x) D[v,:] for
+ * r = u*8 + v (the exact algebraic expansion of D^T C D), supplied by
+ * the caller from the SAME _DCT_D the numpy path uses.  Skipping zero
+ * coefficients is exact (their term is exactly 0.0), and the corpus
+ * frames carry ~3 nonzeros per block, so this does ~200 flops/block
+ * where the dense matmul pair does 1024 plus numpy dispatch.
+ * rint() honors the default round-half-to-even mode == np.rint.
+ */
+#include <math.h>
+/* Writes each 8x8 block STRAIGHT INTO its frame's raster layout: block
+ * bi belongs to frame bi / bpf at block row/col (b / nbx, b % nbx), so
+ * the numpy side needs no reshape/swapaxes copy at all (frames come out
+ * as (nframes, nby*8, nbx*8) uint8, crop-by-view downstream). */
+long jpeg_idct_blocks(const int32_t *zz, long nblocks,
+                      const int32_t *q,          /* 64, raster order */
+                      const double *basis,       /* 64*64, row-major */
+                      const unsigned char *zz2r, /* zigzag k -> raster r */
+                      long nbx, long bpf,        /* blocks per row / frame */
+                      unsigned char *out)        /* nblocks*64, frame layout */
+{
+    long bi;
+    long wpx = nbx * 8;
+    for (bi = 0; bi < nblocks; bi++) {
+        const int32_t *row = zz + bi * 64;
+        long f = bi / bpf, b = bi % bpf;
+        unsigned char *px =
+            out + f * bpf * 64 + (b / nbx) * 8 * wpx + (b % nbx) * 8;
+        double acc[64];
+        int k, m, r2, c2;
+        for (m = 0; m < 64; m++)
+            acc[m] = 0.0;
+        for (k = 0; k < 64; k++) {
+            int32_t c = row[k];
+            if (c) {
+                int r = zz2r[k];
+                double v = (double)c * (double)q[r];
+                const double *bas = basis + r * 64;
+                for (m = 0; m < 64; m++)
+                    acc[m] += v * bas[m];
+            }
+        }
+        /* branch-free epilogue so the compiler can use packed round/
+         * min/max (the branchy clip form ran one scalar round + two
+         * compares + a branch per pixel and dominated the kernel) */
+        for (m = 0; m < 64; m++) {
+            double p = rint(acc[m] + 128.0);
+            p = p < 0.0 ? 0.0 : p;
+            p = p > 255.0 ? 255.0 : p;
+            acc[m] = p;
+        }
+        {
+            unsigned char blk[64];
+            for (m = 0; m < 64; m++)
+                blk[m] = (unsigned char)acc[m];
+            for (r2 = 0; r2 < 8; r2++)
+                for (c2 = 0; c2 < 8; c2++)
+                    px[r2 * wpx + c2] = blk[r2 * 8 + c2];
+        }
+    }
+    return 0;
+}
+
 /* GRIB2 multi-message header scan: mirrors grib.py scan_messages —
  * sections 0/3/4/5/6/7 field extraction at fixed offsets, data kept
  * packed.  Returns the message count, or a negative error code for ANY
@@ -329,12 +395,30 @@ def _build() -> ctypes.CDLL | None:
                         with open(src, "w") as fh:
                             fh.write(_C_SRC)
                         tmp_so = os.path.join(td, "kernels.so")
-                        subprocess.run(
-                            ["cc", "-O2", "-fPIC", "-shared", "-o", tmp_so, src],
-                            check=True,
-                            capture_output=True,
-                            timeout=120,
-                        )
+                        # -march=native: inline rint() as a rounding insn
+                        # (a libm CALL per pixel at baseline -O2 dominated
+                        # the IDCT kernel); -ffp-contract=off: NO fma
+                        # contraction — the sparse-IDCT sums must round
+                        # every multiply-add like the numpy path does
+                        # (byte-parity pytest); -fno-math-errno: allow the
+                        # inline form (results unchanged for finite args).
+                        cmd = [
+                            "cc", "-O2", "-march=native", "-ffp-contract=off",
+                            "-fno-math-errno", "-fPIC", "-shared",
+                            "-o", tmp_so, src, "-lm",
+                        ]
+                        try:
+                            subprocess.run(
+                                cmd, check=True, capture_output=True, timeout=120
+                            )
+                        except subprocess.CalledProcessError:
+                            # pre--march=native toolchains: portable build
+                            subprocess.run(
+                                [a for a in cmd if a != "-march=native"],
+                                check=True,
+                                capture_output=True,
+                                timeout=120,
+                            )
                         os.rename(tmp_so, so_path)  # atomic publish
         except Exception as exc:  # no compiler / read-only tmp / race loss
             build_error = f"{type(exc).__name__}: {exc}"
@@ -365,6 +449,17 @@ def _build() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_int16),
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.jpeg_idct_blocks.restype = ctypes.c_long
+        lib.jpeg_idct_blocks.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_char_p,
+            ctypes.c_long,
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.grib_scan.restype = ctypes.c_long
         lib.grib_scan.argtypes = [
@@ -441,6 +536,38 @@ def jpeg_decode_scan(
         out[:] = 0  # leave zz clean for the Python fallback pass
         return None
     return int(rc)
+
+
+def jpeg_idct_blocks(
+    zz: np.ndarray,
+    q_raster: np.ndarray,
+    basis: np.ndarray,
+    zz_to_raster: bytes,
+    nbx: int,
+    blocks_per_frame: int,
+    out: np.ndarray,
+) -> bool:
+    """Dequant + IDCT + (+128, rint, clip) for a (N, 64) int32 zigzag
+    stack, written straight into ``out`` = (nframes, nby*8, nbx*8) uint8
+    frame layout (no numpy reshape/swapaxes pass needed).  Returns False
+    when the native library is unavailable — callers run the numpy
+    matmul path instead.  ``basis`` must be the 64x64 float64 outer-
+    product expansion of the SAME DCT matrix the numpy path uses (the
+    parity pytest pins byte-equality between the two paths)."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    lib.jpeg_idct_blocks(
+        zz.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        zz.shape[0],
+        _ptr(q_raster, ctypes.c_int32),
+        _ptr(basis, ctypes.c_double),
+        zz_to_raster,
+        nbx,
+        blocks_per_frame,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return True
 
 
 GRIB_SCAN_SLOTS = 24

@@ -124,3 +124,67 @@ def test_avi_frames_multi_equals_per_blob():
             assert len(frames) == len(ref)
             for a, b in zip(frames, ref):
                 assert np.array_equal(a, b)
+
+
+def test_native_idct_parity_dense_random_stacks():
+    """The sparse-basis native IDCT (jpeg_idct_blocks) must be BYTE-equal
+    to the numpy matmul path on dense random coefficient stacks — the
+    worst case for summation-order drift (every block runs all 64 basis
+    accumulations)."""
+    from ds_raster_pipelines_spark.codecs import _dct_scaled_q
+
+    if native.get_lib() is None:
+        pytest.skip("no native lib")
+    rng = np.random.RandomState(7)
+    zz = rng.randint(-300, 300, size=(64 * 64, 64)).astype(np.int32)
+    for qual in (5, 50, 90):
+        q = _dct_scaled_q(qual).astype(np.int32)
+        a = jpeg._pixels_from_zz(zz, q, 64, 8, 8, 64, 64)
+        saved = native._lib
+        native._lib = None
+        try:
+            b = jpeg._pixels_from_zz(zz, q, 64, 8, 8, 64, 64)
+        finally:
+            native._lib = saved
+        assert np.array_equal(a, b)
+
+
+def test_native_idct_parity_decode_dct():
+    """codecs.decode_dct routes through the same native kernel; byte-
+    parity with its einsum fallback over random tiles at many qualities,
+    plus exact round-trip on the smooth corpus gradient domain."""
+    from ds_raster_pipelines_spark import codecs
+
+    if native.get_lib() is None:
+        pytest.skip("no native lib")
+    rng = np.random.RandomState(3)
+    for qual in (10, 50, 90, 99):
+        for _ in range(8):
+            im = rng.randint(0, 256, size=(64, 64)).astype(np.uint8)
+            blob = codecs.encode_dct(im, qual)
+            a = codecs.decode_dct(blob)
+            saved = native._lib
+            native._lib = None
+            try:
+                b = codecs.decode_dct(blob)
+            finally:
+                native._lib = saved
+            assert np.array_equal(a, b)
+    base = np.arange(64, dtype=np.uint8)[None, :]
+    for c in range(0, 97, 13):
+        fr = (base + np.uint8(c)).repeat(64, axis=0)
+        assert np.array_equal(codecs.decode_dct(codecs.encode_dct(fr, 90)), fr)
+
+
+def test_native_idct_odd_dims_crop():
+    """Non-multiple-of-8 frames: the native frame-layout write must crop
+    identically to the numpy assembly path."""
+    if native.get_lib() is None:
+        pytest.skip("no native lib")
+    rng = np.random.RandomState(5)
+    for h, w in ((13, 21), (8, 9), (63, 65), (1, 1)):
+        img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        blob = jpeg.encode_jpeg(img, 80)
+        a = jpeg.decode_jpeg(blob)
+        assert a.shape == (h, w)
+        assert np.array_equal(a, _decode_python(blob))
