@@ -459,3 +459,66 @@ def test_native_grib_scan_parity_and_error_fallback():
     finally:
         nat._lib = saved
     assert e_native == e_python is not None or e_native == e_python
+
+
+def test_grib_files_sum_matches_python_fallback(spark):
+    """The whole-batch native walk (grib_files_sum) must produce the same
+    relational rows as the pure-Python scan/filter/decode path — same
+    filter semantics (decoys dropped), same sums/counts with and without
+    bitmap, across simple and complex+spatial-diff packings."""
+    import pandas as pd
+
+    from ds_raster_pipelines_spark import native
+    from ds_raster_pipelines_spark.sources.gribfiles import (
+        ENSEMBLE_PARAM,
+        build_ensemble_files,
+        explode_grib_ensemble,
+    )
+
+    if native.get_lib() is None:
+        pytest.skip("no native lib")
+    ids = spark.createDataFrame(pd.DataFrame({"i": [5, 10, 11, 20]}))
+    for packing, with_bitmap in ((0, False), (3, True), (2, False)):
+        files = build_ensemble_files(ids, packing=packing, with_bitmap=with_bitmap)
+        q = explode_grib_ensemble(
+            files,
+            filter_keys={
+                "parameterNumber": ENSEMBLE_PARAM,
+                "productDefinitionTemplateNumber": 1,
+            },
+        )
+        got = sorted(tuple(r) for r in q.collect())
+        saved = native._lib
+        native._lib = None
+        try:
+            want = sorted(tuple(r) for r in q.collect())
+        finally:
+            native._lib = saved
+        assert got == want, f"packing={packing} bitmap={with_bitmap}"
+        # decoys must have been dropped on both paths
+        assert len(got) == 4 * 2 * 5
+
+
+def test_grib_files_sum_unknown_key_never_matches(spark):
+    """An unknown cfgrib key in the filter makes the alt never match on
+    BOTH paths (the None-sentinel semantics)."""
+    import pandas as pd
+
+    from ds_raster_pipelines_spark import native
+    from ds_raster_pipelines_spark.sources.gribfiles import (
+        build_ensemble_files,
+        explode_grib_ensemble,
+    )
+
+    if native.get_lib() is None:
+        pytest.skip("no native lib")
+    ids = spark.createDataFrame(pd.DataFrame({"i": [3]}))
+    files = build_ensemble_files(ids)
+    q = explode_grib_ensemble(files, filter_keys={"noSuchKey": 1})
+    assert q.count() == 0
+    saved = native._lib
+    native._lib = None
+    try:
+        assert q.count() == 0
+    finally:
+        native._lib = saved
