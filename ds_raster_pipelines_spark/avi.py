@@ -309,3 +309,44 @@ def decode_avi_frames_multi(
         for (idx, j), px in zip(mj_slots, jpeg.decode_jpeg_batch(mj_payloads)):
             out[idx][j] = px
     return out
+
+
+def frame_stats_multi(
+    bufs: list[bytes], every_n: int = 1, offset: int = 0
+) -> list[list[tuple[int, int]]]:
+    """Per-blob ``[(n_px, sum_px), ...]`` for the sampled frames — equal
+    to ``[(px.size, int(px.sum())) for px in decode_avi_frames(...)]``
+    (pytest-pinned), with MJPG sums accumulated inside the native IDCT
+    (jpeg.decode_jpeg_batch_stats) so the stats consumer never touches
+    per-frame pixel arrays."""
+    metas = [parse_avi(b) for b in bufs]
+    out: list[list] = []
+    mj_payloads: list[bytes] = []
+    mj_slots: list[tuple[int, int]] = []
+    for idx, (buf, meta) in enumerate(zip(bufs, metas)):
+        sel = meta.frames[offset::every_n]
+        if meta.handler == _FOURCC_MJPG:
+            out.append([None] * len(sel))
+            for j, (d, s) in enumerate(sel):
+                mj_payloads.append(bytes(buf[d : d + s]))
+                mj_slots.append((idx, j))
+        elif meta.handler == _FOURCC_HANDLER:
+            from . import codecs
+
+            lst = []
+            for d, s in sel:
+                px = codecs.decode_dct(bytes(buf[d : d + s]))
+                lst.append((px.size, int(px.sum(dtype=np.int64))))
+            out.append(lst)
+        else:
+            raise NotImplementedError(
+                f"AVI stream handler {meta.handler!r} not available in this environment"
+            )
+    if mj_payloads:
+        from . import jpeg
+
+        for (idx, j), st in zip(
+            mj_slots, jpeg.decode_jpeg_batch_stats(mj_payloads)
+        ):
+            out[idx][j] = st
+    return out

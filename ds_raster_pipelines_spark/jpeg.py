@@ -626,3 +626,68 @@ def decode_jpeg_batch(blobs: list[bytes]) -> list[np.ndarray]:
                 for j, i in enumerate(chunk):
                     out[i] = px[j]
     return out
+
+
+def decode_jpeg_batch_stats(blobs: list[bytes]) -> list[tuple[int, int]]:
+    """(n_px, sum_px) per baseline JFIF stream — equal to
+    ``(px.size, int(px.sum()))`` over ``decode_jpeg``'s output for every
+    stream (pytest-pinned), but with the sums accumulated INSIDE the
+    native IDCT for crop-free frames (h, w multiples of 8), so the stats
+    consumer never materializes per-frame numpy views or runs per-frame
+    ``sum`` dispatches.  Odd-dimension, restart-interval or malformed
+    streams take the decode path (which itself falls back to pure
+    Python with canonical errors)."""
+    n = len(blobs)
+    raws = [bytes(b) for b in blobs]
+    hdrs = [_parse_header(raw) for raw in raws]
+    out: list[tuple[int, int] | None] = [None] * n
+    pending: list[int] = []
+    scan_groups: dict[int, list[int]] = {}
+    native_ok = native.get_lib() is not None
+    for idx, hdr in enumerate(hdrs):
+        if (
+            native_ok
+            and hdr[7] == 0
+            and hdr[0] % _DCT_N == 0
+            and hdr[1] % _DCT_N == 0
+        ):
+            scan_groups.setdefault(id(hdr), []).append(idx)
+        else:
+            pending.append(idx)
+    for idxs in scan_groups.values():
+        hdr = hdrs[idxs[0]]
+        nby, nbx = hdr[0] // _DCT_N, hdr[1] // _DCT_N
+        bodies: list[bytes] = []
+        for idx in idxs:
+            raw = raws[idx]
+            end = raw.rfind(b"\xff\xd9")
+            if end < 0:
+                _scan_coefficients(raw, hdr)  # raises the canonical error
+            bodies.append(raw[hdr[8] : end].replace(b"\xff\x00", b"\xff"))
+        seg_off = np.zeros(len(bodies) + 1, dtype=np.int64)
+        np.cumsum([len(x) for x in bodies], out=seg_off[1:])
+        blocks_arr = np.full(len(bodies), nby * nbx, dtype=np.int64)
+        zz_off = np.zeros(len(bodies), dtype=np.int64)
+        np.cumsum(blocks_arr[:-1], out=zz_off[1:])
+        zz_all = np.zeros((int(blocks_arr.sum()), _DCT_N * _DCT_N), dtype=np.int32)
+        if native.jpeg_decode_scan_multi(
+            b"".join(bodies), seg_off, blocks_arr, zz_off,
+            hdr[3], hdr[4], hdr[5], hdr[6], zz_all,
+        ):
+            frames = np.empty(
+                (len(idxs), nby * _DCT_N, nbx * _DCT_N), dtype=np.uint8
+            )
+            sums = np.zeros(len(idxs), dtype=np.int64)
+            if native.jpeg_idct_blocks(
+                zz_all, _q_raster(hdr[2]), _IDCT_BASIS, _ZZ2R,
+                nbx, nby * nbx, frames, sums,
+            ):
+                npx = hdr[0] * hdr[1]
+                for j, idx in enumerate(idxs):
+                    out[idx] = (npx, int(sums[j]))
+                continue
+        pending.extend(idxs)  # malformed somewhere: exact per-frame errors
+    for idx in pending:
+        px = decode_jpeg(raws[idx])
+        out[idx] = (px.size, int(px.sum(dtype=np.int64)))
+    return out

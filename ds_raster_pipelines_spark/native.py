@@ -184,7 +184,9 @@ long jpeg_idct_blocks(const int32_t *zz, long nblocks,
                       const double *basis,       /* 64*64, row-major */
                       const unsigned char *zz2r, /* zigzag k -> raster r */
                       long nbx, long bpf,        /* blocks per row / frame */
-                      unsigned char *out)        /* nblocks*64, frame layout */
+                      unsigned char *out,        /* nblocks*64, frame layout */
+                      int64_t *frame_sums)       /* per-frame pixel sums
+                                                    (PADDED frame!), or NULL */
 {
     long bi;
     long wpx = nbx * 8;
@@ -223,6 +225,12 @@ long jpeg_idct_blocks(const int32_t *zz, long nblocks,
             for (r2 = 0; r2 < 8; r2++)
                 for (c2 = 0; c2 < 8; c2++)
                     px[r2 * wpx + c2] = blk[r2 * 8 + c2];
+            if (frame_sums) {
+                long bs = 0;
+                for (m = 0; m < 64; m++)
+                    bs += blk[m];
+                frame_sums[f] += bs;
+            }
         }
     }
     return 0;
@@ -716,6 +724,7 @@ def _build() -> ctypes.CDLL | None:
             ctypes.c_long,
             ctypes.c_long,
             ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64),
         ]
         lib.grib_sum_exact.restype = ctypes.c_long
         lib.grib_sum_exact.argtypes = [
@@ -825,10 +834,14 @@ def jpeg_idct_blocks(
     nbx: int,
     blocks_per_frame: int,
     out: np.ndarray,
+    frame_sums: np.ndarray | None = None,
 ) -> bool:
     """Dequant + IDCT + (+128, rint, clip) for a (N, 64) int32 zigzag
     stack, written straight into ``out`` = (nframes, nby*8, nbx*8) uint8
-    frame layout (no numpy reshape/swapaxes pass needed).  Returns False
+    frame layout (no numpy reshape/swapaxes pass needed).  When
+    ``frame_sums`` (int64, zeroed, one slot per frame) is given, the
+    kernel also accumulates each PADDED frame's pixel sum — callers must
+    only use it when h, w are multiples of 8 (no crop).  Returns False
     when the native library is unavailable — callers run the numpy
     matmul path instead.  ``basis`` must be the 64x64 float64 outer-
     product expansion of the SAME DCT matrix the numpy path uses (the
@@ -845,6 +858,9 @@ def jpeg_idct_blocks(
         nbx,
         blocks_per_frame,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        None
+        if frame_sums is None
+        else frame_sums.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return True
 

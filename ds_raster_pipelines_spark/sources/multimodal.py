@@ -648,14 +648,17 @@ def video_frame_stats(media: DataFrame, every_n: int = 2) -> DataFrame:
         for pdf in batches:
             out = {"i": [], "frame_idx": [], "n_px": [], "sum_px": []}
             blobs = [bytes(b) for b in pdf["bytes"]]
-            # handler-dispatched, batched across the whole Arrow batch:
-            # MJPG frames share one chunked IDCT (decode_avi_frames_multi)
-            for i, frames in zip(pdf["i"], avi.decode_avi_frames_multi(blobs, every_n)):
-                for j, px in enumerate(frames):
-                    out["i"].append(int(i))
+            # handler-dispatched, batched across the whole Arrow batch;
+            # MJPG sums come straight out of the native IDCT
+            # (avi.frame_stats_multi) — no per-frame pixel arrays or
+            # numpy sum dispatches in this loop (r8)
+            for i, stats in zip(pdf["i"], avi.frame_stats_multi(blobs, every_n)):
+                ii = int(i)
+                for j, (npx, spx) in enumerate(stats):
+                    out["i"].append(ii)
                     out["frame_idx"].append(j * every_n)
-                    out["n_px"].append(px.size)
-                    out["sum_px"].append(int(px.sum(dtype=np.int64)))
+                    out["n_px"].append(npx)
+                    out["sum_px"].append(spx)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(kernel, schema=VIDEO_FRAME_STATS_SCHEMA)

@@ -188,3 +188,49 @@ def test_native_idct_odd_dims_crop():
         a = jpeg.decode_jpeg(blob)
         assert a.shape == (h, w)
         assert np.array_equal(a, _decode_python(blob))
+
+
+def test_frame_stats_multi_equals_decoded_sums():
+    """avi.frame_stats_multi (native in-IDCT sums) must equal
+    (px.size, px.sum()) over decode_avi_frames for both codecs and for
+    the pure-Python fallback."""
+    from ds_raster_pipelines_spark import avi
+
+    rng = np.random.RandomState(9)
+    blobs = []
+    for k in range(6):
+        frames = [
+            rng.randint(0, 256, size=(64, 64)).astype(np.uint8)
+            for _ in range(3 + k % 3)
+        ]
+        enc = avi.encode_avi_mjpeg if k % 2 == 0 else avi.encode_avi_dct
+        blobs.append(enc(frames))
+    for every_n in (1, 2):
+        want = [
+            [(px.size, int(px.sum(dtype=np.int64))) for px in frames]
+            for frames in (avi.decode_avi_frames(b, every_n) for b in blobs)
+        ]
+        assert avi.frame_stats_multi(blobs, every_n) == want
+        saved = native._lib
+        native._lib = None
+        try:
+            assert avi.frame_stats_multi(blobs, every_n) == want
+        finally:
+            native._lib = saved
+
+
+def test_decode_jpeg_batch_stats_odd_dims():
+    """Odd-dimension streams (crop needed) must take the pixel path and
+    still return exact cropped sums."""
+    from ds_raster_pipelines_spark import jpeg as J
+
+    rng = np.random.RandomState(2)
+    imgs = [rng.randint(0, 256, size=(13, 21)).astype(np.uint8),
+            rng.randint(0, 256, size=(64, 64)).astype(np.uint8)]
+    streams = [J.encode_jpeg(im, 85) for im in imgs]
+    got = J.decode_jpeg_batch_stats(streams)
+    want = [
+        (px.size, int(px.sum(dtype=np.int64)))
+        for px in (J.decode_jpeg(s) for s in streams)
+    ]
+    assert got == want
