@@ -482,6 +482,23 @@ def coarsen_histogram(images: DataFrame, factor: int = 2, quant: int = 1000) -> 
     round(block_mean * quant).
     """
 
+    def _block_sum(stack: np.ndarray, f: int) -> np.ndarray:
+        """Exact integer block sums of a (n, h, w) uint8 stack.  For the
+        practical factors (f <= 16, block sum <= 255*f*f < 2^16) the sum
+        accumulates f*f strided uint16 adds — r8 measured 12x over the
+        reshape + multi-axis int64 sum, which iterates the 5-D view with
+        upcasting; bigger factors keep the general form."""
+        n, h, w = stack.shape
+        ch, cw = h // f, w // f
+        v = stack[:, : ch * f, : cw * f]
+        if 255 * f * f <= np.iinfo(np.uint16).max:
+            acc = np.zeros((n, ch, cw), dtype=np.uint16)
+            for dy in range(f):
+                for dx in range(f):
+                    acc += v[:, dy::f, dx::f]
+            return acc.astype(np.int64)
+        return v.reshape(n, ch, f, cw, f).sum(axis=(2, 4), dtype=np.int64)
+
     def kernel(batches):
         import pyarrow as pa
 
@@ -517,12 +534,7 @@ def coarsen_histogram(images: DataFrame, factor: int = 2, quant: int = 1000) -> 
                     stack = np.concatenate(
                         [data[off[k] : off[k + 1]] for k in grp]
                     ).reshape(len(grp), h, w)
-                    cw, ch = w // factor, h // factor
-                    blocks = (
-                        stack[:, : ch * factor, : cw * factor]
-                        .reshape(len(grp), ch, factor, cw, factor)
-                        .sum(axis=(2, 4), dtype=np.int64)
-                    )
+                    blocks = _block_sum(stack, factor)
                     parts.append(np.rint(blocks * scale).astype(np.int64).ravel())
                     done[grp] = True
             # entropy-coded fmts: decode per tile (unavoidable), but
@@ -542,18 +554,20 @@ def coarsen_histogram(images: DataFrame, factor: int = 2, quant: int = 1000) -> 
                 for j, px in enumerate(pxs):
                     groups.setdefault(px.shape, []).append(j)
                 for (h, w), idxs in groups.items():
-                    cw, ch = w // factor, h // factor
                     for c0 in range(0, len(idxs), 8):
                         sub = idxs[c0 : c0 + 8]
                         stack = np.stack([pxs[j] for j in sub])
-                        blocks = (
-                            stack[:, : ch * factor, : cw * factor]
-                            .reshape(len(sub), ch, factor, cw, factor)
-                            .sum(axis=(2, 4), dtype=np.int64)
-                        )
+                        blocks = _block_sum(stack, factor)
                         parts.append(np.rint(blocks * scale).astype(np.int64).ravel())
             if parts:
-                vals, cnts = np.unique(np.concatenate(parts), return_counts=True)
+                # values are bounded (block means of uint8 pixels times
+                # quant: 0..255*quant), so a bincount + nonzero replaces
+                # the sort-based np.unique (r8 measured 83 -> 7 ms per
+                # 2M-value batch); identical (value, count) pairs.
+                allv = np.concatenate(parts)
+                cnt_full = np.bincount(allv, minlength=255 * quant + 1)
+                vals = np.nonzero(cnt_full)[0].astype(np.int64)
+                cnts = cnt_full[vals]
             else:
                 vals = cnts = np.array([], dtype=np.int64)
             yield pa.RecordBatch.from_arrays(
