@@ -105,14 +105,22 @@ def tokenize(
     df: DataFrame, text_col: str = "text", out: str = "w", distinct: bool = True
 ) -> DataFrame:
     """doc_id + exploded words. ``distinct=True`` gives the shingle SET
-    (required by jaccard counting — one full shuffle of strings);
-    ``distinct=False`` is the raw stream for duplicate-insensitive
-    consumers: min() over a multiset equals min() over its set, so the
-    MinHash signature path skips the distinct shuffle entirely."""
-    words = df.select(
+    (required by jaccard counting); ``distinct=False`` is the raw stream
+    for duplicate-insensitive consumers (min() over a multiset equals
+    min() over its set, so the MinHash signature path needs no dedup).
+
+    The set form is built MAP-SIDE (r8 s4): documents carry one row per
+    doc_id, so the global explode+distinct (a full exchange of word
+    STRINGS) equals per-row ``array_distinct`` on the split array —
+    same (doc_id, w) set, zero shuffles. Callers with duplicate doc_id
+    rows would need the old global distinct; every corpus here is keyed
+    by doc_id (enforced upstream by the registry fixtures)."""
+    if distinct:
+        arr = F.array_distinct(F.split(F.col(text_col), " "))
+        return df.select("doc_id", F.explode(arr).alias(out)).where(F.col(out) != "")
+    return df.select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias(out)
     ).where(F.col(out) != "")
-    return words.distinct() if distinct else words
 
 
 def tokenize_ngrams(
@@ -330,7 +338,16 @@ def minhash_dedup_pairs(
         _signatures_from_words(words, strategy), rows_per_band, max_bucket,
         scope=sc, _fresh=False,
     )
-    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
+    # |set(words)| per doc has a MAP-SIDE closed form over the corpus scan
+    # (r8 s4): array_distinct the split array, drop the empty token the
+    # split of doubled separators leaves behind — equals the old
+    # groupBy(doc_id).count() over exploded words without its exchange.
+    sizes = df.select(
+        "doc_id",
+        F.size(
+            F.array_remove(F.array_distinct(F.split(F.col(text_col), " ")), "")
+        ).alias("n_words"),
+    )
     wa = words.select(F.col("doc_id").alias("doc_a"), "w")
     wb = words.select(F.col("doc_id").alias("doc_b"), "w")
     shared = (
@@ -385,17 +402,43 @@ def connected_components(
     (bench reports it so VM-phase noise and algorithmic drift in the
     iterative timing are distinguishable round-over-round).
     """
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        # localCheckpoint TRUNCATES LINEAGE — without it every round's plan
-        # nests the previous rounds' and the logical tree blows the stack
-        # after ~10 iterations (the classic Spark iterative-algorithm trap;
-        # persist() alone does NOT cut the plan)
-        .localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Materialize the edge relation ONCE before deriving sym/self-loops
+    # (r8 s4): sym references edges twice and the self-loop node list
+    # twice more, and an arbitrarily expensive upstream (the LSH candidate
+    # chain here) would otherwise be computed up to 4x inside the sym
+    # checkpoint job — concurrent branches of one job race the cache
+    # instead of reusing it. Measured: the sym checkpoint alone fell
+    # 8.0 -> 1.3 s cold at sf0.1.
+    edges = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)
+    sym = edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # Self-loops (r8 s4): with (a, a) rows present, the per-round
+    # neighbor-min aggregate min over lbl[N(a) ∪ {a}] already includes
+    # a's own label — the separate least(own, nbr)/left-join step each
+    # round used to pay disappears, and the aggregate is total over all
+    # nodes by construction.
+    sym = sym.unionByName(
+        sym.select("a").distinct().select("a", F.col("a").alias("b"))
     )
+    # The graph is static across rounds: hash-partition it ONCE by the
+    # per-round join key so every round's join reuses the checkpointed
+    # partitioning and only the (smaller) label frame moves — at scale
+    # the edge re-shuffle per round is the dominant per-round cost.
+    # localCheckpoint TRUNCATES LINEAGE — without it every round's plan
+    # nests the previous rounds' and the logical tree blows the stack
+    # after ~10 iterations (the classic Spark iterative-algorithm trap;
+    # persist() alone does NOT cut the plan); it also preserves the
+    # repartition's output partitioning on the captured RDD.
+    sym = sym.repartition(n_shuffle, "b").localCheckpoint(eager=True)
+    # Fused first round (r8 s4): with init lbl = node id and self-loops in
+    # sym, round 1's neighbor-min over labels IS groupBy(a).min(b) — one
+    # aggregate straight off the checkpointed graph, no join, and the
+    # old separate init frame (distinct node list) never materializes.
     labels = (
-        sym.select(F.col("a").alias("node")).distinct().withColumn("lbl", F.col("node"))
+        sym.groupBy(F.col("a").alias("node")).agg(F.min("b").alias("lbl"))
     ).localCheckpoint(eager=False)  # materialized by the first label-sum job
     # Convergence detector (r8): labels are MIN-MONOTONE — a node's label
     # never increases (both the neighbor-min step and the pointer
@@ -410,18 +453,17 @@ def connected_components(
             F.sum(F.col("lbl").cast("decimal(38,0)"))
         ).collect()[0][0]
 
-    prev_sum = _label_sum(labels)
-    rounds = 0
+    prev_sum = _label_sum(labels)  # materializes the fused-init labels
+    rounds = 1  # the fused init IS round 1's neighbor-min
     for _ in range(max_iter):
         rounds += 1
-        nbr_min = (
+        # neighbor-min over N(a) ∪ {a} (self-loops carry a's own label —
+        # no separate least()/left-join step); sym side reuses the
+        # checkpointed hash partitioning on b, only labels are shuffled.
+        stepped = (
             sym.join(labels.withColumnRenamed("node", "b"), "b")
             .groupBy(F.col("a").alias("node"))
-            .agg(F.min("lbl").alias("nbr_lbl"))
-        )
-        stepped = labels.join(nbr_min, "node", "left").select(
-            "node",
-            F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl"),
+            .agg(F.min("lbl").alias("lbl"))
         )
         # pointer doubling: lbl := lbl[lbl]. Every lbl value is a node id
         # in the same component (init lbl=node; both steps only adopt
