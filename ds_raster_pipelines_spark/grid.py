@@ -235,46 +235,51 @@ def compact_cells(cells, res: int, min_res: int = 0, cell_col: str = "cell_id"):
     recursively (coverage manifests, mosaic footprints, prune lists
     shrink by orders of magnitude on dense regions).
 
-    Closed-form lowering instead of an iterative collapse loop: an
-    ancestor ``a`` at res r is COMPLETE iff all 4**(res-r) leaves under
-    it are present; the compacted set is exactly
-      { complete a at min_res }
-      ∪ { complete a at r>min_res whose parent is not complete }
-      ∪ { leaves whose res-1 parent is not complete }.
-    Each level is ONE count-aggregation over the distinct leaf set
-    (map-side partial) plus a broadcast-sized anti-join against the
-    level above — a flat DAG, no driver-side iteration, no lineage
-    growth. Returns (cell_id, res) rows."""
+    Closed-form lowering instead of an iterative collapse loop (r8 s4,
+    ONE aggregation instead of one per level): each leaf explodes
+    map-side to its ancestors at every res in [min_res, res] (self
+    included), one groupBy(c, res) counts leaves under each candidate —
+    ``a`` at res r is COMPLETE iff all 4**(res-r) leaves under it are
+    present (at the leaf level every leaf is trivially complete) — and
+    the compacted set is exactly the complete cells whose ONE-LEVEL
+    parent is not complete, one anti-join on the parent cell id (the
+    res field is embedded in the id, so a single equi key covers all
+    levels; min_res rows survive because their parent level was never
+    generated). Flat DAG: one exchange + one anti-join, no driver-side
+    iteration, no lineage growth. Returns (cell_id, res) rows."""
     from pyspark.sql import functions as F  # noqa: F811
 
     if not 0 <= min_res < res:
         raise ValueError("need 0 <= min_res < res")
     base = cells.select(F.col(cell_col).cast("long").alias("c")).distinct()
-    complete = {}
-    for r in range(min_res, res):
-        complete[r] = (
-            base.groupBy(parent_col(F.col("c"), r, res).alias("c"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .where(F.col("n") == F.lit(4 ** (res - r)))
-            .select("c")
-        )
-    parts = [complete[min_res].withColumn("res", F.lit(min_res))]
-    for r in range(min_res + 1, res):
-        keep = complete[r].join(
-            complete[r - 1].select(F.col("c").alias("_p")),
-            parent_col(F.col("c"), r - 1, r) == F.col("_p"),
-            "left_anti",
-        )
-        parts.append(keep.withColumn("res", F.lit(r)))
-    leaves = base.join(
-        complete[res - 1].select(F.col("c").alias("_p")),
-        parent_col(F.col("c"), res - 1, res) == F.col("_p"),
-        "left_anti",
+    anc = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        parent_col(F.col("c"), r, res).alias("c"),
+                        F.lit(r).alias("res"),
+                    )
+                    for r in range(min_res, res + 1)
+                ]
+            )
+        ).alias("a")
+    ).select("a.c", "a.res")
+    comp = (
+        anc.groupBy("c", "res")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.expr(f"n == shiftleft(cast(1 as bigint), cast(2 * ({res} - res) as int))"))
+        .select("c", "res")
     )
-    parts.append(leaves.withColumn("res", F.lit(res)))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    # dynamic one-level parent: res field (r-1) | iy>>1 | ix>>1 — the
+    # per-row analog of parent_col(c, r-1, r)
+    parent_dyn = (
+        F.expr(f"shiftleft(cast(res - 1 as bigint), {RES_SHIFT})")
+        .bitwiseOR(F.shiftleft(F.shiftright(iy_col(F.col("c")), 1), IY_SHIFT))
+        .bitwiseOR(F.shiftright(ix_col(F.col("c")), 1))
+    )
+    parents = comp.where(F.col("res") < res).select(F.col("c").alias("_p"))
+    out = comp.join(parents, parent_dyn == F.col("_p"), "left_anti")
     return out.select(F.col("c").alias(cell_col), "res")
 
 

@@ -371,6 +371,14 @@ def _zonal_pixel_reduce(
                 names=["gi", "px_count", "px_sum"],
             )
 
+    # project to EXACTLY the columns the kernel reads before the Python
+    # boundary (guide §4.1): mapInArrow is opaque to column pruning, so
+    # without this every tile also ships its caption/phash/id payload
+    # through Arrow (and reads them off parquet).
+    kernel_cols = ["bytes", "w", "h", "fmt", "lon0", "lat_top"] + [
+        c for c in ("lon_ascending", "lat_descending") if c in pruned.columns
+    ]
+    pruned = pruned.select(*kernel_cols)
     if mode == "hist":
         partial = pruned.mapInArrow(kernel, schema="gi int, value int, n_px bigint")
     else:
