@@ -151,7 +151,25 @@ def parse_avi(buf: bytes) -> AviMeta:
     """Header + index walk: locates every frame payload WITHOUT touching
     payload bytes (the scale contract — sampling decodes only what it
     keeps). Prefers the idx1 index when present and falls back to a movi
-    scan; validates the two against each other when both exist."""
+    scan; validates the two against each other when both exist.
+
+    Fast path (r8 s4): native.avi_scan is a line-for-line C translation
+    of the walk below (same guards, same idx1 cross-validation); on ANY
+    anomaly it returns None and this pure-Python walk re-runs so
+    exception types/messages are byte-identical (pytest-pinned)."""
+    from . import native
+
+    r = native.avi_scan(buf)
+    if r is not None:
+        w, h, usec, handler, frames = r
+        return AviMeta(
+            w=w,
+            h=h,
+            fps=round(1_000_000 / usec) if usec else 0,
+            n_frames=len(frames),
+            handler=handler,
+            frames=frames,
+        )
     if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
         raise ValueError("not an AVI (RIFF/'AVI ' magic expected)")
     (riff_size,) = struct.unpack_from("<I", buf, 4)

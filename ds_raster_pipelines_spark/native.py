@@ -630,6 +630,255 @@ long grib_files_sum(const unsigned char *bufs, const int64_t *file_off,
     return nrows;
 }
 
+/* AVI (RIFF) container walk: LINE-FOR-LINE translation of avi.parse_avi
+ * (header walk, movi scan, idx1 parse + cross-validation) WITHOUT
+ * touching payload bytes.  Any anomaly — bad magic, chunk overrun,
+ * short header, idx1/movi disagreement, declared-frame mismatch, more
+ * frames than `cap` — returns a negative code and the caller re-runs
+ * the pure-Python parse so exception types/messages stay identical.
+ *
+ * meta out: [0]=w [1]=h [2]=usec_per_frame [3]=handler packed LE.
+ * frame_off/frame_size out: `cap`-sized.  Returns the frame count. */
+#define AVIERR (-1)
+static uint32_t rd32le(const unsigned char *d, int64_t p)
+{
+    return (uint32_t)d[p] | ((uint32_t)d[p + 1] << 8)
+         | ((uint32_t)d[p + 2] << 16) | ((uint32_t)d[p + 3] << 24);
+}
+long avi_scan(const unsigned char *d, int64_t n,
+              int64_t *meta, int64_t *frame_off, int64_t *frame_size,
+              long cap)
+{
+    if (n < 12 || d[0] != 'R' || d[1] != 'I' || d[2] != 'F' || d[3] != 'F'
+        || d[8] != 'A' || d[9] != 'V' || d[10] != 'I' || d[11] != ' ')
+        return AVIERR;
+    int64_t end = 8 + (int64_t)rd32le(d, 4);
+    if (end > n) end = n;
+    int64_t w = 0, h = 0, usec = 0, declared = 0;
+    int64_t handler = -1;  /* -1 = never set (python: handler = b"") */
+    int64_t movi_data = -1, movi_end = -1;
+    int64_t idx_data = -1, idx_size = -1;
+
+    int64_t pos = 12;
+    while (pos + 8 <= end) {
+        const unsigned char *fcc = d + pos;
+        int64_t size = (int64_t)rd32le(d, pos + 4);
+        int64_t data = pos + 8;
+        if (data + size > end) return AVIERR; /* chunk overruns parent */
+        if (fcc[0] == 'L' && fcc[1] == 'I' && fcc[2] == 'S' && fcc[3] == 'T') {
+            if (data + 4 > n) return AVIERR;
+            if (d[data] == 'h' && d[data+1] == 'd' && d[data+2] == 'r' && d[data+3] == 'l') {
+                int64_t p2 = data + 4, e2 = data + size;
+                while (p2 + 8 <= e2) {
+                    const unsigned char *f2 = d + p2;
+                    int64_t s2 = (int64_t)rd32le(d, p2 + 4);
+                    int64_t d2 = p2 + 8;
+                    if (d2 + s2 > e2) return AVIERR;
+                    if (f2[0]=='a' && f2[1]=='v' && f2[2]=='i' && f2[3]=='h') {
+                        if (d2 + 40 > n) return AVIERR; /* py: struct.error */
+                        usec = (int64_t)rd32le(d, d2);
+                        declared = (int64_t)rd32le(d, d2 + 16);
+                        w = (int64_t)rd32le(d, d2 + 32);
+                        h = (int64_t)rd32le(d, d2 + 36);
+                    } else if (f2[0]=='L' && f2[1]=='I' && f2[2]=='S' && f2[3]=='T'
+                               && d2 + 4 <= n
+                               && d[d2]=='s' && d[d2+1]=='t' && d[d2+2]=='r' && d[d2+3]=='l') {
+                        int64_t p3 = d2 + 4, e3 = d2 + s2;
+                        while (p3 + 8 <= e3) {
+                            const unsigned char *f3 = d + p3;
+                            int64_t s3 = (int64_t)rd32le(d, p3 + 4);
+                            int64_t d3 = p3 + 8;
+                            if (d3 + s3 > e3) return AVIERR;
+                            if (f3[0]=='s' && f3[1]=='t' && f3[2]=='r' && f3[3]=='h'
+                                && d3 + 8 <= n
+                                && d[d3]=='v' && d[d3+1]=='i' && d[d3+2]=='d' && d[d3+3]=='s')
+                                handler = (int64_t)rd32le(d, d3 + 4);
+                            p3 = d3 + s3 + (s3 % 2);
+                        }
+                    }
+                    p2 = d2 + s2 + (s2 % 2);
+                }
+            } else if (d[data]=='m' && d[data+1]=='o' && d[data+2]=='v'
+                       && d[data+3]=='i') {
+                movi_data = data;
+                movi_end = data + size;
+            }
+        } else if (fcc[0]=='i' && fcc[1]=='d' && fcc[2]=='x' && fcc[3]=='1') {
+            idx_data = data;
+            idx_size = size;
+        }
+        pos = data + size + (size % 2);
+    }
+    if (movi_data < 0) return AVIERR; /* py: "AVI without a movi list" */
+
+    /* movi scan (the authoritative walk) */
+    long nf = 0;
+    int64_t p = movi_data + 4;
+    while (p + 8 <= movi_end) {
+        const unsigned char *fcc = d + p;
+        int64_t size = (int64_t)rd32le(d, p + 4);
+        int64_t data = p + 8;
+        if (data + size > movi_end) return AVIERR;
+        if ((fcc[2]=='d' && (fcc[3]=='c' || fcc[3]=='b'))) {
+            if (nf >= cap) return AVIERR;
+            frame_off[nf] = data;
+            frame_size[nf] = size;
+            nf++;
+        }
+        p = data + size + (size % 2);
+    }
+
+    if (idx_data >= 0) {
+        /* idx1 entries must resolve to EXACTLY the scanned frames */
+        long k = 0;
+        for (int64_t off = idx_data; off < idx_data + idx_size; off += 16) {
+            /* py unpacks EVERY entry before the ckid test — short tail
+             * entries raise struct.error even when non-matching */
+            if (off + 16 > n) return AVIERR;
+            const unsigned char *ck = d + off;
+            if (!(ck[2]=='d' && (ck[3]=='c' || ck[3]=='b'))) continue;
+            int64_t ck_off = (int64_t)rd32le(d, off + 8);
+            int64_t ck_size = (int64_t)rd32le(d, off + 12);
+            int64_t abs_hdr = movi_data + ck_off;
+            int rel_ok = (abs_hdr + 2 <= n && d[abs_hdr]=='0' && d[abs_hdr+1]=='0');
+            int abs_ok = (ck_off + 2 <= n && d[ck_off]=='0' && d[ck_off+1]=='0');
+            if (!rel_ok && abs_ok) abs_hdr = ck_off; /* absolute-offset muxer */
+            if (k >= nf || frame_off[k] != abs_hdr + 8 || frame_size[k] != ck_size)
+                return AVIERR; /* py: "idx1 disagrees with the movi chunk walk" */
+            k++;
+        }
+        if (k != nf) return AVIERR;
+    }
+    if (declared && declared != nf) return AVIERR; /* py: avih mismatch */
+    meta[0] = w; meta[1] = h; meta[2] = usec; meta[3] = handler;
+    return nf;
+}
+
+/* ---- MD5 (RFC 1321, from-scratch reference implementation) -------- */
+typedef struct { uint32_t a, b, c, d; } md5st;
+static const uint32_t MD5K[64] = {
+    0xd76aa478u,0xe8c7b756u,0x242070dbu,0xc1bdceeeu,0xf57c0fafu,0x4787c62au,
+    0xa8304613u,0xfd469501u,0x698098d8u,0x8b44f7afu,0xffff5bb1u,0x895cd7beu,
+    0x6b901122u,0xfd987193u,0xa679438eu,0x49b40821u,0xf61e2562u,0xc040b340u,
+    0x265e5a51u,0xe9b6c7aau,0xd62f105du,0x02441453u,0xd8a1e681u,0xe7d3fbc8u,
+    0x21e1cde6u,0xc33707d6u,0xf4d50d87u,0x455a14edu,0xa9e3e905u,0xfcefa3f8u,
+    0x676f02d9u,0x8d2a4c8au,0xfffa3942u,0x8771f681u,0x6d9d6122u,0xfde5380cu,
+    0xa4beea44u,0x4bdecfa9u,0xf6bb4b60u,0xbebfbc70u,0x289b7ec6u,0xeaa127fau,
+    0xd4ef3085u,0x04881d05u,0xd9d4d039u,0xe6db99e5u,0x1fa27cf8u,0xc4ac5665u,
+    0xf4292244u,0x432aff97u,0xab9423a7u,0xfc93a039u,0x655b59c3u,0x8f0ccc92u,
+    0xffeff47du,0x85845dd1u,0x6fa87e4fu,0xfe2ce6e0u,0xa3014314u,0x4e0811a1u,
+    0xf7537e82u,0xbd3af235u,0x2ad7d2bbu,0xeb86d391u};
+static const uint8_t MD5S[64] = {
+    7,12,17,22,7,12,17,22,7,12,17,22,7,12,17,22,
+    5,9,14,20,5,9,14,20,5,9,14,20,5,9,14,20,
+    4,11,16,23,4,11,16,23,4,11,16,23,4,11,16,23,
+    6,10,15,21,6,10,15,21,6,10,15,21,6,10,15,21};
+#define ROTL32(x, s) (((x) << (s)) | ((x) >> (32 - (s))))
+static void md5_block(md5st *st, const uint8_t *p)
+{
+    uint32_t M[16], A = st->a, B = st->b, C = st->c, D = st->d;
+    int i;
+    for (i = 0; i < 16; i++)
+        M[i] = (uint32_t)p[4*i] | ((uint32_t)p[4*i+1] << 8)
+             | ((uint32_t)p[4*i+2] << 16) | ((uint32_t)p[4*i+3] << 24);
+    for (i = 0; i < 64; i++) {
+        uint32_t F, tmp;
+        int g;
+        if (i < 16)      { F = (B & C) | (~B & D);        g = i; }
+        else if (i < 32) { F = (D & B) | (~D & C);        g = (5*i + 1) & 15; }
+        else if (i < 48) { F = B ^ C ^ D;                 g = (3*i + 5) & 15; }
+        else             { F = C ^ (B | ~D);              g = (7*i) & 15; }
+        F += A + MD5K[i] + M[g];
+        tmp = D; D = C; C = B; B += ROTL32(F, MD5S[i]); A = tmp;
+    }
+    st->a += A; st->b += B; st->c += C; st->d += D;
+}
+/* first 7 hex digits of md5(msg) as an integer (== Spark/DuckDB
+ * conv(substring(md5(x),1,7),16,10): hex digests are byte-ordered, so
+ * 7 hex chars = the digest's top 28 bits) */
+static int64_t md5_prefix28(const uint8_t *msg, int64_t len)
+{
+    md5st st = {0x67452301u, 0xefcdab89u, 0x98badcfeu, 0x10325476u};
+    uint8_t tail[128];
+    int64_t i, full = len / 64, rem = len % 64, tl;
+    for (i = 0; i < full; i++)
+        md5_block(&st, msg + i * 64);
+    for (i = 0; i < rem; i++) tail[i] = msg[full * 64 + i];
+    tail[rem] = 0x80;
+    tl = (rem + 1 <= 56) ? 56 : 120;
+    for (i = rem + 1; i < tl; i++) tail[i] = 0;
+    {
+        uint64_t bits = (uint64_t)len * 8;
+        for (i = 0; i < 8; i++) tail[tl + i] = (uint8_t)(bits >> (8 * i));
+    }
+    md5_block(&st, tail);
+    if (tl == 120) md5_block(&st, tail + 64);
+    /* digest bytes: a,b,c,d little-endian; first 3.5 bytes */
+    {
+        uint8_t d0 = (uint8_t)(st.a), d1 = (uint8_t)(st.a >> 8),
+                d2 = (uint8_t)(st.a >> 16), d3 = (uint8_t)(st.a >> 24);
+        return ((int64_t)d0 << 20) | ((int64_t)d1 << 12)
+             | ((int64_t)d2 << 4) | ((int64_t)d3 >> 4);
+    }
+}
+
+/* Positional word n-gram hashes, the C form of
+ * positional_word_ngrams(...) + md5_int(gram):  the gram string
+ * array_join(slice(split(text,' '), i, n), ' ') is BYTE-IDENTICAL to
+ * the original text range [word_start[i], word_end[i+n-1]) (split on a
+ * literal single space re-joined with single spaces reproduces empty
+ * segments exactly), so the hash runs straight over the text buffer —
+ * no gram strings are ever built.  count_only=1: per-doc window counts
+ * only.  Otherwise fills pos (0-based window start) and h.  Returns
+ * total windows, -1 on cap overflow, -2 when n exceeds the ring. */
+long md5_word_grams(const unsigned char *texts, const int64_t *offs,
+                    long ndocs, long n, int count_only,
+                    int64_t *counts, int32_t *pos_out, int64_t *h_out,
+                    int64_t cap)
+{
+    int64_t total = 0;
+    int64_t ends_ring[512]; /* byte end of the last n word segments */
+    long di;
+    if (n < 1 || n >= 512)
+        return -2;
+    for (di = 0; di < ndocs; di++) {
+        const unsigned char *t = texts + offs[di];
+        int64_t len = offs[di + 1] - offs[di];
+        int64_t m = 1, i, wins;
+        for (i = 0; i < len; i++)
+            if (t[i] == ' ') m++;
+        wins = (m >= n) ? (m - n + 1) : 0;
+        counts[di] = wins;
+        if (count_only) { total += wins; continue; }
+        if (wins <= 0) continue;
+        if (total + wins > cap) return -1;
+        {
+            int64_t start = 0;  /* byte start of window k's first word */
+            int64_t e = 0;      /* scan cursor */
+            int64_t nwords = 0; /* word ends collected so far */
+            int64_t k = 0;      /* next window index */
+            while (k < wins) {
+                while (e < len && t[e] != ' ')
+                    e++;
+                ends_ring[nwords % n] = e; /* end of word `nwords` */
+                nwords++;
+                e++; /* past the space */
+                if (nwords >= n) {
+                    int64_t gend = ends_ring[(nwords - 1) % n];
+                    pos_out[total] = (int32_t)k;
+                    h_out[total] = md5_prefix28(t + start, gend - start);
+                    total++;
+                    k++;
+                    while (start < len && t[start] != ' ')
+                        start++;
+                    start++; /* next word begins after the space */
+                }
+            }
+        }
+    }
+    return (long)total;
+}
+
 """
 
 _CACHE_ROOT = os.environ.get("SPARK_GRAFT_NATIVE_DIR", "/tmp/spark_graft_native")
@@ -756,6 +1005,27 @@ def _build() -> ctypes.CDLL | None:
             ctypes.c_long,
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.avi_scan.restype = ctypes.c_long
+        lib.avi_scan.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_long,
+        ]
+        lib.md5_word_grams.restype = ctypes.c_long
+        lib.md5_word_grams.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_long,
+            ctypes.c_long,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
         ]
         return lib
     except Exception as exc:
@@ -999,3 +1269,80 @@ def jpeg_decode_scan_multi(
         zz[:] = 0
         return False
     return True
+
+
+_AVI_FRAME_CAP = 4096
+# per-process scratch: one avi_scan call at a time per worker (Spark
+# Python workers are single-threaded), so reusing the output buffers
+# removes the 64 KB of numpy allocations that dominated per-call cost
+_AVI_SCRATCH: tuple | None = None
+
+
+def avi_scan(buf: bytes):
+    """Native AVI container walk.  Returns
+    ``(w, h, usec_per_frame, handler_bytes, [(payload_off, size), ...])``
+    or ``None`` when the native library is unavailable or the walk hit
+    ANY anomaly — the caller must then run avi.parse_avi (pure Python)
+    so exception types and messages are byte-identical."""
+    global _AVI_SCRATCH
+    lib = get_lib()
+    if lib is None:
+        return None
+    if _AVI_SCRATCH is None:
+        meta = np.zeros(4, dtype=np.int64)
+        off = np.empty(_AVI_FRAME_CAP, dtype=np.int64)
+        size = np.empty(_AVI_FRAME_CAP, dtype=np.int64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        _AVI_SCRATCH = (
+            meta, off, size,
+            meta.ctypes.data_as(i64p),
+            off.ctypes.data_as(i64p),
+            size.ctypes.data_as(i64p),
+        )
+    meta, off, size, meta_p, off_p, size_p = _AVI_SCRATCH
+    rc = lib.avi_scan(buf, len(buf), meta_p, off_p, size_p, _AVI_FRAME_CAP)
+    if rc < 0:
+        return None
+    hv = int(meta[3])
+    handler = b"" if hv < 0 else hv.to_bytes(4, "little")
+    return (
+        int(meta[0]),
+        int(meta[1]),
+        int(meta[2]),
+        handler,
+        list(zip(off[:rc].tolist(), size[:rc].tolist())),
+    )
+
+
+def md5_word_grams(texts: bytes, offs: np.ndarray, n: int):
+    """Per-doc positional word-n-gram md5 hashes over a concatenated text
+    buffer (Arrow offsets layout).  Returns (counts, pos, h) with counts
+    int64[ndocs], pos int32[total], h int64[total] — or None when the
+    native library is unavailable (caller uses the Column-expression
+    path, which is the always-correct fallback)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ndocs = len(offs) - 1
+    counts = np.zeros(ndocs, dtype=np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
+    none_i32 = ctypes.cast(None, i32p)
+    total = lib.md5_word_grams(
+        texts, offs.ctypes.data_as(i64p), ndocs, n, 1,
+        counts.ctypes.data_as(i64p), none_i32,
+        ctypes.cast(None, i64p), 0,
+    )
+    if total < 0:
+        return None
+    pos = np.empty(int(total), dtype=np.int32)
+    h = np.empty(int(total), dtype=np.int64)
+    rc = lib.md5_word_grams(
+        texts, offs.ctypes.data_as(i64p), ndocs, n, 0,
+        counts.ctypes.data_as(i64p),
+        pos.ctypes.data_as(i32p), h.ctypes.data_as(i64p), int(total),
+    )
+    if rc != total:
+        return None
+    return counts, pos, h

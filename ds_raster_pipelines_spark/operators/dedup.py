@@ -232,10 +232,12 @@ def minhash_signatures(
                     readable, but builds the vocabulary through a single-
                     partition window: keep for small corpora / the legacy
                     oracle twin only, never for the 100 TB path."""
-    # no distinct: MinHash is duplicate-insensitive, and skipping it
-    # removes a full shuffle of word STRINGS — the signature pipeline's
-    # only remaining exchange is the (doc_id, j) groupBy of longs
-    return _signatures_from_words(tokenize(df, text_col, distinct=False), strategy)
+    # distinct=True: since r8 s4 the per-doc word SET is built map-side
+    # (array_distinct — no shuffle), so deduping before the hash is free
+    # and cuts the per-word-id hash work ~16x (md5 per distinct word per
+    # doc instead of per raw instance; min() over a set equals min() over
+    # its multiset, so signatures are identical by construction)
+    return _signatures_from_words(tokenize(df, text_col, distinct=True), strategy)
 
 
 def _signatures_from_words(words: DataFrame, strategy: str) -> DataFrame:
@@ -695,6 +697,97 @@ def positional_word_ngrams(
     )
 
 
+def _positional_gram_hashes(
+    df: DataFrame, n: int, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, pos, h): md5_int(hex_chars=7) of every positional word
+    n-gram — the gram stream duplicated_spans shuffles.
+
+    Fast path (r8 s4): one Arrow kernel hashes each gram DIRECTLY over
+    the original text bytes — ``array_join(slice(split(text,' '),i,n),
+    ' ')`` is byte-identical to the text range from word i's first byte
+    to word i+n-1's last (split on a literal single space re-joined with
+    single spaces reproduces empty segments exactly), so no gram string
+    is ever built and the md5 runs in C (native.md5_word_grams,
+    hashlib twin inside the kernel when the toolchain is absent — same
+    bytes, same digest, bit-identical by construction).  The Column-
+    expression form this replaces (positional_word_ngrams + md5_int)
+    measured 2.15 s of exact_substring_spans' 4.1 s at the sf1.0
+    replica; pytest pins kernel == expression on adversarial inputs."""
+    spark = df.sparkSession
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from .. import native as _native
+
+        import ctypes as _ct
+
+        for b in batches:
+            arr = b.column(1)
+            otype = (
+                np.int64
+                if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)
+                else np.int32
+            )
+            bufs = arr.buffers()
+            off = np.frombuffer(bufs[1], otype)[
+                arr.offset : arr.offset + len(arr) + 1
+            ].astype(np.int64, copy=False)
+            data = (
+                np.frombuffer(bufs[2], np.uint8)
+                if bufs[2] is not None
+                else np.zeros(1, np.uint8)
+            )
+            r = (
+                _native.md5_word_grams(
+                    data.ctypes.data_as(_ct.c_char_p), off, n
+                )
+                if not arr.null_count
+                else None
+            )
+            if r is None:
+                # hashlib twin — same bytes hashed, bit-identical; also
+                # the null-text path (a null explodes to ZERO gram rows
+                # in the expression form, so null rows are skipped)
+                import hashlib as _hl
+
+                counts_l, pos_l, h_l = [], [], []
+                raw = data.tobytes()
+                valid = (
+                    arr.is_valid().to_numpy(zero_copy_only=False)
+                    if arr.null_count
+                    else np.ones(len(arr), dtype=bool)
+                )
+                for k in range(len(arr)):
+                    if not valid[k]:
+                        counts_l.append(0)
+                        continue
+                    t = raw[off[k] : off[k + 1]]
+                    ws = t.split(b" ")
+                    wins = max(0, len(ws) - n + 1)
+                    counts_l.append(wins)
+                    for i in range(wins):
+                        gbytes = b" ".join(ws[i : i + n])
+                        pos_l.append(i)
+                        h_l.append(int(_hl.md5(gbytes).hexdigest()[:7], 16))
+                counts = np.asarray(counts_l, dtype=np.int64)
+                pos = np.asarray(pos_l, dtype=np.int32)
+                h = np.asarray(h_l, dtype=np.int64)
+            else:
+                counts, pos, h = r
+            doc = np.repeat(b.column(0).to_numpy(zero_copy_only=False), counts)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(doc), pa.array(pos), pa.array(h)],
+                names=["doc_id", "pos", "h"],
+            )
+
+    return df.select("doc_id", text_col).mapInArrow(
+        kernel, schema="doc_id long, pos int, h long"
+    )
+
+
 def duplicated_spans(
     df: DataFrame,
     n: int = 8,
@@ -719,11 +812,7 @@ def duplicated_spans(
     so no single-partition stage anywhere. Windows coalesce when the
     next start is ≤ prev start + n (their token ranges touch), making
     dup_tokens exact under overlap."""
-    from ..functions.hashing import md5_int
-
-    g = positional_word_ngrams(df, n, text_col).select(
-        "doc_id", "pos", md5_int(F.col("gram")).alias("h")
-    )
+    g = _positional_gram_hashes(df, n, text_col)
     # ONE pass over the gram stream: count-over-window keyed on h, filter
     # cnt >= min_count.  Membership is identical to the r7 two-sided form
     # (count agg on h -> broadcast the duplicated hashes -> join back),

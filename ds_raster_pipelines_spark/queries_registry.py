@@ -2796,13 +2796,21 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min gap): lag + running sum over
     PER-KEY windows (one shuffle on user_id, no global window); per-user
     session census. The batch form of session_window streaming."""
+    from pyspark.sql import Window
+
     from .operators.timeseries import sessionize
 
     ev = _pq(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
     s = sessionize(ev, gap_minutes=30, order_cols=["event_id"])
-    per_sess = s.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n"))
+    # per-session size as a WINDOW over (user_id, session_id): hash
+    # partitioning on user_id (already established by the sessionize
+    # window) satisfies the clustered distribution on the superset key,
+    # so the count, the old groupBy+join-back pair and the final per-user
+    # aggregate all ride ONE exchange (r8 s4; was 4 exchanges and the
+    # sessionize subtree computed twice).
+    w_sess = Window.partitionBy("user_id", "session_id")
     return (
-        s.join(per_sess, ["user_id", "session_id"])
+        s.withColumn("n", F.count(F.lit(1)).over(w_sess))
         .groupBy("user_id")
         .agg(
             F.max("session_id").alias("n_sessions"),

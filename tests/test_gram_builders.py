@@ -109,3 +109,31 @@ def test_char_ngrams_multiset_keeps_repeats(docs):
     )
     counts = {r["g"]: r["count"] for r in rows}
     assert counts["abc"] == 3 and counts["bca"] == 2 and counts["cab"] == 2
+
+
+@pytest.mark.parametrize("n", [2, 8])
+def test_positional_gram_hashes_matches_expression(docs, n):
+    """The C/Arrow gram-hash kernel (_positional_gram_hashes) must equal
+    the Column-expression form positional_word_ngrams + md5_int on every
+    adversarial text (empties, doubled/leading/trailing spaces, repeats,
+    multi-byte UTF-8, nulls) — and again with the native library forced
+    off (hashlib twin)."""
+    from ds_raster_pipelines_spark import native
+    from ds_raster_pipelines_spark.functions.hashing import md5_int
+    from ds_raster_pipelines_spark.operators.dedup import (
+        _positional_gram_hashes,
+        positional_word_ngrams,
+    )
+
+    expected = _sorted(
+        positional_word_ngrams(docs, n).select(
+            "doc_id", "pos", md5_int(F.col("gram")).alias("h")
+        )
+    )
+    assert _sorted(_positional_gram_hashes(docs, n)) == expected
+    saved = native._lib
+    native._lib = None
+    try:
+        assert _sorted(_positional_gram_hashes(docs, n)) == expected
+    finally:
+        native._lib = saved

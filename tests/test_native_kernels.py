@@ -234,3 +234,76 @@ def test_decode_jpeg_batch_stats_odd_dims():
         for px in (J.decode_jpeg(s) for s in streams)
     ]
     assert got == want
+
+
+def _parse_avi_python(blob: bytes):
+    from ds_raster_pipelines_spark import avi
+
+    saved = native._lib
+    native._lib = None
+    try:
+        return avi.parse_avi(blob)
+    finally:
+        native._lib = saved
+
+
+def test_native_avi_scan_parity_and_truncation():
+    """native.avi_scan == parse_avi on real MJPG/DCT containers, and on
+    EVERY truncation prefix it either falls back (None -> Python decides,
+    trivially identical) or returns exactly what Python returns — the
+    native path must never succeed where Python raises."""
+    from ds_raster_pipelines_spark import avi
+
+    rng = np.random.default_rng(7)
+    frames = [
+        rng.integers(0, 256, size=(24, 32), dtype=np.uint8) for _ in range(5)
+    ]
+    blobs = [
+        avi.encode_avi_mjpeg(frames, fps=10, quality=90),
+        avi.encode_avi_dct(frames, fps=25),
+    ]
+    for blob in blobs:
+        m = _parse_avi_python(blob)
+        r = native.avi_scan(blob)
+        if r is None:  # no toolchain: fallback covers everything
+            continue
+        w, h, usec, handler, fr = r
+        fps = round(1_000_000 / usec) if usec else 0
+        assert (w, h, fps, handler, fr) == (m.w, m.h, m.fps, m.handler, m.frames)
+        for cut in list(range(0, 120)) + list(range(120, len(blob), 13)):
+            t = blob[:cut]
+            rt = native.avi_scan(t)
+            if rt is None:
+                continue
+            mt = _parse_avi_python(t)  # must not raise if native succeeded
+            wt, ht, usect, handlert, frt = rt
+            fpst = round(1_000_000 / usect) if usect else 0
+            assert (wt, ht, fpst, handlert, frt) == (
+                mt.w, mt.h, mt.fps, mt.handler, mt.frames,
+            )
+
+
+def test_native_avi_scan_flag_byte_corruption():
+    """Flipping single bytes across the header/index region: native must
+    fall back or agree with Python on every corrupted variant."""
+    from ds_raster_pipelines_spark import avi
+
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, size=(16, 16), dtype=np.uint8) for _ in range(3)]
+    blob = bytearray(avi.encode_avi_mjpeg(frames, fps=10, quality=90))
+    hdr_end = min(len(blob), 400)
+    for pos in range(0, hdr_end):
+        for flip in (0xFF, 0x01):
+            b = bytes(blob[:pos] + bytes([blob[pos] ^ flip]) + blob[pos + 1:])
+            r = native.avi_scan(b)
+            if r is None:
+                continue
+            try:
+                m = _parse_avi_python(b)
+            except Exception as exc:  # pragma: no cover - parity violation
+                raise AssertionError(
+                    f"native succeeded where python raises at byte {pos}: {exc}"
+                )
+            w, h, usec, handler, fr = r
+            fps = round(1_000_000 / usec) if usec else 0
+            assert (w, h, fps, handler, fr) == (m.w, m.h, m.fps, m.handler, m.frames)
