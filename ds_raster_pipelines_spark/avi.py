@@ -329,6 +329,55 @@ def decode_avi_frames_multi(
     return out
 
 
+def frame_stats_arrow(
+    off: "np.ndarray", data: "np.ndarray", every_n: int = 1, offset: int = 0
+) -> list[list[tuple[int, int]]]:
+    """frame_stats_multi straight off an Arrow binary column's zero-copy
+    (offsets, data) views: the container walk runs via the native scan's
+    pointer form (no per-blob bytes object is ever created; only the
+    sampled frames' payload bytes are copied for the JPEG batch), and
+    per-blob results are identical to frame_stats_multi (pytest-pinned).
+    Python fallback per blob on any native anomaly — exact errors."""
+    from . import native
+
+    base = data.ctypes.data
+    out: list[list] = []
+    mj_payloads: list[bytes] = []
+    mj_slots: list[tuple[int, int]] = []
+    for idx in range(len(off) - 1):
+        o0, o1 = int(off[idx]), int(off[idx + 1])
+        r = native.avi_scan((base + o0, o1 - o0))
+        if r is None:
+            meta = parse_avi(bytes(data[o0:o1]))  # canonical errors
+            handler, frames = meta.handler, meta.frames
+        else:
+            _w, _h, _usec, handler, frames = r
+        sel = frames[offset::every_n]
+        if handler == _FOURCC_MJPG:
+            out.append([None] * len(sel))
+            for j, (d, s) in enumerate(sel):
+                mj_payloads.append(data[o0 + d : o0 + d + s].tobytes())
+                mj_slots.append((idx, j))
+        elif handler == _FOURCC_HANDLER:
+            from . import codecs
+
+            lst = []
+            for d, s in sel:
+                px = codecs.decode_dct(data[o0 + d : o0 + d + s].tobytes())
+                lst.append((px.size, int(px.sum(dtype=np.int64))))
+            out.append(lst)
+        else:
+            raise NotImplementedError(
+                f"AVI stream handler {handler!r} not available in this environment"
+            )
+    if mj_payloads:
+        from . import jpeg
+
+        for (idx, j), st in zip(mj_slots, jpeg.decode_jpeg_batch_stats(mj_payloads)):
+            out[idx][j] = st
+    return out
+
+
 def frame_stats_multi(
     bufs: list[bytes], every_n: int = 1, offset: int = 0
 ) -> list[list[tuple[int, int]]]:

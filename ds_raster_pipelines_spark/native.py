@@ -1278,8 +1278,10 @@ _AVI_FRAME_CAP = 4096
 _AVI_SCRATCH: tuple | None = None
 
 
-def avi_scan(buf: bytes):
-    """Native AVI container walk.  Returns
+def avi_scan(buf):
+    """Native AVI container walk over ``bytes`` or an
+    ``(address, length)`` tuple pointing into a pinned buffer (an Arrow
+    data buffer held alive by the caller).  Returns
     ``(w, h, usec_per_frame, handler_bytes, [(payload_off, size), ...])``
     or ``None`` when the native library is unavailable or the walk hit
     ANY anomaly — the caller must then run avi.parse_avi (pure Python)
@@ -1300,7 +1302,13 @@ def avi_scan(buf: bytes):
             size.ctypes.data_as(i64p),
         )
     meta, off, size, meta_p, off_p, size_p = _AVI_SCRATCH
-    rc = lib.avi_scan(buf, len(buf), meta_p, off_p, size_p, _AVI_FRAME_CAP)
+    if isinstance(buf, tuple):  # (base_address, length): zero-copy form
+        addr, blen = buf
+        rc = lib.avi_scan(
+            ctypes.c_char_p(addr), blen, meta_p, off_p, size_p, _AVI_FRAME_CAP
+        )
+    else:
+        rc = lib.avi_scan(buf, len(buf), meta_p, off_p, size_p, _AVI_FRAME_CAP)
     if rc < 0:
         return None
     hv = int(meta[3])

@@ -643,25 +643,47 @@ def video_frame_stats(media: DataFrame, every_n: int = 2) -> DataFrame:
     line results up with the source timeline. ONE Python stage, flatMap
     shape (one blob row → k frame rows)."""
     from .. import avi
+    from .images import _binary_offsets_data
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {"i": [], "frame_idx": [], "n_px": [], "sum_px": []}
-            blobs = [bytes(b) for b in pdf["bytes"]]
-            # handler-dispatched, batched across the whole Arrow batch;
-            # MJPG sums come straight out of the native IDCT
-            # (avi.frame_stats_multi) — no per-frame pixel arrays or
-            # numpy sum dispatches in this loop (r8)
-            for i, stats in zip(pdf["i"], avi.frame_stats_multi(blobs, every_n)):
-                ii = int(i)
-                for j, (npx, spx) in enumerate(stats):
-                    out["i"].append(ii)
-                    out["frame_idx"].append(j * every_n)
-                    out["n_px"].append(npx)
-                    out["sum_px"].append(spx)
-            yield pd.DataFrame(out)
+    # mapInArrow, not mapInPandas (r8 s4): the pandas conversion built a
+    # Python bytes object per blob before the kernel even ran; the Arrow
+    # form hands the container walk zero-copy (offsets, data) views and
+    # only the sampled frames' payloads are ever copied.  Output columns
+    # are assembled as numpy arrays (repeat + cumcount), no per-frame
+    # Python appends.
+    def kernel(batches):
+        import pyarrow as pa
 
-    return media.mapInPandas(kernel, schema=VIDEO_FRAME_STATS_SCHEMA)
+        for b in batches:
+            names = b.schema.names
+            off, data = _binary_offsets_data(b.column(names.index("bytes")))
+            ids = b.column(names.index("i")).to_numpy(zero_copy_only=False)
+            stats = avi.frame_stats_arrow(off, data, every_n)
+            counts = np.fromiter(
+                (len(s) for s in stats), dtype=np.int64, count=len(stats)
+            )
+            total = int(counts.sum())
+            starts = np.repeat(np.cumsum(counts) - counts, counts)
+            frame_idx = (np.arange(total, dtype=np.int64) - starts) * every_n
+            npx = np.fromiter(
+                (x[0] for s in stats for x in s), dtype=np.int64, count=total
+            )
+            spx = np.fromiter(
+                (x[1] for s in stats for x in s), dtype=np.int64, count=total
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(ids, counts)),
+                    pa.array(frame_idx.astype(np.int32)),
+                    pa.array(npx),
+                    pa.array(spx),
+                ],
+                names=["i", "frame_idx", "n_px", "sum_px"],
+            )
+
+    return media.select("i", "bytes").mapInArrow(
+        kernel, schema=VIDEO_FRAME_STATS_SCHEMA
+    )
 
 
 # --------------------------------------------- graded mp2 (Layer II) path ---

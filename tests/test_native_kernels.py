@@ -307,3 +307,34 @@ def test_native_avi_scan_flag_byte_corruption():
             w, h, usec, handler, fr = r
             fps = round(1_000_000 / usec) if usec else 0
             assert (w, h, fps, handler, fr) == (m.w, m.h, m.fps, m.handler, m.frames)
+
+
+def test_frame_stats_arrow_equals_multi():
+    """frame_stats_arrow over Arrow (offsets, data) views == the
+    list-of-bytes frame_stats_multi, for MJPG and DCT handlers, all
+    sampling phases, and with the native library forced off."""
+    import pyarrow as pa
+
+    from ds_raster_pipelines_spark import avi
+    from ds_raster_pipelines_spark.sources.images import _binary_offsets_data
+
+    rng = np.random.default_rng(3)
+    blobs = []
+    for k in range(6):
+        frames = [
+            rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+            for _ in range(2 + k % 3)
+        ]
+        enc = avi.encode_avi_mjpeg if k % 2 else avi.encode_avi_dct
+        blobs.append(enc(frames, fps=10))
+    arr = pa.array(blobs, type=pa.binary())
+    off, data = _binary_offsets_data(arr)
+    for every_n, offset in ((1, 0), (2, 0), (2, 1), (3, 1)):
+        expect = avi.frame_stats_multi(blobs, every_n, offset)
+        assert avi.frame_stats_arrow(off, data, every_n, offset) == expect
+        saved = native._lib
+        native._lib = None
+        try:
+            assert avi.frame_stats_arrow(off, data, every_n, offset) == expect
+        finally:
+            native._lib = saved
