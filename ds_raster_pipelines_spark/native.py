@@ -754,6 +754,69 @@ long avi_scan(const unsigned char *d, int64_t n,
     return nf;
 }
 
+/* Separable bilinear resample over a stack of same-shape uint8 tiles:
+ * the gather/lerp passes of operators/raster.bilinear_resample with the
+ * index/fraction tables PRECOMPUTED BY THE CALLER from the exact numpy
+ * expressions — C only replays  lo_v + (hi_v - lo_v) * frac  per element
+ * in f64 (row axis first, then cols; -ffp-contract=off, so every
+ * multiply-add rounds exactly like numpy and results are bit-identical,
+ * pytest-pinned).  tmp: caller scratch of out_h*w doubles. */
+long bilinear_stack(const unsigned char *px, long n, long h, long w,
+                    const int64_t *lo_y, const int64_t *hi_y,
+                    const double *fr_y, long out_h,
+                    const int64_t *lo_x, const int64_t *hi_x,
+                    const double *fr_x, long out_w,
+                    double *tmp, double *out)
+{
+    long t, y, x;
+    for (t = 0; t < n; t++) {
+        const unsigned char *a = px + t * h * w;
+        double *o = out + t * out_h * out_w;
+        for (y = 0; y < out_h; y++) {
+            const unsigned char *rlo = a + lo_y[y] * w;
+            const unsigned char *rhi = a + hi_y[y] * w;
+            double f = fr_y[y];
+            double *tr = tmp + y * w;
+            for (x = 0; x < w; x++) {
+                double lv = (double)rlo[x];
+                double hv = (double)rhi[x];
+                tr[x] = lv + (hv - lv) * f;
+            }
+        }
+        for (y = 0; y < out_h; y++) {
+            const double *tr = tmp + y * w;
+            double *orow = o + y * out_w;
+            for (x = 0; x < out_w; x++) {
+                double lv = tr[lo_x[x]];
+                double hv = tr[hi_x[x]];
+                orow[x] = lv + (hv - lv) * fr_x[x];
+            }
+        }
+    }
+    return 0;
+}
+
+/* Per-segment intensity histograms over a binary column's data buffer:
+ * for segment k (bytes [bounds[2k], bounds[2k+1])), count byte >> shift
+ * into out[k*bins .. k*bins+bins).  Integer counts — exact by nature. */
+long hist_segments(const unsigned char *data, const int64_t *bounds,
+                   long nseg, long shift, long bins, int64_t *out)
+{
+    long k;
+    int64_t i;
+    for (k = 0; k < nseg; k++) {
+        int64_t *h = out + k * bins;
+        int64_t b0 = bounds[2 * k], b1 = bounds[2 * k + 1];
+        for (i = b0; i < b1; i++) {
+            long v = data[i] >> shift;
+            if (v >= bins)
+                return -1; /* shift/bins mismatch */
+            h[v]++;
+        }
+    }
+    return 0;
+}
+
 /* ---- MD5 (RFC 1321, from-scratch reference implementation) -------- */
 typedef struct { uint32_t a, b, c, d; } md5st;
 static const uint32_t MD5K[64] = {
@@ -1014,6 +1077,32 @@ def _build() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
             ctypes.c_long,
+        ]
+        lib.hist_segments.restype = ctypes.c_long
+        lib.hist_segments.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_long,
+            ctypes.c_long,
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.bilinear_stack.restype = ctypes.c_long
+        lib.bilinear_stack.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_long,
+            ctypes.c_long,
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
         ]
         lib.md5_word_grams.restype = ctypes.c_long
         lib.md5_word_grams.argtypes = [
@@ -1354,3 +1443,43 @@ def md5_word_grams(texts: bytes, offs: np.ndarray, n: int):
     if rc != total:
         return None
     return counts, pos, h
+
+
+def bilinear_stack(px: np.ndarray, tabs: tuple, out: np.ndarray, tmp: np.ndarray) -> bool:
+    """C separable bilinear over a (n, h, w) uint8 stack into the (n,
+    out_h, out_w) float64 ``out`` using precomputed (lo_y, hi_y, fr_y,
+    lo_x, hi_x, fr_x) gather tables.  False = library unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    lo_y, hi_y, fr_y, lo_x, hi_x, fr_x = tabs
+    n, h, w = px.shape
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.bilinear_stack(
+        px.ctypes.data_as(ctypes.c_char_p), n, h, w,
+        lo_y.ctypes.data_as(i64p), hi_y.ctypes.data_as(i64p),
+        fr_y.ctypes.data_as(f64p), out.shape[1],
+        lo_x.ctypes.data_as(i64p), hi_x.ctypes.data_as(i64p),
+        fr_x.ctypes.data_as(f64p), out.shape[2],
+        tmp.ctypes.data_as(f64p), out.ctypes.data_as(f64p),
+    )
+    return True
+
+
+def hist_segments(
+    data: np.ndarray, bounds: np.ndarray, shift: int, bins: int, out: np.ndarray
+) -> bool:
+    """Per-segment byte>>shift histograms into out[nseg, bins] (int64,
+    caller-zeroed).  False = unavailable/mismatch, caller falls back."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.hist_segments(
+        data.ctypes.data_as(ctypes.c_char_p),
+        bounds.ctypes.data_as(i64p),
+        out.shape[0], shift, bins,
+        out.ctypes.data_as(i64p),
+    )
+    return rc == 0

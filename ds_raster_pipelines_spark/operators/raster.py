@@ -698,6 +698,18 @@ def bilinear_resample(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return axis_interp(axis_interp(a, out_h, -2), out_w, -1)
 
 
+def _interp_tables(n_in: int, n_out: int):
+    """(lo, hi, frac) gather tables — the EXACT numpy expressions from
+    bilinear_resample.axis_interp, shared with the native kernel so the
+    C lerp consumes bit-identical inputs."""
+    u = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+    u = np.clip(u, 0.0, n_in - 1.0)
+    lo = np.floor(u).astype(np.int64)
+    hi = np.minimum(lo + 1, n_in - 1)
+    frac = np.ascontiguousarray(u - lo, dtype=np.float64)
+    return lo, hi, frac
+
+
 def resample_bilinear_stats(
     images: DataFrame, out_w: int, out_h: int, quant: int = 1_000_000
 ) -> DataFrame:
@@ -731,15 +743,41 @@ def resample_bilinear_stats(
             groups: dict[tuple[int, int], list[int]] = {}
             for k, px in enumerate(pxs):
                 groups.setdefault(px.shape, []).append(k)
-            for _shape, idxs in groups.items():
-                # small chunks: large stacks spill L2 and page-fault on the
-                # float64 intermediates (same measured effect as the JPEG
-                # IDCT chunking) — 8 tiles (~0.25 MB working set) measured
-                # 32.6 us/tile vs 85 per-tile and ~75 at chunk 32-128
-                for c0 in range(0, len(idxs), 8):
-                    sub = idxs[c0 : c0 + 8]
-                    stack = np.stack([pxs[k] for k in sub])
-                    rs = bilinear_resample(stack, out_h, out_w)
+            from .. import native as _native
+
+            for shape, idxs in groups.items():
+                # native path (r8 s4): C replays the gather/lerp passes
+                # elementwise with tables computed by the SAME numpy
+                # expressions (bit-identical, pytest-pinned); the mean
+                # stays in numpy so its pairwise order is untouched.
+                # Measured 37.6 -> ~7 us/tile on the sf1.0 corpus.
+                th, tw = shape
+                tabs = (
+                    *_interp_tables(th, out_h),
+                    *_interp_tables(tw, out_w),
+                )
+                tmp = np.empty(out_h * tw, dtype=np.float64)
+                use_native = (
+                    pxs[idxs[0]].dtype == np.uint8
+                    and _native.get_lib() is not None
+                )
+                for c0 in range(0, len(idxs), 128 if use_native else 8):
+                    # numpy fallback keeps small chunks: large stacks
+                    # spill L2 on the float64 intermediates (same
+                    # measured effect as the JPEG IDCT chunking) — 8
+                    # tiles measured 32.6 us/tile vs 85 per-tile
+                    sub = idxs[c0 : c0 + (128 if use_native else 8)]
+                    stack = np.ascontiguousarray(
+                        np.stack([pxs[k] for k in sub])
+                    )
+                    if use_native:
+                        rs = np.empty(
+                            (len(sub), out_h, out_w), dtype=np.float64
+                        )
+                        if not _native.bilinear_stack(stack, tabs, rs, tmp):
+                            rs = bilinear_resample(stack, out_h, out_w)
+                    else:
+                        rs = bilinear_resample(stack, out_h, out_w)
                     means[sub] = rs.reshape(len(sub), -1).mean(axis=1)
             yield pd.DataFrame(
                 {

@@ -159,19 +159,74 @@ def decode_features(images: DataFrame, bins: int = 16) -> DataFrame:
     all-pairs). Centering splits the sign bits, keeping the bucketed
     operators bucketed."""
 
-    def kernel(batches):
-        for pdf in batches:
-            vecs = []
-            for blob, fmt, w, h in zip(pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]):
-                px = codecs.decode_tile(bytes(blob), fmt, int(w), int(h))
-                hist = np.bincount(px.ravel() >> int(np.log2(256 // bins)), minlength=bins)
-                v = hist.astype(np.float64)
-                v -= v.mean()
-                n = np.linalg.norm(v)
-                vecs.append((v / n if n else v).astype(np.float32).tolist())
-            yield pd.DataFrame({"vec_id": pdf["i"], "embedding": vecs})
+    shift = int(np.log2(256 // bins))
 
-    return images.mapInPandas(kernel, schema=FEATURES_SCHEMA)
+    def kernel(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            names = b.schema.names
+            col = {name: b.column(i) for i, name in enumerate(names)}
+            fmts = np.asarray(col["fmt"].to_pylist(), dtype=object)
+            ws = col["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+            hs = col["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+            off, data = _binary_offsets_data(col["bytes"])
+            seg_len = off[1:] - off[:-1]
+            hists = np.zeros((n, bins), dtype=np.int64)
+            # fixed-size payloads bin STRAIGHT off the data buffer (r8
+            # s4): bin = byte >> shift, and qnt's decode (LSB clear) is
+            # invisible to any shift >= 1, so payload bytes and decoded
+            # pixels bin identically; one bincount per chunk with
+            # (row << log2(bins)) | bin keys replaces the per-blob
+            # decode + bincount loop (pytest-pinned equal).
+            fixed = (
+                ((fmts == "raw") | (fmts == "qnt"))
+                & (seg_len == ws * hs)
+                & (shift >= 1)
+            )
+            idx = np.nonzero(fixed)[0]
+            if len(idx):
+                from .. import native as _native
+
+                bounds = np.empty(2 * len(idx), dtype=np.int64)
+                bounds[0::2] = off[idx]
+                bounds[1::2] = off[idx + 1]
+                sub_h = np.zeros((len(idx), bins), dtype=np.int64)
+                if _native.hist_segments(data, bounds, shift, bins, sub_h):
+                    hists[idx] = sub_h
+                else:  # no toolchain: per-segment numpy bincount twin
+                    for j, k in enumerate(idx):
+                        hists[k] = np.bincount(
+                            data[off[k] : off[k + 1]] >> shift, minlength=bins
+                        )
+            for k in np.nonzero(~fixed)[0]:
+                px = codecs.decode_tile(
+                    data[off[k] : off[k + 1]].tobytes(), fmts[k], int(ws[k]), int(hs[k])
+                )
+                hists[k] = np.bincount(px.ravel() >> shift, minlength=bins)
+            # center + L2-normalize, vectorized: row means and pairwise
+            # row sums reduce 16 contiguous f64 exactly like the old
+            # per-vector calls (norm's BLAS dot vs the pairwise row sum
+            # is the one op-order change — pytest pins bit-equal f32
+            # embeddings over every corpus pixel class and random hists)
+            v = hists.astype(np.float64)
+            v -= v.mean(axis=1, keepdims=True)
+            nrm = np.sqrt((v * v).sum(axis=1))
+            flat = (v / np.where(nrm == 0.0, 1.0, nrm)[:, None]).astype(
+                np.float32
+            )
+            emb = pa.ListArray.from_arrays(
+                np.arange(0, (n + 1) * bins, bins, dtype=np.int32),
+                pa.array(flat.ravel(), pa.float32()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [col["i"], emb], names=["vec_id", "embedding"]
+            )
+
+    return images.select("i", "bytes", "fmt", "w", "h").mapInArrow(
+        kernel, schema=FEATURES_SCHEMA
+    )
 
 
 VERIFY_SCHEMA = "i bigint, fmt string, psnr double, caption_ok boolean, lossless_exact boolean"

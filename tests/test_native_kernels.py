@@ -338,3 +338,97 @@ def test_frame_stats_arrow_equals_multi():
             assert avi.frame_stats_arrow(off, data, every_n, offset) == expect
         finally:
             native._lib = saved
+
+
+def test_native_bilinear_stack_bitexact():
+    """C bilinear_stack == numpy bilinear_resample bit-for-bit on random
+    uint8 stacks across shapes/ratios (upsample, downsample, identity,
+    non-integer)."""
+    from ds_raster_pipelines_spark.operators.raster import (
+        _interp_tables,
+        bilinear_resample,
+    )
+
+    if native.get_lib() is None:
+        pytest.skip("no toolchain: numpy path is the only path")
+    rng = np.random.default_rng(5)
+    for (h, w), (oh, ow) in [
+        ((64, 64), (48, 48)),
+        ((64, 64), (64, 64)),
+        ((16, 24), (31, 7)),
+        ((7, 5), (13, 11)),
+        ((1, 1), (3, 3)),
+    ]:
+        px = rng.integers(0, 256, size=(9, h, w), dtype=np.uint8)
+        expect = bilinear_resample(px, oh, ow)
+        out = np.empty((9, oh, ow), dtype=np.float64)
+        tmp = np.empty(oh * w, dtype=np.float64)
+        tabs = (*_interp_tables(h, oh), *_interp_tables(w, ow))
+        assert native.bilinear_stack(px, tabs, out, tmp)
+        assert np.array_equal(out, expect), (h, w, oh, ow)
+
+
+def test_decode_features_vectorized_bitexact():
+    """The vectorized decode_features inner math (payload-direct C
+    histogram + batched center/normalize) must produce bit-identical
+    float32 embeddings to the original per-tile loop (decode_tile +
+    bincount + per-vector mean/norm), over every corpus pixel class and
+    random histograms."""
+    from ds_raster_pipelines_spark import corpus
+
+    bins, shift = 16, 4
+
+    def old_embed(px):
+        hist = np.bincount(px.ravel() >> shift, minlength=bins)
+        v = hist.astype(np.float64)
+        v -= v.mean()
+        nrm = np.linalg.norm(v)
+        return (v / nrm if nrm else v).astype(np.float32)
+
+    hists = []
+    expect = []
+    for c in range(97):
+        px = corpus.pixels_for(c)
+        expect.append(old_embed(px))
+        hists.append(np.bincount(px.ravel() >> shift, minlength=bins))
+    rng = np.random.default_rng(13)
+    for _ in range(200):
+        h = rng.integers(0, 5000, size=bins)
+        v = h.astype(np.float64)
+        v -= v.mean()
+        nrm = np.linalg.norm(v)
+        expect.append((v / nrm if nrm else v).astype(np.float32))
+        hists.append(h)
+    hists.append(np.zeros(bins, dtype=np.int64))  # zero-norm row
+    v = np.zeros(bins, dtype=np.float64)
+    expect.append(v.astype(np.float32))
+
+    m = np.asarray(hists, dtype=np.int64)
+    v = m.astype(np.float64)
+    v -= v.mean(axis=1, keepdims=True)
+    nrm = np.sqrt((v * v).sum(axis=1))
+    flat = (v / np.where(nrm == 0.0, 1.0, nrm)[:, None]).astype(np.float32)
+    assert np.array_equal(flat, np.asarray(expect))
+
+    # C histogram == decode+bincount for raw AND qnt payloads (the LSB
+    # clear is invisible to any shift >= 1)
+    if native.get_lib() is not None:
+        from ds_raster_pipelines_spark import codecs
+
+        blobs = [corpus.pixels_for(c).tobytes() for c in range(5)]
+        data = np.frombuffer(b"".join(blobs), np.uint8)
+        bounds = np.zeros(2 * len(blobs), dtype=np.int64)
+        lens = np.cumsum([len(x) for x in blobs])
+        bounds[1::2] = lens
+        bounds[2::2] = lens[:-1]
+        out = np.zeros((len(blobs), bins), dtype=np.int64)
+        assert native.hist_segments(data, bounds, shift, bins, out)
+        for k, blob in enumerate(blobs):
+            px_raw = codecs.decode_tile(blob, "raw", 64, 64)
+            assert np.array_equal(
+                out[k], np.bincount(px_raw.ravel() >> shift, minlength=bins)
+            )
+            px_qnt = codecs.decode_tile(blob, "qnt", 64, 64)
+            assert np.array_equal(
+                out[k], np.bincount(px_qnt.ravel() >> shift, minlength=bins)
+            )
