@@ -473,6 +473,7 @@ def pixel_histogram(images: DataFrame) -> DataFrame:
                 names=["value", "n_px"],
             )
 
+    images = images.select("bytes", "fmt", "w", "h")  # §4.1: opaque kernel
     partial = images.mapInArrow(kernel, schema="value int, n_px bigint")
     return partial.groupBy("value").agg(F.sum("n_px").alias("n_px"))
 
@@ -583,6 +584,7 @@ def coarsen_histogram(images: DataFrame, factor: int = 2, quant: int = 1000) -> 
                 names=["value_milli", "n_px"],
             )
 
+    images = images.select("bytes", "fmt", "w", "h")  # §4.1: opaque kernel
     partial = images.mapInArrow(kernel, schema="value_milli bigint, n_px bigint")
     return partial.groupBy("value_milli").agg(F.sum("n_px").alias("n_px"))
 
@@ -788,7 +790,7 @@ def resample_bilinear_stats(
                 }
             )
 
-    return images.mapInPandas(
+    return images.select("i", "bytes", "fmt", "w", "h").mapInPandas(
         kernel, schema="i bigint, w2 int, h2 int, rs_mean_q bigint"
     )
 
@@ -900,7 +902,9 @@ def reproject_webmercator_sum256(images: DataFrame, quant_bits: int = 8) -> Data
                 out_s.append(int(np.rint(rp.sum() * 256.0)))
             yield pd.DataFrame({"i": out_i, "rp_sum_256": out_s})
 
-    return images.mapInPandas(kernel, schema="i bigint, rp_sum_256 bigint")
+    return images.select("i", "bytes", "fmt", "w", "h", "lat_top").mapInPandas(
+        kernel, schema="i bigint, rp_sum_256 bigint"
+    )
 
 
 def zonal_quantiles(
