@@ -885,6 +885,41 @@ static int64_t md5_prefix28(const uint8_t *msg, int64_t len)
     }
 }
 
+/* Per-doc MinHash signatures, the C form of the md5-strategy
+ * tokenize -> md5_int(word) -> groupBy(doc).min((a_j*wid+b_j) %% p)
+ * chain: words are the nonempty ' '-split segments of the text range
+ * (duplicates don't move a min, so no dedup is needed); wid is the
+ * 28-bit md5 hex prefix, identical to Spark/DuckDB md5 arithmetic.
+ * out: ndocs*k int64, caller-filled with -1 (-1 survives = no words,
+ * the expression form emits no row for such docs). */
+long minhash_doc_sigs(const unsigned char *texts, const int64_t *offs,
+                      long ndocs, const int64_t *pa, const int64_t *pb,
+                      long k, int64_t p, int64_t *out)
+{
+    long di, j;
+    for (di = 0; di < ndocs; di++) {
+        const unsigned char *t = texts + offs[di];
+        int64_t len = offs[di + 1] - offs[di];
+        int64_t *o = out + di * k;
+        int64_t s = 0, e;
+        while (s <= len) {
+            e = s;
+            while (e < len && t[e] != ' ')
+                e++;
+            if (e > s) { /* nonempty word */
+                int64_t wid = md5_prefix28(t + s, e - s);
+                for (j = 0; j < k; j++) {
+                    int64_t v = (pa[j] * wid + pb[j]) % p;
+                    if (o[j] < 0 || v < o[j])
+                        o[j] = v;
+                }
+            }
+            s = e + 1;
+        }
+    }
+    return 0;
+}
+
 /* Positional word n-gram hashes, the C form of
  * positional_word_ngrams(...) + md5_int(gram):  the gram string
  * array_join(slice(split(text,' '), i, n), ' ') is BYTE-IDENTICAL to
@@ -1103,6 +1138,17 @@ def _build() -> ctypes.CDLL | None:
             ctypes.c_long,
             ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.minhash_doc_sigs.restype = ctypes.c_long
+        lib.minhash_doc_sigs.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_long,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
         ]
         lib.md5_word_grams.restype = ctypes.c_long
         lib.md5_word_grams.argtypes = [
@@ -1483,3 +1529,23 @@ def hist_segments(
         out.ctypes.data_as(i64p),
     )
     return rc == 0
+
+
+def minhash_doc_sigs(texts, offs: np.ndarray, pa: np.ndarray, pb: np.ndarray, p: int):
+    """Per-doc md5-strategy MinHash signature matrix out[ndocs, k]
+    (int64; -1 rows = doc had no words), or None when the native
+    library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ndocs = len(offs) - 1
+    k = len(pa)
+    out = np.full((ndocs, k), -1, dtype=np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
+    lib.minhash_doc_sigs(
+        texts, offs.ctypes.data_as(i64p), ndocs,
+        pa.ctypes.data_as(i64p), pb.ctypes.data_as(i64p),
+        k, p, out.ctypes.data_as(i64p),
+    )
+    return out

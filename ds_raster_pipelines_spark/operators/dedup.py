@@ -232,12 +232,100 @@ def minhash_signatures(
                     readable, but builds the vocabulary through a single-
                     partition window: keep for small corpora / the legacy
                     oracle twin only, never for the 100 TB path."""
+    if strategy == "md5":
+        # C fast path (r8 s4): one Arrow kernel computes each doc's k
+        # minima straight over the text bytes — every word is a byte
+        # range of the ' '-split, the 28-bit md5 prefix equals Spark/
+        # DuckDB md5 arithmetic, duplicates can't move a min so no dedup
+        # is needed, and (a*wid+b) % p is exact int64 in all engines.
+        # Expression twin (below) when the toolchain is absent;
+        # pytest pins kernel == expression on adversarial inputs.
+        return _signatures_kernel_md5(df, text_col)
     # distinct=True: since r8 s4 the per-doc word SET is built map-side
     # (array_distinct — no shuffle), so deduping before the hash is free
     # and cuts the per-word-id hash work ~16x (md5 per distinct word per
     # doc instead of per raw instance; min() over a set equals min() over
     # its multiset, so signatures are identical by construction)
     return _signatures_from_words(tokenize(df, text_col, distinct=True), strategy)
+
+
+def _signatures_kernel_md5(df: DataFrame, text_col: str = "text") -> DataFrame:
+    k = len(MINHASH_PARAMS)
+    pa_arr = [a for a, _ in MINHASH_PARAMS]
+    pb_arr = [b for _, b in MINHASH_PARAMS]
+
+    def kernel(batches):
+        import ctypes as _ct
+
+        import numpy as np
+        import pyarrow as pa
+
+        from .. import native as _native
+
+        pa_np = np.asarray(pa_arr, dtype=np.int64)
+        pb_np = np.asarray(pb_arr, dtype=np.int64)
+        for b in batches:
+            arr = b.column(1)
+            otype = (
+                np.int64
+                if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)
+                else np.int32
+            )
+            bufs = arr.buffers()
+            off = np.frombuffer(bufs[1], otype)[
+                arr.offset : arr.offset + len(arr) + 1
+            ].astype(np.int64, copy=False)
+            data = (
+                np.frombuffer(bufs[2], np.uint8)
+                if bufs[2] is not None
+                else np.zeros(1, np.uint8)
+            )
+            sigs = (
+                _native.minhash_doc_sigs(
+                    data.ctypes.data_as(_ct.c_char_p), off, pa_np, pb_np, MINHASH_P
+                )
+                if not arr.null_count
+                else None
+            )
+            if sigs is None:  # hashlib twin (also the null-text path)
+                import hashlib as _hl
+
+                n = len(arr)
+                sigs = np.full((n, k), -1, dtype=np.int64)
+                valid = (
+                    arr.is_valid().to_numpy(zero_copy_only=False)
+                    if arr.null_count
+                    else np.ones(n, dtype=bool)
+                )
+                raw = data.tobytes()
+                for d in range(n):
+                    if not valid[d]:
+                        continue
+                    for wbytes in raw[off[d] : off[d + 1]].split(b" "):
+                        if not wbytes:
+                            continue
+                        wid = int(_hl.md5(wbytes).hexdigest()[:7], 16)
+                        for j in range(k):
+                            v = (pa_arr[j] * wid + pb_arr[j]) % MINHASH_P
+                            if sigs[d, j] < 0 or v < sigs[d, j]:
+                                sigs[d, j] = v
+            doc_ids = b.column(0).to_numpy(zero_copy_only=False)
+            has = sigs[:, 0] >= 0
+            keep_ids = doc_ids[has]
+            keep = sigs[has]
+            nk = len(keep_ids)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(keep_ids, k)),
+                    pa.array(np.tile(np.arange(k, dtype=np.int32), nk)),
+                    pa.array(keep.ravel()),
+                ],
+                names=["doc_id", "j", "mh"],
+            )
+
+    return df.select("doc_id", text_col).mapInArrow(
+        kernel, schema="doc_id long, j int, mh long"
+    )
 
 
 def _signatures_from_words(words: DataFrame, strategy: str) -> DataFrame:
@@ -330,14 +418,17 @@ def minhash_dedup_pairs(
     round-1 version intersected candidates with an all-pairs jaccard —
     recreating the quadratic join LSH exists to avoid.)
 
-    ``words`` feeds four consumers (signatures, sizes, both verify sides)
-    on different join keys — no exchange reuse is possible, so it is
-    persisted once; at warehouse scale stage it as an intermediate table
-    instead (same plan shape, spill-safe)."""
+    ``words`` feeds three consumers (signatures, both verify sides) on
+    different join keys, but since r8 s4 it is a MAP-SIDE derivation of
+    the corpus scan (array_distinct — no shuffle), so recomputing it per
+    consumer is just extra scan passes and measures FASTER than caching
+    it (persist wrote + read the exploded word strings: 3.3 vs 2.4 s at
+    the sf1.0 replica). At warehouse scale with an expensive source
+    scan, stage the word set as an intermediate table instead."""
     sc = _scope(scope, fresh=True)
-    words = sc.persist(tokenize(df, text_col))
+    words = tokenize(df, text_col)
     cand = lsh_candidate_pairs(
-        _signatures_from_words(words, strategy), rows_per_band, max_bucket,
+        minhash_signatures(df, text_col, strategy), rows_per_band, max_bucket,
         scope=sc, _fresh=False,
     )
     # |set(words)| per doc has a MAP-SIDE closed form over the corpus scan

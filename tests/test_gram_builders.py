@@ -137,3 +137,26 @@ def test_positional_gram_hashes_matches_expression(docs, n):
         assert _sorted(_positional_gram_hashes(docs, n)) == expected
     finally:
         native._lib = saved
+
+
+def test_minhash_kernel_matches_expression(docs):
+    """The C/Arrow MinHash signature kernel == the word-explode +
+    md5_int + grouped-min expression chain on adversarial texts, and
+    again with the native library forced off (hashlib twin)."""
+    from ds_raster_pipelines_spark import native
+    from ds_raster_pipelines_spark.operators.dedup import (
+        _signatures_from_words,
+        _signatures_kernel_md5,
+        tokenize,
+    )
+
+    expected = _sorted(
+        _signatures_from_words(tokenize(docs, distinct=True), "md5")
+    )
+    assert _sorted(_signatures_kernel_md5(docs)) == expected
+    saved = native._lib
+    native._lib = None
+    try:
+        assert _sorted(_signatures_kernel_md5(docs)) == expected
+    finally:
+        native._lib = saved
