@@ -920,6 +920,74 @@ long minhash_doc_sigs(const unsigned char *texts, const int64_t *offs,
     return 0;
 }
 
+/* Char-n-gram LM scoring: per doc, walk UTF-8 CODE POINTS (split('')
+ * semantics — astral chars are single elements), slide an n-window,
+ * pack each gram as cp0<<42 | cp1<<21 | cp2 (bijective for n <= 3,
+ * code points < 2^21), probe the caller-built open-addressing table of
+ * packed keys -> logp_micro (computed IN THE JVM — no libm here, so no
+ * log()/rounding drift), default logp0 on miss, and emit exact int64
+ * (n_grams, sum logp_micro) per doc.  Returns 0, or -1 on malformed
+ * UTF-8 (caller falls back to the expression path for the batch). */
+long lm_score_docs(const unsigned char *texts, const int64_t *offs,
+                   long ndocs, long n,
+                   const int64_t *keys, const int64_t *vals, long mask,
+                   int64_t logp0,
+                   int64_t *n_grams, int64_t *logp_sum)
+{
+    long di;
+    int64_t ring[8];
+    if (n < 1 || n > 3)
+        return -2;
+    for (di = 0; di < ndocs; di++) {
+        const unsigned char *t = texts + offs[di];
+        int64_t len = offs[di + 1] - offs[di];
+        int64_t i = 0, ncp = 0, grams = 0, sum = 0;
+        while (i < len) {
+            unsigned c = t[i];
+            int64_t cp;
+            if (c < 0x80) { cp = c; i += 1; }
+            else if ((c >> 5) == 0x6) {
+                if (i + 1 >= len || (t[i+1] & 0xC0) != 0x80) return -1;
+                cp = ((int64_t)(c & 0x1F) << 6) | (t[i+1] & 0x3F); i += 2;
+            } else if ((c >> 4) == 0xE) {
+                if (i + 2 >= len || (t[i+1] & 0xC0) != 0x80
+                    || (t[i+2] & 0xC0) != 0x80) return -1;
+                cp = ((int64_t)(c & 0x0F) << 12) | ((int64_t)(t[i+1] & 0x3F) << 6)
+                   | (t[i+2] & 0x3F); i += 3;
+            } else if ((c >> 3) == 0x1E) {
+                if (i + 3 >= len || (t[i+1] & 0xC0) != 0x80
+                    || (t[i+2] & 0xC0) != 0x80 || (t[i+3] & 0xC0) != 0x80) return -1;
+                cp = ((int64_t)(c & 0x07) << 18) | ((int64_t)(t[i+1] & 0x3F) << 12)
+                   | ((int64_t)(t[i+2] & 0x3F) << 6) | (t[i+3] & 0x3F); i += 4;
+            } else {
+                return -1;
+            }
+            ring[ncp % 8] = cp;
+            ncp++;
+            if (ncp >= n) {
+                int64_t key = 0;
+                long k;
+                for (k = 0; k < n; k++)
+                    key = (key << 21) | ring[(ncp - n + k) % 8];
+                {
+                    uint64_t hsh = (uint64_t)key * 0x9E3779B97F4A7C15ull;
+                    long slot = (long)((hsh >> 32) & (uint64_t)mask);
+                    int64_t v = logp0;
+                    while (keys[slot] != -1) {
+                        if (keys[slot] == key) { v = vals[slot]; break; }
+                        slot = (slot + 1) & mask;
+                    }
+                    sum += v;
+                    grams++;
+                }
+            }
+        }
+        n_grams[di] = grams;
+        logp_sum[di] = sum;
+    }
+    return 0;
+}
+
 /* Positional word n-gram hashes, the C form of
  * positional_word_ngrams(...) + md5_int(gram):  the gram string
  * array_join(slice(split(text,' '), i, n), ' ') is BYTE-IDENTICAL to
@@ -1138,6 +1206,19 @@ def _build() -> ctypes.CDLL | None:
             ctypes.c_long,
             ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.lm_score_docs.restype = ctypes.c_long
+        lib.lm_score_docs.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_long,
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_long,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
         ]
         lib.minhash_doc_sigs.restype = ctypes.c_long
         lib.minhash_doc_sigs.argtypes = [
@@ -1549,3 +1630,46 @@ def minhash_doc_sigs(texts, offs: np.ndarray, pa: np.ndarray, pb: np.ndarray, p:
         k, p, out.ctypes.data_as(i64p),
     )
     return out
+
+
+def lm_score_docs(texts, offs: np.ndarray, n: int, keys: np.ndarray,
+                  vals: np.ndarray, logp0: int):
+    """Per-doc (n_grams, logp_micro) against an open-addressing packed
+    LM table (keys/vals pow2-sized, -1 = empty).  None = unavailable or
+    malformed UTF-8 — caller uses the expression path."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ndocs = len(offs) - 1
+    ng = np.zeros(ndocs, dtype=np.int64)
+    lp = np.zeros(ndocs, dtype=np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
+    rc = lib.lm_score_docs(
+        texts, offs.ctypes.data_as(i64p), ndocs, n,
+        keys.ctypes.data_as(i64p), vals.ctypes.data_as(i64p),
+        len(keys) - 1, logp0,
+        ng.ctypes.data_as(i64p), lp.ctypes.data_as(i64p),
+    )
+    if rc != 0:
+        return None
+    return ng, lp
+
+
+def build_lm_table(pairs, pack):
+    """Open-addressing (keys, vals) arrays for lm_score_docs from
+    (gram_string, logp) pairs; ``pack`` maps a gram to its int64 key."""
+    size = 1
+    while size < 4 * max(1, len(pairs)):
+        size *= 2
+    keys = np.full(size, -1, dtype=np.int64)
+    vals = np.zeros(size, dtype=np.int64)
+    mask = size - 1
+    for g, v in pairs:
+        key = pack(g)
+        slot = ((key * 0x9E3779B97F4A7C15) % (1 << 64)) >> 32 & mask
+        while keys[slot] != -1 and keys[slot] != key:
+            slot = (slot + 1) & mask
+        keys[slot] = key
+        vals[slot] = v
+    return keys, vals

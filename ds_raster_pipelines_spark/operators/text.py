@@ -300,14 +300,27 @@ def ngram_lm_scores(
     lm = lm.select("g", logp.alias("logp_micro"))
     logp0 = F.round(F.log(F.lit(1.0) / F.lit(denom)) * 1e6, 0).cast("long")
 
-    # Score gram INSTANCES against the broadcast LM and aggregate straight
-    # to per-doc sums: sum_over_instances(logp) == sum_over_(g,tf)(tf*logp)
-    # exactly (integer micro-units), and count(*) == sum(tf). The r7 form
-    # first aggregated (doc_id, g) tf — a full data-sized exchange of the
-    # gram stream — before the same broadcast join; scoring instances
-    # directly keeps the join map-side and leaves ONE exchange of per-doc
-    # partial sums (guide §2.4: two operations keyed differently don't
-    # need the intermediate shuffle when the first is removable).
+    # Score gram INSTANCES against the LM and aggregate straight to
+    # per-doc sums: sum_over_instances(logp) == sum_over_(g,tf)(tf*logp)
+    # exactly (integer micro-units), and count(*) == sum(tf).
+    #
+    # Fast path (r8 s4): the LM is VOCAB-BOUNDED (<= charset^n rows —
+    # 544 at the sf1.0 replica), so it collects as control-plane state
+    # (same class as the T/V scalars above) and one Arrow kernel walks
+    # each doc's code points, packs every n-window into an int64
+    # (bijective for n <= 3) and integer-sums table lookups — the
+    # per-instance gram explode (measured 1.9 s of the 2.5 s query at
+    # sf1.0) never materializes.  logp values stay JVM-computed (no C
+    # log()/round drift); kernel == join-path pinned by pytest.  The
+    # join form remains for n > 3 / no toolchain.
+    from .. import native as _nat
+
+    if n <= 3 and _nat.get_lib() is not None:
+        logp0_int = int(
+            df.sparkSession.range(1).select(logp0.alias("v")).collect()[0][0]
+        )
+        lm_pairs = [(r["g"], int(r["logp_micro"])) for r in lm.collect()]
+        return _lm_score_kernel(df, text_col, n, lm_pairs, logp0_int)
     scored = (
         char_ngrams(df, n, text_col)
         .join(F.broadcast(lm), "g", "left")
@@ -318,6 +331,94 @@ def ngram_lm_scores(
         )
     )
     return scored
+
+
+def _lm_pack(g: str) -> int:
+    key = 0
+    for ch in g:
+        key = (key << 21) | ord(ch)
+    return key
+
+
+def _lm_score_kernel(
+    df: DataFrame, text_col: str, n: int, lm_pairs: list, logp0_int: int
+) -> DataFrame:
+    """One Arrow kernel: per-doc (n_grams, logp_micro) against the packed
+    LM table (native.lm_score_docs; pure-Python twin when the toolchain
+    is absent or a batch carries nulls/odd buffers).  Docs with zero
+    grams emit no row — identical to the gram-explode + groupBy form."""
+
+    def kernel(batches):
+        import ctypes as _ct
+
+        import numpy as np
+        import pyarrow as pa
+
+        from .. import native as _nat
+
+        keys = vals = None
+        lm_dict = None
+        for b in batches:
+            arr = b.column(1)
+            doc_ids = b.column(0).to_numpy(zero_copy_only=False)
+            otype = (
+                np.int64
+                if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)
+                else np.int32
+            )
+            bufs = arr.buffers()
+            off = np.frombuffer(bufs[1], otype)[
+                arr.offset : arr.offset + len(arr) + 1
+            ].astype(np.int64, copy=False)
+            data = (
+                np.frombuffer(bufs[2], np.uint8)
+                if bufs[2] is not None
+                else np.zeros(1, np.uint8)
+            )
+            r = None
+            if not arr.null_count:
+                if keys is None:
+                    keys, vals = _nat.build_lm_table(lm_pairs, _lm_pack)
+                r = _nat.lm_score_docs(
+                    data.ctypes.data_as(_ct.c_char_p), off, n, keys, vals, logp0_int
+                )
+            if r is None:  # python twin: same code points, same lookups
+                if lm_dict is None:
+                    lm_dict = dict(lm_pairs)
+                raw = data.tobytes()
+                valid = (
+                    arr.is_valid().to_numpy(zero_copy_only=False)
+                    if arr.null_count
+                    else np.ones(len(arr), dtype=bool)
+                )
+                ng = np.zeros(len(arr), dtype=np.int64)
+                lp = np.zeros(len(arr), dtype=np.int64)
+                for d in range(len(arr)):
+                    if not valid[d]:
+                        continue
+                    text = raw[off[d] : off[d + 1]].decode("utf-8")
+                    total = 0
+                    cnt = 0
+                    for i0 in range(len(text) - n + 1):
+                        total += lm_dict.get(text[i0 : i0 + n], logp0_int)
+                        cnt += 1
+                    ng[d] = cnt
+                    lp[d] = total
+            else:
+                ng, lp = r
+            has = ng > 0
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids[has]),
+                    pa.array(ng[has]),
+                    pa.array(lp[has]),
+                ],
+                names=["doc_id", "n_grams", "logp_micro"],
+            )
+
+    return df.select("doc_id", text_col).mapInArrow(
+        kernel, schema="doc_id long, n_grams bigint, logp_micro bigint"
+    )
 
 
 def perplexity_filter(
