@@ -47,6 +47,13 @@ def get_spark(
         # measurable. Same sizing rule at cluster scale: batch bytes =
         # rows x widest-cell, keep it << executor heap / concurrent tasks.
         .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
+        # zstd for every parquet the engine writes (guide §6): the
+        # float32-heavy materialized corpora compress ~6x vs snappy at
+        # equal read/write speed (measured: 8.4 -> 1.4 MB per file on
+        # the NetCDF corpus), and this box's page cache is reclaimed
+        # aggressively between suite queries, so on-disk bytes ARE the
+        # re-scan cost — the nc corpus alone drops ~1.6 GB of per-rep IO
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         # bucketed-table writes (co-located joins) go to /tmp, not the repo
         .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
