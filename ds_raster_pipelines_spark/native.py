@@ -51,10 +51,18 @@ _C_SRC = r"""
  * (caller falls back to the Python decoder for exact error semantics).
  */
 #define ERR (-1000000)
-long jpeg_decode_scan(const unsigned char *d, long n,
+/* scan_core: the walk itself.  dc8s/dc8l/ac8s/ac8l are optional 256-entry
+ * FIRST-LEVEL LUTs (codes of length <= 8 resolve from the top byte — an
+ * L1-resident probe; the 64K second-level tables are L2-sized and their
+ * misses dominated the walk at ~35 ns/symbol).  Entry -1 = fall through
+ * to the exact 16-bit probe; results are identical by the prefix-LUT
+ * property (a <= 8-bit code's symbol is constant over all low bytes). */
+static long scan_core(const unsigned char *d, long n,
                       const int16_t *dc_sym, const uint8_t *dc_len,
                       const int16_t *ac_sym, const uint8_t *ac_len,
-                      long nblocks, int32_t *zz, long dc_in)
+                      long nblocks, int32_t *zz, long dc_in,
+                      const int16_t *dc8s, const uint8_t *dc8l,
+                      const int16_t *ac8s, const uint8_t *ac8l)
 {
     uint32_t acc = 0;
     long nbits = 0, pos = 0, filled = 0;
@@ -77,10 +85,14 @@ long jpeg_decode_scan(const unsigned char *d, long n,
         int s, k;
         FILL(16);
         p = (acc >> (nbits - 16)) & 0xFFFFu;
-        s = dc_sym[p];
-        if (s < 0)
-            return ERR - 1; /* invalid DC Huffman code */
-        nbits -= dc_len[p];
+        if (dc8s && (s = dc8s[p >> 8]) >= 0) {
+            nbits -= dc8l[p >> 8];
+        } else {
+            s = dc_sym[p];
+            if (s < 0)
+                return ERR - 1; /* invalid DC Huffman code */
+            nbits -= dc_len[p];
+        }
         if (nbits < 0 || OVERRUN())
             return ERR - 2; /* truncated stream */
         if (s) {
@@ -100,10 +112,14 @@ long jpeg_decode_scan(const unsigned char *d, long n,
             int sym, sz;
             FILL(16);
             p = (acc >> (nbits - 16)) & 0xFFFFu;
-            sym = ac_sym[p];
-            if (sym < 0)
-                return ERR - 1; /* invalid AC Huffman code */
-            nbits -= ac_len[p];
+            if (ac8s && (sym = ac8s[p >> 8]) >= 0) {
+                nbits -= ac8l[p >> 8];
+            } else {
+                sym = ac_sym[p];
+                if (sym < 0)
+                    return ERR - 1; /* invalid AC Huffman code */
+                nbits -= ac_len[p];
+            }
             if (nbits < 0 || OVERRUN())
                 return ERR - 2;
             if (sym == 0x00) /* EOB */
@@ -143,6 +159,15 @@ long jpeg_decode_scan(const unsigned char *d, long n,
  * blocks are written at zz + zz_off[i]*64.  Returns 0 or the first
  * segment's error code (caller falls back per frame).
  */
+long jpeg_decode_scan(const unsigned char *d, long n,
+                      const int16_t *dc_sym, const uint8_t *dc_len,
+                      const int16_t *ac_sym, const uint8_t *ac_len,
+                      long nblocks, int32_t *zz, long dc_in)
+{
+    return scan_core(d, n, dc_sym, dc_len, ac_sym, ac_len,
+                     nblocks, zz, dc_in, 0, 0, 0, 0);
+}
+
 long jpeg_decode_scan_multi(const unsigned char *data, const int64_t *seg_off,
                             const int64_t *seg_blocks, const int64_t *zz_off,
                             long nseg,
@@ -150,12 +175,22 @@ long jpeg_decode_scan_multi(const unsigned char *data, const int64_t *seg_off,
                             const int16_t *ac_sym, const uint8_t *ac_len,
                             int32_t *zz)
 {
+    int16_t dc8s[256], ac8s[256];
+    uint8_t dc8l[256], ac8l[256];
     long i;
+    for (i = 0; i < 256; i++) {
+        long idx = i << 8;
+        dc8s[i] = (dc_sym[idx] >= 0 && dc_len[idx] <= 8) ? dc_sym[idx] : -1;
+        dc8l[i] = dc_len[idx];
+        ac8s[i] = (ac_sym[idx] >= 0 && ac_len[idx] <= 8) ? ac_sym[idx] : -1;
+        ac8l[i] = ac_len[idx];
+    }
     for (i = 0; i < nseg; i++) {
-        long rc = jpeg_decode_scan(data + seg_off[i],
-                                   seg_off[i + 1] - seg_off[i],
-                                   dc_sym, dc_len, ac_sym, ac_len,
-                                   seg_blocks[i], zz + zz_off[i] * 64, 0);
+        long rc = scan_core(data + seg_off[i],
+                            seg_off[i + 1] - seg_off[i],
+                            dc_sym, dc_len, ac_sym, ac_len,
+                            seg_blocks[i], zz + zz_off[i] * 64, 0,
+                            dc8s, dc8l, ac8s, ac8l);
         if (rc <= -1000000)
             return rc;
     }
