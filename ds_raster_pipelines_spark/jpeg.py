@@ -595,7 +595,11 @@ def decode_jpeg_batch(blobs: list[bytes]) -> list[np.ndarray]:
         blocks_arr = np.asarray(seg_blocks, dtype=np.int64)
         zz_off = np.zeros(len(bodies), dtype=np.int64)
         np.cumsum(blocks_arr[:-1], out=zz_off[1:])
-        zz_all = np.zeros((int(blocks_arr.sum()), _DCT_N * _DCT_N), dtype=np.int32)
+        # np.empty: jpeg_decode_scan_multi zeroes each segment's region
+        # C-side at first touch (the Python np.zeros pass over the
+        # ~256 B/block buffer measured ~7 us/blob); the no-native branch
+        # below zeroes before the per-frame fallback decodes.
+        zz_all = np.empty((int(blocks_arr.sum()), _DCT_N * _DCT_N), dtype=np.int32)
         if native.jpeg_decode_scan_multi(
             b"".join(bodies), seg_off, blocks_arr, zz_off,
             hdr[3], hdr[4], hdr[5], hdr[6], zz_all,
@@ -669,7 +673,11 @@ def decode_jpeg_batch_stats(blobs: list[bytes]) -> list[tuple[int, int]]:
         blocks_arr = np.full(len(bodies), nby * nbx, dtype=np.int64)
         zz_off = np.zeros(len(bodies), dtype=np.int64)
         np.cumsum(blocks_arr[:-1], out=zz_off[1:])
-        zz_all = np.zeros((int(blocks_arr.sum()), _DCT_N * _DCT_N), dtype=np.int32)
+        # np.empty: jpeg_decode_scan_multi zeroes each segment's region
+        # C-side at first touch (the Python np.zeros pass over the
+        # ~256 B/block buffer measured ~7 us/blob); the no-native branch
+        # below zeroes before the per-frame fallback decodes.
+        zz_all = np.empty((int(blocks_arr.sum()), _DCT_N * _DCT_N), dtype=np.int32)
         if native.jpeg_decode_scan_multi(
             b"".join(bodies), seg_off, blocks_arr, zz_off,
             hdr[3], hdr[4], hdr[5], hdr[6], zz_all,

@@ -186,11 +186,19 @@ long jpeg_decode_scan_multi(const unsigned char *data, const int64_t *seg_off,
         ac8l[i] = ac_len[idx];
     }
     for (i = 0; i < nseg; i++) {
-        long rc = scan_core(data + seg_off[i],
-                            seg_off[i + 1] - seg_off[i],
-                            dc_sym, dc_len, ac_sym, ac_len,
-                            seg_blocks[i], zz + zz_off[i] * 64, 0,
-                            dc8s, dc8l, ac8s, ac8l);
+        int32_t *zseg = zz + zz_off[i] * 64;
+        long j, nz = seg_blocks[i] * 64;
+        long rc;
+        /* zero here (first touch, cache-resident) so the caller can
+         * hand np.empty instead of paying a second full zeroing pass
+         * over the ~nblocks*256-byte coefficient buffer in Python */
+        for (j = 0; j < nz; j++)
+            zseg[j] = 0;
+        rc = scan_core(data + seg_off[i],
+                       seg_off[i + 1] - seg_off[i],
+                       dc_sym, dc_len, ac_sym, ac_len,
+                       seg_blocks[i], zseg, 0,
+                       dc8s, dc8l, ac8s, ac8l);
         if (rc <= -1000000)
             return rc;
     }
